@@ -1,0 +1,85 @@
+"""Render configuration.
+
+The reference keeps all of this as compile-time constants scattered across
+translation units (variables.h:3-44, kernel.cu:14-16, sunsky.cuh:26-43,
+bvh.h:76-84).  The TPU rebuild centralises them into one dataclass consumed by
+the CLI, the Python API and the benchmark harness.  Fields that feed jitted
+code are static Python values (they become compile-time constants under
+``jax.jit`` exactly like the reference's ``constexpr``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+PI = 3.1415926535897932
+INV_PI = 1.0 / PI
+
+# Reference: variables.h:14
+EPSILON = 1e-3
+# Reference: kernel.cu:15
+VERY_FAR = 1e20
+
+
+@dataclasses.dataclass(frozen=True)
+class SkyConfig:
+    """Atmosphere tunables.  Reference: sunsky.cuh:26-43."""
+
+    sun_size_degrees: float = 1.5          # sunsky.cuh:26 (physical sun is 0.53)
+    cutoff_angle: float = PI / 1.95        # sunsky.cuh:28
+    steepness: float = 1.5                 # sunsky.cuh:29
+    sky_factor: float = 1.0                # sunsky.cuh:30
+    turbidity: float = 1.0                 # sunsky.cuh:31
+    mie_coefficient: float = 0.005         # sunsky.cuh:32
+    mie_directional_g: float = 0.80        # sunsky.cuh:33
+    v: float = 4.0                         # sunsky.cuh:35 (Junge exponent)
+    rayleigh_zenith_length: float = 8.4e3  # sunsky.cuh:38
+    mie_zenith_length: float = 1.25e3      # sunsky.cuh:39
+    sun_intensity: float = 1000.0          # sunsky.cuh:41
+    primary_wavelengths: tuple = (680e-9, 550e-9, 450e-9)  # sunsky.cuh:43
+
+
+@dataclasses.dataclass(frozen=True)
+class BVHConfig:
+    """SAH builder knobs.  Reference: bvh.h:76-84."""
+
+    bucket_number: int = 14       # bvh.h:76
+    max_prims_per_leaf: int = 4   # bvh.h:78
+    traversal_cost: float = 1.0   # bvh.h:81
+    intersection_cost: float = 1.0  # bvh.h:84
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level render settings.
+
+    Reference equivalents: resolution variables.h:6-10; queue size
+    variables.h:44; bounce limit kernel.cu:16; epsilon variables.h:14.
+    """
+
+    width: int = 1920
+    height: int = 1080
+    # Number of path segments processed per wavefront step ("ray queue size").
+    # The reference uses 2 * 1,048,576 (variables.h:44).
+    num_rays: int = 2 * 1_048_576
+    max_bounces: int = 5
+    epsilon: float = EPSILON
+    sky: SkyConfig = dataclasses.field(default_factory=SkyConfig)
+    bvh: BVHConfig = dataclasses.field(default_factory=BVHConfig)
+    # How the ImGui focal-distance slider is scaled (kernel.cu:286).
+    focal_distance_scale: float = 3.0
+    # Dense-batch dtype for ray payloads.  f32 keeps exact parity with the
+    # reference; bf16 is an opt-in speed knob for variance-tolerant buffers.
+    dtype: str = "float32"
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+def small_config(width: int = 512, height: int = 512, num_rays: int = 1 << 16,
+                 max_bounces: int = 5) -> RenderConfig:
+    """A CPU-test-sized config (the reference has no such thing; its
+    resolution is a compile-time constant, variables.h:6-10)."""
+    return RenderConfig(width=width, height=height, num_rays=num_rays,
+                        max_bounces=max_bounces)

@@ -1,0 +1,150 @@
+"""Sampling primitives (pure jnp, batched over leading dims).
+
+Vectors are ``[..., 3]`` float32 arrays.  Each routine is the dense-batch
+equivalent of a per-thread device function in the reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import PI
+from . import rng
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def normalize(v, eps: float = 1e-20):
+    return v / jnp.sqrt(jnp.maximum(dot(v, v), eps))[..., None]
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def reflect(d, n):
+    """GLM-style reflect: d - 2*dot(d,n)*n (used at kernel.cu:473)."""
+    return d - 2.0 * dot(d, n)[..., None] * n
+
+
+def orthonormal_basis(w):
+    """Build (u, v) completing ``w`` to an orthonormal basis.
+
+    Reference: kernel.cu:181-189 ``computeOrthonormalBasisNaive`` — picks the
+    Y axis when |w.x| > 0.9, else the X axis, then Gram-Schmidts.
+    """
+    pick_y = jnp.abs(w[..., 0]) > 0.9
+    a = jnp.where(pick_y[..., None],
+                  jnp.array([0.0, 1.0, 0.0], w.dtype),
+                  jnp.array([1.0, 0.0, 0.0], w.dtype))
+    u = normalize(cross(a, w))
+    v = cross(w, u)
+    return u, v
+
+
+def ortho(v):
+    """Any vector orthogonal-ish to v.  Reference: sunsky.cu:163-166."""
+    use_x = jnp.abs(v[..., 0]) > jnp.abs(v[..., 2])
+    o_a = jnp.stack([-v[..., 1], v[..., 0], jnp.zeros_like(v[..., 0])], -1)
+    o_b = jnp.stack([jnp.zeros_like(v[..., 0]), -v[..., 2], v[..., 1]], -1)
+    return jnp.where(use_x[..., None], o_a, o_b)
+
+
+def concentric_sample_disk(u):
+    """Map [0,1]^2 -> unit disk, concentric (lens sampling for DoF).
+
+    Reference: kernel.cu:190-208 ``ConcentricSampleDisk``.
+    """
+    off = 2.0 * u - 1.0
+    ox, oy = off[..., 0], off[..., 1]
+    degenerate = (ox == 0) & (oy == 0)
+    x_major = jnp.abs(ox) > jnp.abs(oy)
+    # avoid 0/0: substitute safe denominators; result masked out anyway
+    safe_ox = jnp.where(ox == 0, 1.0, ox)
+    safe_oy = jnp.where(oy == 0, 1.0, oy)
+    r = jnp.where(x_major, ox, oy)
+    theta = jnp.where(x_major,
+                      (PI / 4) * (oy / safe_ox),
+                      (PI / 2) - (PI / 4) * (ox / safe_oy))
+    pt = r[..., None] * jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)
+    return jnp.where(degenerate[..., None], jnp.zeros_like(pt), pt)
+
+
+def cone_sample(direction, extent, seed):
+    """Uniform sample inside a cone around ``direction`` (sun NEE).
+
+    Reference: sunsky.cu:170-185 ``getConeSample`` (uses RandomFloat2).
+    Returns (new_seed, sample_direction).
+    """
+    d = normalize(direction)
+    o1 = normalize(ortho(d))
+    o2 = normalize(cross(d, o1))
+    seed, rx = rng.random_float2(seed)
+    seed, ry = rng.random_float2(seed)
+    phi = rx * 2.0 * PI
+    z = 1.0 - ry * extent
+    oneminus = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    out = (jnp.cos(phi) * oneminus)[..., None] * o1 \
+        + (jnp.sin(phi) * oneminus)[..., None] * o2 \
+        + z[..., None] * d
+    return seed, out
+
+
+def sphere_surface_sample(center, radius, seed):
+    """Uniform point on a sphere surface (area light sampling).
+
+    Reference: kernel.cu:107-120 ``Sphere::random_point`` and the inlined
+    copies at kernel.cu:423-429 / 563-569.  Note the reference's axis
+    convention: y gets cosPhi, x/z get the sin terms.
+    Returns (new_seed, point).
+    """
+    seed, u = rng.random_float(seed)
+    seed, v = rng.random_float(seed)
+    cos_phi = 2.0 * u - 1.0
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
+    theta = 2.0 * PI * v
+    offset = jnp.stack([sin_phi * jnp.sin(theta),
+                        cos_phi,
+                        sin_phi * jnp.cos(theta)], axis=-1)
+    return seed, center + radius * offset
+
+
+def cosine_hemisphere_sample(normal, seed):
+    """Cosine-weighted hemisphere direction around ``normal``.
+
+    Reference: kernel.cu:456-466 (diffuse bounce: r1 = 2*pi*rand,
+    r2 = rand, d = u*cos(r1)*sqrt(r2) + v*sin(r1)*sqrt(r2) + n*sqrt(1-r2)).
+    Returns (new_seed, direction).
+    """
+    seed, r1u = rng.random_float(seed)
+    seed, r2 = rng.random_float(seed)
+    r1 = 2.0 * PI * r1u
+    r2s = jnp.sqrt(r2)
+    u, v = orthonormal_basis(normal)
+    d = u * (jnp.cos(r1) * r2s)[..., None] \
+        + v * (jnp.sin(r1) * r2s)[..., None] \
+        + normal * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[..., None]
+    return seed, normalize(d)
+
+
+def phong_lobe_sample(w, phong_exponent, seed):
+    """Sample around the ideal reflection vector ``w`` with a cos^n lobe.
+
+    Reference: kernel.cu:516-544 (PHONG case): cosTheta =
+    (1-r2)^(1/(n+1)).  The reference rejects-and-resamples until the sampled
+    direction is above the surface (do/while at kernel.cu:521-544); the caller
+    handles that with a masked resampling loop.
+    Returns (new_seed, direction).
+    """
+    seed, phi_u = rng.random_float(seed)
+    seed, r2 = rng.random_float(seed)
+    phi = 2.0 * PI * phi_u
+    cos_theta = jnp.power(jnp.maximum(1.0 - r2, 0.0), 1.0 / (phong_exponent + 1.0))
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    u, v = orthonormal_basis(w)
+    d = u * (jnp.cos(phi) * sin_theta)[..., None] \
+        + v * (jnp.sin(phi) * sin_theta)[..., None] \
+        + w * cos_theta[..., None]
+    return seed, normalize(d)

@@ -1,0 +1,25 @@
+"""Tone mapping / framebuffer resolve.
+
+Reference: kernel.cu:648-662 ``blit_onto_framebuffer`` — per pixel:
+``cl = rgb / a`` (a = completed-path count), Reinhard ``cl / (cl + 1)``,
+gamma 1/2.2, written to the GL surface.  On TPU the resolve is a pure
+function from the accumulation buffer to a display/PNG image.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def resolve(accum: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """accum: [H*W, 4] (rgb = radiance sum, a = completed path count).
+    Returns [H, W, 3] float32 in [0, 1]."""
+    counts = jnp.maximum(accum[:, 3:4], 1e-8)
+    cl = accum[:, :3] / counts
+    cl = cl / (cl + 1.0)
+    img = jnp.power(jnp.clip(cl, 0.0, 1.0), 1.0 / 2.2)
+    return img.reshape(height, width, 3)
+
+
+def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)

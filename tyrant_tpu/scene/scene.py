@@ -1,0 +1,212 @@
+"""Scene container: analytic spheres + triangle mesh + BVH, host and device.
+
+Mirrors the reference split:
+  * ``Scene::Load`` (Scene.cpp:3-68) — mesh import, Triangle{vert,e1,e2}
+    edge form (Scene.cpp:39-45), per-tri AABBs (Scene.cpp:29-35), SAH BVH
+    (Scene.cpp:53), device upload (Scene.cpp:55-65).
+  * The 7 hard-coded ``__constant__`` spheres (kernel.cu:674-680) become a
+    parameterised sphere list; the hard-coded light ``spheres[6]``
+    (kernel.cu:421/561) becomes an explicit ``light_index`` — SURVEY.md §7
+    flags the hard-coding as a quirk to parameterise.
+
+The reference swaps y/z twice (Scene.cpp:9-12 after static_mesh.cpp:17),
+a net identity — we perform no swap (SURVEY.md C4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BVHConfig
+from ..ops.traverse import BVHDevice
+from . import ply
+from .bvh import BVHArrays, build_bvh, bvh_stats
+
+# Reflection types, kernel.cu:67-71
+DIFF, SPEC, REFR, PHONG, LIGHT = 0, 1, 2, 3, 4
+
+
+@dataclasses.dataclass
+class Spheres:
+    """Host-side analytic sphere list (kernel.cu:77-123)."""
+
+    center: np.ndarray    # [S, 3] f32
+    radius: np.ndarray    # [S] f32
+    color: np.ndarray     # [S, 3] f32
+    emission: np.ndarray  # [S, 3] f32
+    refl: np.ndarray      # [S] i32 (DIFF/SPEC/REFR/PHONG/LIGHT)
+
+    @classmethod
+    def default_seven(cls) -> "Spheres":
+        """The reference's Cornell-style arrangement, kernel.cu:674-680."""
+        rows = [
+            # radius, position,            color,            emission,  refl
+            (16.5, (0, 40, 16.5), (1, 1, 1), (0, 0, 0), DIFF),
+            (16.5, (40, 0, 16.5), (0.5, 0.5, 0.06), (0, 0, 0), REFR),
+            (16.5, (-40, -50, 36.5), (0.6, 0.5, 0.4), (0, 0, 0), PHONG),
+            (16.5, (-40, -50, 16.5), (0.6, 0.5, 0.4), (0, 0, 0), SPEC),
+            (1e4, (0, 0, -1e4 - 20), (1, 1, 1), (0, 0, 0), DIFF),
+            (20.0, (0, -80, 20), (1.0, 0.0, 0.0), (0, 0, 0), DIFF),
+            (9.0, (0, -80, 120.0), (0.0, 1.0, 0.0), (3, 3, 3), LIGHT),
+        ]
+        return cls(
+            center=np.array([r[1] for r in rows], np.float32),
+            radius=np.array([r[0] for r in rows], np.float32),
+            color=np.array([r[2] for r in rows], np.float32),
+            emission=np.array([r[3] for r in rows], np.float32),
+            refl=np.array([r[4] for r in rows], np.int32),
+        )
+
+    @property
+    def count(self):
+        return self.center.shape[0]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SceneData:
+    """Device-resident scene pytree passed into jitted render steps.
+
+    The reference passes ``Scene::GPUScene`` by value into kernels
+    (Scene.h:5-7) and keeps spheres in ``__constant__`` memory
+    (kernel.cu:123); here everything is a jnp leaf closed over by jit.
+    """
+
+    bvh: BVHDevice
+    sphere_center: jnp.ndarray
+    sphere_radius: jnp.ndarray
+    sphere_color: jnp.ndarray
+    sphere_emission: jnp.ndarray
+    sphere_refl: jnp.ndarray
+    light_index: jnp.ndarray  # scalar i32: NEE area light (spheres[6] analog)
+
+    def tree_flatten(self):
+        return ((self.bvh, self.sphere_center, self.sphere_radius,
+                 self.sphere_color, self.sphere_emission, self.sphere_refl,
+                 self.light_index), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host-side scene: load, build, upload."""
+
+    spheres: Spheres
+    tri_vert: np.ndarray  # [T, 3] (original order)
+    tri_e1: np.ndarray
+    tri_e2: np.ndarray
+    bvh: Optional[BVHArrays]
+    stats: dict
+
+    @classmethod
+    def load(cls, path: Optional[str] = None,
+             spheres: Optional[Spheres] = None,
+             bvh_cfg: BVHConfig = BVHConfig(),
+             scale: float = 1.0,
+             builder: str = "auto") -> "Scene":
+        """Load a mesh (PLY) + spheres and build the BVH.
+
+        ``path=None`` gives a spheres-only scene (the reference warns and
+        continues without primitives, Scene.cpp:49-52).
+        builder: "auto" (native C++ if available), "numpy", or "native".
+        """
+        spheres = spheres or Spheres.default_seven()
+        if path is None:
+            z = np.zeros((0, 3), np.float32)
+            return cls(spheres, z, z, z, None, {"nodes": 0})
+
+        vertices, faces = load_mesh(path)
+        vertices = vertices * np.float32(scale)  # Scene.cpp:14-16 unit-scale hook
+        v0 = vertices[faces[:, 0]]
+        v1 = vertices[faces[:, 1]]
+        v2 = vertices[faces[:, 2]]
+        # edge form, Scene.cpp:39-45
+        tri_vert = v0
+        tri_e1 = v1 - v0
+        tri_e2 = v2 - v0
+        tri_lo = np.minimum(np.minimum(v0, v1), v2)
+        tri_hi = np.maximum(np.maximum(v0, v1), v2)
+
+        bvh = _build(tri_lo, tri_hi, bvh_cfg, builder)
+        stats = bvh_stats(bvh)
+        stats["triangles"] = int(tri_vert.shape[0])
+        return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats)
+
+    @classmethod
+    def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
+                       bvh_cfg: BVHConfig = BVHConfig(),
+                       builder: str = "auto") -> "Scene":
+        """Build directly from triangle vertices [T,3] each."""
+        spheres = spheres or Spheres.default_seven()
+        v0 = np.asarray(v0, np.float32)
+        v1 = np.asarray(v1, np.float32)
+        v2 = np.asarray(v2, np.float32)
+        tri_lo = np.minimum(np.minimum(v0, v1), v2)
+        tri_hi = np.maximum(np.maximum(v0, v1), v2)
+        bvh = _build(tri_lo, tri_hi, bvh_cfg, builder)
+        stats = bvh_stats(bvh)
+        stats["triangles"] = int(v0.shape[0])
+        return cls(spheres, v0, v1 - v0, v2 - v0, bvh, stats)
+
+    def to_device(self) -> SceneData:
+        """Upload to device arrays (the Scene.cpp:55-65 analog)."""
+        if self.bvh is None:
+            # spheres-only: single degenerate node so traversal is a no-op
+            import numpy as np
+            from .bvh import pack_meta, thread_links
+            meta = pack_meta(np.zeros(1, np.int64), np.ones(1, np.int64),
+                             np.zeros(1, np.int64))
+            hit_link, miss_link = thread_links(meta, np.full(1, -1, np.int32))
+            inf = np.float32(1e10)
+            bvh_dev = BVHDevice(
+                lo=jnp.full((1, 3), inf), hi=jnp.full((1, 3), -inf),
+                meta=jnp.asarray(meta),
+                hit_link=jnp.asarray(hit_link),
+                miss_link=jnp.asarray(miss_link),
+                tri_vert=jnp.zeros((4, 3), jnp.float32),
+                tri_e1=jnp.zeros((4, 3), jnp.float32),
+                tri_e2=jnp.zeros((4, 3), jnp.float32))
+        else:
+            bvh_dev = BVHDevice.from_host(self.bvh, self.tri_vert,
+                                          self.tri_e1, self.tri_e2)
+        light_idx = int(np.nonzero(self.spheres.refl == LIGHT)[0][0]) \
+            if (self.spheres.refl == LIGHT).any() else -1
+        return SceneData(
+            bvh=bvh_dev,
+            sphere_center=jnp.asarray(self.spheres.center),
+            sphere_radius=jnp.asarray(self.spheres.radius),
+            sphere_color=jnp.asarray(self.spheres.color),
+            sphere_emission=jnp.asarray(self.spheres.emission),
+            sphere_refl=jnp.asarray(self.spheres.refl),
+            light_index=jnp.asarray(light_idx, jnp.int32),
+        )
+
+
+def load_mesh(path: str):
+    """Dispatch on extension; PLY covers the bundled assets."""
+    if path.endswith(".ply"):
+        try:
+            from ..native import ply_native
+            return ply_native.load_ply(path)
+        except Exception:
+            return ply.load_ply(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def _build(tri_lo, tri_hi, cfg: BVHConfig, builder: str) -> BVHArrays:
+    if builder in ("auto", "native"):
+        try:
+            from ..native import bvh_native
+            return bvh_native.build_bvh(tri_lo, tri_hi, cfg)
+        except Exception:
+            if builder == "native":
+                raise
+    return build_bvh(tri_lo, tri_hi, cfg)
