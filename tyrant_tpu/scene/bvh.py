@@ -133,7 +133,8 @@ def build_bvh(tri_lo: np.ndarray, tri_hi: np.ndarray,
         if is_second and parent >= 0:
             second_child[parent] = node
 
-        ids = prim_idx[start:end]
+        # copy: prim_idx[start:end] is written through below while `ids` is read
+        ids = prim_idx[start:end].copy()
         node_lo = tri_lo[ids].min(axis=0)
         node_hi = tri_hi[ids].max(axis=0)
         lo[node] = node_lo

@@ -76,6 +76,11 @@ def load_ply(path: str):
     faces = []
 
     if fmt == "ascii":
+        # cube.ply carries `{ ... }` comments on body lines too
+        if b"{" in body:
+            body = b"\n".join(
+                line[:line.index(b"{")] if b"{" in line else line
+                for line in body.splitlines())
         tokens = body.split()
         pos = 0
         for name, count, props in elements:

@@ -160,7 +160,6 @@ class Scene:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
         if self.bvh is None:
             # spheres-only: single degenerate node so traversal is a no-op
-            import numpy as np
             from .bvh import pack_meta, thread_links
             meta = pack_meta(np.zeros(1, np.int64), np.ones(1, np.int64),
                              np.zeros(1, np.int64))
