@@ -177,12 +177,14 @@ def closest_hit(origin, direction, bvh: BVHDevice,
 
 
 @partial(jax.jit, static_argnames=())
-def any_hit(origin, direction, max_dist, bvh: BVHDevice):
+def any_hit(origin, direction, max_dist, bvh: BVHDevice, active=None):
     """Shadow-ray occlusion test.  Reference: bvh.h:213-256
     ``intersectSimple`` — accepts any t > eps with (maxDist - t) > eps and
     terminates that ray immediately.
 
-    Returns occluded [N] bool.
+    ``active``: optional [N] bool — inactive rays skip traversal entirely
+    (the dense-batch stand-in for the reference's shadow_ray_cnt-bounded
+    loop, kernel.cu:634).  Returns occluded [N] bool.
     """
     n = origin.shape[0]
     inv_dir, neg, octant = _ray_setup(direction)
@@ -224,7 +226,10 @@ def any_hit(origin, direction, max_dist, bvh: BVHDevice):
         node = jnp.where(active, nxt, node)
         return node, occluded
 
-    node0 = jnp.zeros((n,), jnp.int32)
+    if active is None:
+        node0 = jnp.zeros((n,), jnp.int32)
+    else:
+        node0 = jnp.where(active, 0, -1).astype(jnp.int32)
     occ0 = jnp.zeros((n,), bool)
     _, occluded = jax.lax.while_loop(cond, body, (node0, occ0))
     return occluded

@@ -1,0 +1,490 @@
+"""The wavefront render pipeline (pure jnp, one bounce per step).
+
+This is the TPU-native equivalent of the reference's six-kernel wavefront
+(kernel.cu:227-662) and frame orchestrator (kernel.cu:664-748).  The CUDA
+design — persistent threads claiming work via global atomic counters
+(kernel.cu:211-224) — is replaced by dense fixed-shape SoA ray batches: one
+:func:`render_step` call performs raygen top-off, extend (scene
+intersection), shade (all five BSDFs + NEE), connect (shadow occlusion),
+deterministic scatter-add accumulation, and survivor compaction.  Surviving
+path segments are carried to the next step exactly like the reference's
+cross-frame continuation (kernel.cu:607-608, 227-244).
+
+Pipeline map (reference -> here):
+  primary_rays (kernel.cu:247-297)        -> _raygen
+  set_wavefront_globals (kernel.cu:227)   -> start_position arithmetic
+  extend (kernel.cu:331-343)              -> _intersect_scene
+  shade (kernel.cu:347-627)               -> _shade
+  connect (kernel.cu:630-646)             -> _connect
+  blit accumulation (kernel.cu:622-625)   -> one .at[pixel].add scatter
+  queue double-buffer swap (main.cpp:169) -> survivor compaction (argsort)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import sky as skymod
+from .camera import CameraParams
+from .config import EPSILON, INV_PI, PI, VERY_FAR, RenderConfig
+from .ops import rng
+from .ops.intersect import intersect_spheres, ray_sphere
+from .ops.sampling import (concentric_sample_disk, cone_sample,
+                           cosine_hemisphere_sample, dot, normalize,
+                           phong_lobe_sample, reflect,
+                           sphere_surface_sample)
+from .ops.traverse import any_hit, closest_hit
+from .scene.scene import DIFF, LIGHT, PHONG, REFR, SPEC, SceneData
+
+PHONG_EXPONENT = 40.0  # kernel.cu:520
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RenderState:
+    """Explicit render state pytree (SURVEY.md §5 checkpoint/resume: the
+    reference's implicit cross-frame state — blit_buffer, carried ray queue,
+    frame counter — made serialisable)."""
+
+    accum: jnp.ndarray        # [P, 4] rgb = radiance sum, a = completed paths
+    origin: jnp.ndarray       # [N, 3]
+    direction: jnp.ndarray    # [N, 3]
+    direct: jnp.ndarray       # [N, 3] path throughput ("direct" in RayQueue)
+    pixel: jnp.ndarray        # [N] i32 local linear pixel index
+    bounces: jnp.ndarray      # [N] i32
+    last_specular: jnp.ndarray  # [N] bool
+    n_carried: jnp.ndarray    # scalar i32 — reference primary_ray_cnt
+    start_position: jnp.ndarray  # scalar i32 — reference start_position
+    frame: jnp.ndarray        # scalar u32
+
+    def tree_flatten(self):
+        return ((self.accum, self.origin, self.direction, self.direct,
+                 self.pixel, self.bounces, self.last_specular,
+                 self.n_carried, self.start_position, self.frame), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderState:
+    h = cfg.height if local_height is None else local_height
+    n, p = cfg.num_rays, cfg.width * h
+    return RenderState(
+        accum=jnp.zeros((p, 4), jnp.float32),
+        origin=jnp.zeros((n, 3), jnp.float32),
+        direction=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1)),
+        direct=jnp.zeros((n, 3), jnp.float32),
+        pixel=jnp.zeros((n,), jnp.int32),
+        bounces=jnp.zeros((n,), jnp.int32),
+        last_specular=jnp.zeros((n,), bool),
+        n_carried=jnp.asarray(0, jnp.int32),
+        start_position=jnp.asarray(0, jnp.int32),
+        frame=jnp.asarray(1, jnp.uint32),  # kernel.cu:667 (never 0: RNG seed)
+    )
+
+
+def reset_accumulation(state: RenderState) -> RenderState:
+    """Camera/sun moved: zero the accumulation buffer and drop carried rays
+    (kernel.cu:712-718)."""
+    return dataclasses.replace(
+        state,
+        accum=jnp.zeros_like(state.accum),
+        n_carried=jnp.asarray(0, jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# raygen — kernel.cu:247-297
+# --------------------------------------------------------------------------
+
+def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
+            local_height: int, row_offset):
+    n = cfg.num_rays
+    w, h_global = cfg.width, cfg.height
+    total_local = w * local_height
+
+    gen_index = jnp.arange(n, dtype=jnp.int32)
+    pixel = (start_position + gen_index) % total_local  # round-robin scan
+    x = (pixel % w).astype(jnp.float32)
+    y_local = pixel // w
+    y = (y_local + row_offset).astype(jnp.float32)
+
+    seed = rng.seed_from(frame, gen_index, 0x5EED)
+    seed, uv = rng.random_2d_stratified(seed)
+    # NB the reference subtracts the jitter (kernel.cu:268-269)
+    px = x - uv[..., 0]
+    py = y - uv[..., 1]
+    ni = px / w - 0.5
+    nj = (h_global - py) / h_global - 0.5
+
+    dir_fp = normalize(camera.direction[None]
+                       + ni[:, None] * camera.right[None]
+                       + nj[:, None] * camera.up[None])
+    # DoF (kernel.cu:283-293), incl. the x3 slider scale (kernel.cu:286)
+    conv = camera.position[None] + (camera.focal_distance
+                                    * cfg.focal_distance_scale) * dir_fp
+    seed, l0 = rng.random_float(seed)
+    seed, l1 = rng.random_float(seed)
+    p_lens = camera.lens_radius * concentric_sample_disk(
+        jnp.stack([l0, l1], axis=-1))
+    origin = camera.position[None] \
+        + p_lens[:, 0:1] * camera.right[None] \
+        + p_lens[:, 1:2] * camera.up[None]
+    direction = normalize(conv - origin)
+    return dict(origin=origin, direction=direction,
+                direct=jnp.ones((n, 3), jnp.float32),
+                pixel=pixel.astype(jnp.int32),
+                bounces=jnp.zeros((n,), jnp.int32),
+                # RayQueue default: lastSpecular = true (variables.h:33)
+                last_specular=jnp.ones((n,), bool))
+
+
+# --------------------------------------------------------------------------
+# extend — kernel.cu:331-343 / intersect_scene kernel.cu:125-142
+# --------------------------------------------------------------------------
+
+def _intersect_scene(origin, direction, scene: SceneData):
+    """Spheres first, then BVH seeded with the sphere distance (the BVH only
+    wins if strictly closer by > epsilon, bvh.h:134).  Returns
+    (t, identifier, is_triangle)."""
+    t_sph, sph_id = intersect_spheres(origin, direction,
+                                      scene.sphere_center, scene.sphere_radius)
+    t, tri_id = closest_hit(origin, direction, scene.bvh, t_init=t_sph)
+    is_tri = tri_id >= 0
+    ident = jnp.where(is_tri, tri_id, sph_id)
+    return t, ident, is_tri
+
+
+# --------------------------------------------------------------------------
+# shade — kernel.cu:347-627
+# --------------------------------------------------------------------------
+
+def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
+           sun_dir, rays, t, ident, is_tri, frame):
+    n = cfg.num_rays
+    eps = cfg.epsilon
+    d = rays["direction"]
+    hit = t < VERY_FAR
+    t_safe = jnp.where(hit, t, 0.0)
+    o = rays["origin"] + d * t_safe[:, None]
+
+    # --- surface data (kernel.cu:366-390) ---
+    sid = jnp.clip(ident, 0, scene.sphere_center.shape[0] - 1)
+    is_sphere = hit & ~is_tri
+    sph_c = scene.sphere_center[sid]
+    sph_r = scene.sphere_radius[sid]
+    normal_sphere = (o - sph_c) / sph_r[:, None]
+
+    tid = jnp.clip(ident, 0, scene.bvh.tri_e1.shape[0] - 1)
+    tri_e1 = scene.bvh.tri_e1[tid]
+    tri_e2 = scene.bvh.tri_e2[tid]
+    normal_tri = normalize(jnp.cross(tri_e1, tri_e2))
+
+    normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
+    refl = jnp.where(is_sphere, scene.sphere_refl[sid], DIFF)
+    refl = jnp.where(hit, refl, DIFF)
+    obj_color = jnp.where(is_sphere[:, None], scene.sphere_color[sid], 1.0)
+
+    # throughput *= color for sphere materials except REFR/LIGHT
+    # (kernel.cu:375-377); triangles shade white DIFF (kernel.cu:380-384)
+    mul_mask = is_sphere & (refl != REFR) & (refl != LIGHT)
+    direct = rays["direct"] * jnp.where(mul_mask[:, None], obj_color, 1.0)
+
+    outside = dot(normal, d) < 0
+    normal = jnp.where(outside[:, None], normal, -normal)  # kernel.cu:387
+    o = o + normal * eps                                   # kernel.cu:390
+
+    # --- LIGHT (kernel.cu:393-401) ---
+    emission = scene.sphere_emission[sid]
+    is_light = hit & (refl == LIGHT)
+    last_spec_in = rays["last_specular"]
+    color = jnp.where((is_light & last_spec_in)[:, None],
+                      direct * emission, 0.0)
+    direct = jnp.where((is_light & ~last_spec_in)[:, None], 0.0, direct)
+
+    slot = jnp.arange(n, dtype=jnp.int32)
+    seed = rng.seed_from(frame, rays["pixel"], slot, 0x5ADE)
+
+    # --- shared NEE samples ---
+    sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
+    seed, sun_sample = cone_sample(jnp.broadcast_to(sun_dir, (n, 3)),
+                                   sun_extent, seed)
+    sun_cos = dot(normal, sun_sample)
+    seed, pick = rng.random_float(seed)
+    choose_sun = pick < 0.5  # 50/50 sun vs area light (kernel.cu:414/550)
+
+    li = jnp.maximum(scene.light_index, 0)
+    light_c = scene.sphere_center[li]
+    light_r = scene.sphere_radius[li]
+    light_e = scene.sphere_emission[li]
+    has_light = scene.light_index >= 0
+    seed, lp = sphere_surface_sample(jnp.broadcast_to(light_c, (n, 3)),
+                                     light_r, seed)
+    lvec = lp - o
+    ldist2 = dot(lvec, lvec)
+    ldist = jnp.sqrt(jnp.maximum(ldist2, 1e-20))
+    ldir = lvec / ldist[:, None]
+    n_l = normalize(lp - light_c)
+    cos_surf = dot(normal, ldir)
+    cos_light = dot(n_l, -ldir)
+    area = 4.0 * PI * light_r * light_r
+    solid_angle = cos_light * area / jnp.maximum(ldist2, 1e-20)
+
+    sun_radiance = skymod.sun(sun_sample, sun_dir, sky_params)
+
+    # DIFF NEE weights (kernel.cu:410-447)
+    diff_sun_color = 2.0 * direct * sun_radiance * (sun_cos * 1e-5)[:, None]
+    diff_sun_ok = choose_sun & (sun_cos > 0)
+    diff_light_color = light_e[None] * 2.0 * direct \
+        * (solid_angle * INV_PI * cos_surf)[:, None]
+    diff_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) & has_light
+
+    # PHONG NEE weights (kernel.cu:546-591)
+    pe = PHONG_EXPONENT
+    w_refl = normalize(d - normal * (2.0 * dot(normal, d))[:, None])
+    phong_cos_sun = dot(sun_sample, w_refl)
+    phong_sun_color = 2.0 * direct * ((pe + 2.0) * 0.5 * INV_PI) \
+        * sun_radiance * (sun_cos * jnp.power(jnp.maximum(phong_cos_sun, 0.0), pe)
+                          * 1e-5)[:, None]
+    phong_sun_ok = choose_sun & (sun_cos > 0) & (phong_cos_sun > eps)
+    phong_cos_l = dot(ldir, w_refl)
+    phong_light_color = light_e[None] * 2.0 * direct \
+        * (solid_angle * (pe + 2.0) * 0.5 * INV_PI
+           * jnp.power(jnp.maximum(phong_cos_l, 0.0), pe) * cos_surf)[:, None]
+    phong_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) \
+        & (phong_cos_l > eps) & has_light
+
+    is_diff = hit & (refl == DIFF)
+    is_phong = hit & (refl == PHONG)
+
+    shadow_ok = (is_diff & (diff_sun_ok | diff_light_ok)) \
+        | (is_phong & (phong_sun_ok | phong_light_ok))
+    shadow_dir = jnp.where(choose_sun[:, None], sun_sample, ldir)
+    shadow_color = jnp.where(
+        is_diff[:, None],
+        jnp.where(choose_sun[:, None], diff_sun_color, diff_light_color),
+        jnp.where(choose_sun[:, None], phong_sun_color, phong_light_color))
+    # sun shadows use the ShadowQueue default max distance (variables.h:41)
+    shadow_maxd = jnp.where(choose_sun, VERY_FAR, ldist)
+
+    # --- bounce directions ---
+    # DIFF cosine hemisphere (kernel.cu:450-467); only resampled when
+    # bounces < MAX (the ray dies in RR otherwise)
+    seed, diff_dir = cosine_hemisphere_sample(normal, seed)
+    diff_new_dir = jnp.where((rays["bounces"] < cfg.max_bounces)[:, None],
+                             diff_dir, d)
+
+    spec_dir = reflect(d, normal)  # kernel.cu:473
+
+    # REFR (kernel.cu:476-514): Schlick fresnel + TIR, reversed-IoR
+    # convention kept verbatim from the reference
+    n1 = jnp.where(outside, 1.2, 1.0)
+    n2 = jnp.where(outside, 1.0, 1.2)
+    r0 = ((n1 - n2) / (n1 + n2)) ** 2
+    cos_i = -dot(normal, d)
+    nr = n2 / n1
+    sin_t2 = nr * nr * (1.0 - cos_i * cos_i)
+    tir = sin_t2 > 1.0
+    fresnel = jnp.where(tir, 1.0,
+                        r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cos_i, 0.0), 5.0))
+    seed, fr = rng.random_float(seed)
+    refr_reflects = fr < fresnel
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
+    refr_dir = nr[:, None] * d + (nr * cos_i - cos_t)[:, None] * normal
+    refr_new_dir = jnp.where(refr_reflects[:, None], spec_dir, refr_dir)
+    is_refr = hit & (refl == REFR)
+    # Beer-Lambert inside the medium (kernel.cu:511-513)
+    beer = jnp.exp(-obj_color * t_safe[:, None])
+    direct = direct * jnp.where((is_refr & ~outside)[:, None], beer, 1.0)
+
+    # PHONG lobe with rejection resampling (do/while kernel.cu:521-544);
+    # bounded to 8 masked retries, falling back to the ideal reflection
+    def phong_iter(_, carry):
+        s, cur, ok = carry
+        s, cand = phong_lobe_sample(w_refl, pe, s)
+        take = ~ok & (dot(cand, normal) > eps)
+        cur = jnp.where(take[:, None], cand, cur)
+        return s, cur, ok | take
+
+    seed, cand0 = phong_lobe_sample(w_refl, pe, seed)
+    ok0 = dot(cand0, normal) > eps
+    seed, phong_dir, phong_ok = jax.lax.fori_loop(
+        0, 8, phong_iter, (seed, cand0, ok0))
+    phong_dir = jnp.where(phong_ok[:, None], phong_dir, w_refl)
+
+    # --- combine by material ---
+    new_dir = jnp.where(is_diff[:, None], diff_new_dir, d)
+    new_dir = jnp.where((hit & (refl == SPEC))[:, None], spec_dir, new_dir)
+    new_dir = jnp.where(is_refr[:, None], refr_new_dir, new_dir)
+    new_dir = jnp.where(is_phong[:, None], phong_dir, new_dir)
+    # LIGHT keeps its direction (kernel.cu:405 falls through)
+
+    new_last_spec = (hit & (refl == SPEC)) | (is_refr & refr_reflects)
+
+    origin_out = o \
+        + jnp.where((is_refr & ~refr_reflects)[:, None],
+                    -2.0 * eps * normal, 0.0) \
+        + jnp.where(is_phong[:, None], eps * w_refl, 0.0)  # kernel.cu:505,592
+
+    # --- Russian roulette (kernel.cu:599-611) ---
+    p = jnp.minimum(1.0, jnp.max(direct, axis=-1))
+    seed, rr = rng.random_float(seed)
+    survive = hit & (rays["bounces"] < cfg.max_bounces) & (p > eps) & (rr <= p)
+    direct_out = jnp.where(survive[:, None],
+                           direct / jnp.maximum(p, 1e-20)[:, None], direct)
+
+    # --- miss: sky radiance (kernel.cu:613-617) ---
+    miss_col = jnp.where(last_spec_in[:, None],
+                         skymod.sunsky(d, sun_dir, sky_params),
+                         skymod.sky(d, sun_dir, sky_params))
+    color = color + jnp.where(hit[:, None], 0.0, rays["direct"] * miss_col)
+
+    terminated = (~hit) | (hit & ~survive)
+
+    next_rays = dict(origin=origin_out, direction=new_dir, direct=direct_out,
+                     pixel=rays["pixel"], bounces=rays["bounces"] + 1,
+                     last_specular=new_last_spec)
+    shadow = dict(origin=o, direction=shadow_dir, color=shadow_color,
+                  max_dist=shadow_maxd, valid=shadow_ok,
+                  pixel=rays["pixel"])
+    return color, terminated.astype(jnp.float32), survive, next_rays, shadow
+
+
+# --------------------------------------------------------------------------
+# connect — kernel.cu:630-646 / intersect_scene_simple kernel.cu:162-174
+# --------------------------------------------------------------------------
+
+def _connect(scene: SceneData, shadow):
+    o, sdir = shadow["origin"], shadow["direction"]
+    maxd = jnp.where(shadow["valid"], shadow["max_dist"], 0.0)
+    occluded = any_hit(o, sdir, maxd, scene.bvh, active=shadow["valid"])
+    # sphere any-hit: (t + eps) < closestAllowed (kernel.cu:168-172)
+    t_all = ray_sphere(o[:, None, :], sdir[:, None, :],
+                       scene.sphere_center[None], scene.sphere_radius[None])
+    sph_occ = jnp.any((t_all > 0.0) & ((t_all + EPSILON) < maxd[:, None]),
+                      axis=1)
+    occluded = occluded | sph_occ
+    contrib = jnp.where((shadow["valid"] & ~occluded)[:, None],
+                        shadow["color"], 0.0)
+    return contrib
+
+
+# --------------------------------------------------------------------------
+# the full step
+# --------------------------------------------------------------------------
+
+def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
+                sun_dir, *, cfg: RenderConfig,
+                sky_params: skymod.SkyParams | None = None,
+                local_height: int | None = None,
+                row_offset=0) -> RenderState:
+    """One wavefront iteration == one displayed frame of the reference
+    (one bounce for every ray in flight + top-off raygen).  Pure function;
+    jit with static cfg/local_height (see :class:`Renderer`)."""
+    sky_params = sky_params or skymod.SkyParams(cfg.sky)
+    local_height = cfg.height if local_height is None else local_height
+    n = cfg.num_rays
+
+    # 1. raygen top-off (kernel.cu:250-296): slots < n_carried keep the
+    # carried survivors, the rest are fresh primaries
+    gen = _raygen(cfg, camera, state.start_position, state.frame,
+                  local_height, row_offset)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    keep = slot < state.n_carried
+
+    def merge(car, new):
+        m = keep[:, None] if new.ndim == 2 else keep
+        return jnp.where(m, car, new)
+
+    rays = dict(
+        origin=merge(state.origin, gen["origin"]),
+        direction=merge(state.direction, gen["direction"]),
+        direct=merge(state.direct, gen["direct"]),
+        pixel=merge(state.pixel, gen["pixel"]),
+        bounces=merge(state.bounces, gen["bounces"]),
+        last_specular=merge(state.last_specular, gen["last_specular"]),
+    )
+    # the generation index only advanced by the top-off amount
+    # (set_wavefront_globals, kernel.cu:230-236)
+    generated = n - state.n_carried
+    total_local = cfg.width * local_height
+    start_next = (state.start_position + generated) % total_local
+
+    # 2. extend
+    t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"], scene)
+
+    # 3. shade
+    color, terminated, survive, next_rays, shadow = _shade(
+        cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, state.frame)
+
+    # 4. connect
+    shadow_contrib = _connect(scene, shadow)
+
+    # 5. accumulate (deterministic scatter-add replaces atomicAdd,
+    # kernel.cu:622-625 / 641-644)
+    updates = jnp.concatenate(
+        [color + shadow_contrib, terminated[:, None]], axis=1)
+    accum = state.accum.at[rays["pixel"]].add(updates)
+
+    # 6. compact survivors to the front (replaces the atomic write into
+    # ray_buffer_next + buffer swap, kernel.cu:607-608 / main.cpp:169)
+    order = jnp.argsort(~survive, stable=True)
+    n_carried = jnp.sum(survive).astype(jnp.int32)
+
+    return RenderState(
+        accum=accum,
+        origin=next_rays["origin"][order],
+        direction=next_rays["direction"][order],
+        direct=next_rays["direct"][order],
+        pixel=next_rays["pixel"][order],
+        bounces=next_rays["bounces"][order],
+        last_specular=next_rays["last_specular"][order],
+        n_carried=n_carried,
+        start_position=start_next.astype(jnp.int32),
+        frame=state.frame + 1,
+    )
+
+
+class Renderer:
+    """Host-side convenience wrapper: jit cache, accumulation-reset on
+    camera/sun movement (kernel.cu:688-718), framebuffer resolve."""
+
+    def __init__(self, scene, cfg: RenderConfig = RenderConfig(),
+                 sun_position=(0.05, 0.3), donate: bool = True):
+        from .scene.scene import Scene
+        self.cfg = cfg
+        self.scene_host = scene if isinstance(scene, Scene) else None
+        self.scene = scene.to_device() if isinstance(scene, Scene) else scene
+        self.sky_params = skymod.SkyParams(cfg.sky)
+        self.sun_position = tuple(sun_position)
+        self.sun_dir = skymod.sun_direction_from_position(
+            jnp.asarray(self.sun_position))
+        self._last_pose = None
+        step = partial(render_step, cfg=cfg, sky_params=self.sky_params)
+        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self.state = init_state(cfg)
+
+    def set_sun(self, sun_position):
+        if tuple(sun_position) != self.sun_position:
+            self.sun_position = tuple(sun_position)
+            self.sun_dir = skymod.sun_direction_from_position(
+                jnp.asarray(self.sun_position))
+            self.state = reset_accumulation(self.state)
+
+    def step(self, camera, n_steps: int = 1):
+        pose = camera.pose_key()
+        if self._last_pose is not None and pose != self._last_pose:
+            self.state = reset_accumulation(self.state)
+        self._last_pose = pose
+        cam = camera.to_device(self.cfg)
+        for _ in range(n_steps):
+            self.state = self._step(self.state, self.scene, cam, self.sun_dir)
+        return self.state
+
+    def image(self):
+        from .ops.tonemap import resolve
+        return resolve(self.state.accum, self.cfg.width, self.cfg.height)
