@@ -1,0 +1,73 @@
+"""Benchmark entry point for the driver.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/BASELINE}
+
+Config matches the reference's PERFORMANCE_TEST (performance_measure.cpp,
+BASELINE.md): 1920x1080, 2,097,152-entry wavefront, MAX_BOUNCES=5, three
+fixed camera poses.  The scene is a deterministic procedural terrain (the
+reference's castle.ply is a missing blob) sized by the available builder:
+1M triangles with the native C++ builder, 64k with the numpy fallback.
+
+Baseline: the reference's derived total-ray throughput ~100 Mrays/s
+(80-120 incl. NEE shadow rays, BASELINE.md) on its unspecified GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_MRAYS = 100.0
+
+
+def main():
+    import numpy as np
+
+    from tyrant_tpu.bench import results_to_dict, run_benchmark
+    from tyrant_tpu.config import RenderConfig
+    from tyrant_tpu.scene.procgen import benchmark_scene
+    from tyrant_tpu.scene.scene import Scene
+
+    try:
+        from tyrant_tpu.native import bvh_native  # noqa: F401
+        n_tris = 1_000_000
+        builder = "native"
+    except Exception:
+        n_tris = 65_536
+        builder = "numpy"
+
+    t0 = time.time()
+    v0, v1, v2 = benchmark_scene(n_tris)
+    scene = Scene.from_triangles(v0, v1, v2, builder=builder)
+    print(f"# scene: {scene.stats} ({time.time() - t0:.1f}s build)",
+          file=sys.stderr)
+
+    cfg = RenderConfig(width=1920, height=1080, num_rays=2 * 1_048_576,
+                       max_bounces=5)
+    results = run_benchmark(scene, cfg, seconds_per_pose=4.0)
+    d = results_to_dict(results)
+    for r in d["poses"]:
+        print(f"# pose {r['pose']}: {r['avg_ms']:.2f} ms "
+              f"({r['fps']:.1f} FPS) {r['total_mrays_per_s']:.1f} Mrays/s",
+              file=sys.stderr)
+
+    value = d["total_mrays_per_s"]
+    print(json.dumps({
+        "metric": "total_ray_throughput_1080p_terrain",
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / BASELINE_MRAYS, 3),
+        "detail": {
+            "avg_frame_ms": round(d["avg_frame_ms"], 2),
+            "avg_fps": round(d["avg_fps"], 2),
+            "segments_per_s": round(d["segments_per_s"] / 1e6, 2),
+            "triangles": scene.stats.get("triangles", 0),
+            "wavefront": cfg.num_rays,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

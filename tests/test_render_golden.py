@@ -1,0 +1,97 @@
+"""Golden tests: tyrant_tpu.render vs the independent numpy oracle.
+
+Monte-Carlo-tolerance image comparison on tiny progressive renders
+(SURVEY.md §4 item 3).  Different RNG streams, same distributions.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tyrant_tpu.camera import Camera
+from tyrant_tpu.config import small_config
+from tyrant_tpu.ops.tonemap import resolve
+from tyrant_tpu.render import Renderer
+from tyrant_tpu.scene.scene import Scene, Spheres
+from tyrant_tpu import sky as skymod
+
+from . import oracle
+
+W = H = 24
+SUN_POS = (0.05, 0.3)
+
+
+def default_oracle_scene(tris=None):
+    s = Spheres.default_seven()
+    rows = [(s.radius[i], s.center[i], s.color[i], s.emission[i], s.refl[i])
+            for i in range(s.count)]
+    return oracle.OracleScene(rows, tris=tris, light_index=6)
+
+
+def cluster_camera():
+    cam = Camera()
+    cam.position = np.array([0.0, -170.0, 40.0], np.float32)
+    cam.vertical_angle = -0.10
+    return cam
+
+
+def run_tpu(scene: Scene, cam: Camera, steps: int, num_rays=1 << 14):
+    cfg = small_config(width=W, height=H, num_rays=num_rays)
+    r = Renderer(scene, cfg, sun_position=SUN_POS, donate=False)
+    r.step(cam, steps)
+    return np.asarray(r.state.accum), cfg
+
+
+def run_oracle(oscene, cam: Camera, ppp: int, cfg, seed=1):
+    right, up = cam.basis(cfg)
+    sun_dir = np.asarray(skymod.sun_direction_from_position(jnp.asarray(SUN_POS)))
+    return oracle.render_oracle(
+        oscene, cam.position.astype(float), cam.direction.astype(float),
+        right.astype(float), up.astype(float), W, H, ppp,
+        sun_dir.astype(float), seed=seed)
+
+
+def compare(acc_a, acc_b, tol_mean=0.04, tol_px=0.12):
+    img_a = np.asarray(resolve(jnp.asarray(acc_a, jnp.float32), W, H))
+    img_b = np.asarray(resolve(jnp.asarray(acc_b, jnp.float32), W, H))
+    assert np.isfinite(img_a).all() and np.isfinite(img_b).all()
+    diff = np.abs(img_a - img_b)
+    assert diff.mean() < tol_mean, f"mean abs diff {diff.mean():.4f}"
+    # tonemapped values are in [0,1]; allow a few noisy outlier pixels
+    frac_bad = (diff > tol_px).mean()
+    assert frac_bad < 0.02, f"{frac_bad:.3%} pixels differ by > {tol_px}"
+    return img_a, img_b
+
+
+@pytest.mark.slow
+def test_spheres_scene_matches_oracle():
+    cam = cluster_camera()
+    acc_tpu, cfg = run_tpu(Scene.load(None), cam, steps=60)
+    # ~60 steps * 16384 rays / 576 px ≈ 1700 paths/px
+    acc_or = run_oracle(default_oracle_scene(), cam, 1500, cfg)
+    compare(acc_tpu, acc_or)
+
+
+@pytest.mark.slow
+def test_triangle_scene_matches_oracle():
+    # a quad floating above the ground, camera from the cluster view;
+    # exercises BVH traversal + triangle shading inside the full pipeline
+    v0 = np.array([[-30, -90, 60], [30, -70, 60]], np.float32)
+    v1 = np.array([[30, -90, 60], [-30, -90, 60]], np.float32)
+    v2 = np.array([[30, -70, 60], [-30, -70, 60]], np.float32)
+    cam = cluster_camera()
+    cam.vertical_angle = 0.15  # look up toward the quad
+    sc = Scene.from_triangles(v0, v1, v2, builder="numpy")
+    acc_tpu, cfg = run_tpu(sc, cam, steps=60)
+    tris = (sc.tri_vert, sc.tri_e1, sc.tri_e2)
+    acc_or = run_oracle(default_oracle_scene(tris=tris), cam, 1500, cfg)
+    compare(acc_tpu, acc_or)
+
+
+def test_render_finite_and_progressive():
+    cam = cluster_camera()
+    acc, cfg = run_tpu(Scene.load(None), cam, steps=8, num_rays=1 << 12)
+    assert np.isfinite(acc).all()
+    assert (acc[:, 3] > 0).all()  # every pixel completed some paths
+    img = np.asarray(resolve(jnp.asarray(acc), W, H))
+    assert img.max() > 0.1 and img.min() >= 0.0

@@ -1,0 +1,119 @@
+"""Fixed-pose benchmark harness.
+
+Port of the reference's PERFORMANCE_TEST mode (performance_measure.cpp:7-45,
+main.cpp:153-158): pin the camera to three poses, time frames for a fixed
+budget per pose, report avg/min/max frame time and FPS — plus the throughput
+numbers the reference never reported (SURVEY.md §6): path segments/s and
+total rays/s including NEE shadow rays.
+
+The reference's seconds-vs-ms logging bug (performance_measure.cpp:30-31)
+is not carried over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import Camera
+from ..config import RenderConfig
+from ..render import Renderer, render_step
+
+# Reference poses: performance_measure.h:4-5
+TEST_POSITIONS = [(-0.119, -26.116, 32.537),
+                  (-52.741, -44.67, 109.04),
+                  (74.65, 2.77, 17.336)]
+TEST_ANGLES = [(12.576, -0.518204),
+               (-6470.568, -0.818204),
+               (-10218.468, 0.081796)]
+
+
+@dataclasses.dataclass
+class PoseResult:
+    pose: int
+    frames: int
+    avg_ms: float
+    min_ms: float
+    max_ms: float
+    fps: float
+    segments_per_s: float
+    shadow_rays_per_s: float
+    total_mrays_per_s: float
+
+
+def _camera_for_pose(i: int) -> Camera:
+    cam = Camera()
+    cam.position = np.asarray(TEST_POSITIONS[i], np.float32)
+    cam.horizontal_angle, cam.vertical_angle = TEST_ANGLES[i]
+    return cam
+
+
+def measure_shadow_fraction(renderer: Renderer, camera: Camera,
+                            probe_steps: int = 4) -> float:
+    """Estimate valid-shadow-rays per path segment (the reference's
+    shadow_ray_cnt / queue size) by probing terminated+shadow stats."""
+    from .. import sky as skymod
+    from ..render import _intersect_scene, _raygen, _shade
+
+    cfg = renderer.cfg
+    cam = camera.to_device(cfg)
+    state = renderer.state
+
+    @jax.jit
+    def probe(state):
+        gen = _raygen(cfg, cam, state.start_position, state.frame,
+                      cfg.height, 0)
+        t, ident, is_tri = _intersect_scene(gen["origin"], gen["direction"],
+                                            renderer.scene)
+        _, _, _, _, shadow = _shade(cfg, renderer.scene, renderer.sky_params,
+                                    renderer.sun_dir, gen, t, ident, is_tri,
+                                    state.frame)
+        return jnp.mean(shadow["valid"].astype(jnp.float32))
+
+    return float(probe(state))
+
+
+def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
+                  warmup_steps: int = 3, sun_position=(0.05, 0.3),
+                  poses=None) -> list[PoseResult]:
+    renderer = Renderer(scene, cfg, sun_position=sun_position)
+    results = []
+    poses = poses if poses is not None else range(len(TEST_POSITIONS))
+    for pi in poses:
+        cam = _camera_for_pose(pi)
+        shadow_frac = measure_shadow_fraction(renderer, cam)
+        renderer.step(cam, warmup_steps)
+        renderer.state.accum.block_until_ready()
+
+        times = []
+        t_end = time.perf_counter() + seconds_per_pose
+        while time.perf_counter() < t_end:
+            t0 = time.perf_counter()
+            renderer.step(cam, 1)
+            renderer.state.accum.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        times_ms = np.asarray(times) * 1e3
+        avg = float(times_ms.mean())
+        segs = cfg.num_rays / (avg * 1e-3)
+        shadow = segs * shadow_frac
+        results.append(PoseResult(
+            pose=pi, frames=len(times), avg_ms=avg,
+            min_ms=float(times_ms.min()), max_ms=float(times_ms.max()),
+            fps=1e3 / avg,
+            segments_per_s=segs, shadow_rays_per_s=shadow,
+            total_mrays_per_s=(segs + shadow) / 1e6))
+    return results
+
+
+def results_to_dict(results: list[PoseResult]) -> dict:
+    return {
+        "poses": [dataclasses.asdict(r) for r in results],
+        "avg_frame_ms": float(np.mean([r.avg_ms for r in results])),
+        "avg_fps": float(np.mean([r.fps for r in results])),
+        "total_mrays_per_s": float(np.mean([r.total_mrays_per_s for r in results])),
+        "segments_per_s": float(np.mean([r.segments_per_s for r in results])),
+    }

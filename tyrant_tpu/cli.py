@@ -1,0 +1,168 @@
+"""Headless CLI: render to PNG, benchmark, BVH debug heatmap.
+
+The reference has no headless mode — its only run mode is the interactive
+GLFW window (main.cpp) with compile-time switches PERFORMANCE_TEST
+(main.cpp:7) and BVH_DEBUG (kernel.cu:12).  Here those become subcommands.
+
+Usage:
+  python -m tyrant_tpu.cli render  --scene dragon.ply --steps 200 --out x.png
+  python -m tyrant_tpu.cli bench   --scene dragon.ply --json
+  python -m tyrant_tpu.cli bvh-debug --scene dragon.ply --out heat.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--scene", default=None,
+                   help="mesh path (.ply); omit for spheres-only")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--rays", type=int, default=2 * 1_048_576,
+                   help="wavefront size (reference: variables.h:44)")
+    p.add_argument("--bounces", type=int, default=5)
+    p.add_argument("--no-spheres", action="store_true",
+                   help="drop the 7 default spheres")
+    p.add_argument("--sun", type=float, nargs=2, default=(0.05, 0.3))
+    p.add_argument("--camera", type=float, nargs=5, metavar=("X", "Y", "Z", "H", "V"),
+                   default=None, help="position + horizontal/vertical angles")
+    p.add_argument("--scale", type=float, default=1.0, help="mesh unit scale")
+    p.add_argument("--builder", default="auto",
+                   choices=["auto", "numpy", "native"])
+
+
+def _build(args):
+    from .camera import Camera
+    from .config import RenderConfig
+    from .scene.scene import Scene, Spheres
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       num_rays=args.rays, max_bounces=args.bounces)
+    spheres = None
+    if args.no_spheres:
+        s = Spheres.default_seven()
+        import dataclasses as dc
+        # keep only the light so NEE still has a target
+        keep = s.refl == 4
+        spheres = Spheres(center=s.center[keep], radius=s.radius[keep],
+                          color=s.color[keep], emission=s.emission[keep],
+                          refl=s.refl[keep])
+    scene = Scene.load(args.scene, spheres=spheres, scale=args.scale,
+                       builder=args.builder)
+    print(f"scene: {scene.stats}", file=sys.stderr)
+    cam = Camera()
+    if args.camera:
+        cam.position = np.asarray(args.camera[:3], np.float32)
+        cam.horizontal_angle, cam.vertical_angle = args.camera[3:]
+    return cfg, scene, cam
+
+
+def cmd_render(args):
+    from .ops.tonemap import to_uint8
+    from .render import Renderer
+
+    cfg, scene, cam = _build(args)
+    r = Renderer(scene, cfg, sun_position=tuple(args.sun))
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        chunk = min(args.steps - done, 25)
+        r.step(cam, chunk)
+        done += chunk
+        r.state.accum.block_until_ready()
+        el = time.time() - t0
+        print(f"  step {done}/{args.steps}  {el:.1f}s "
+              f"({done * cfg.num_rays / el / 1e6:.1f} Mseg/s)", file=sys.stderr)
+    img = np.asarray(to_uint8(r.image()))
+    _write_png(args.out, img)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+def cmd_bench(args):
+    from .bench import results_to_dict, run_benchmark
+    from .config import RenderConfig
+
+    cfg, scene, _ = _build(args)
+    results = run_benchmark(scene, cfg, seconds_per_pose=args.seconds)
+    d = results_to_dict(results)
+    if args.json:
+        print(json.dumps(d))
+    else:
+        for r in d["poses"]:
+            print(f"pose {r['pose']}: {r['avg_ms']:.2f} ms avg "
+                  f"({r['fps']:.1f} FPS), {r['total_mrays_per_s']:.1f} Mrays/s")
+        print(f"overall: {d['avg_frame_ms']:.2f} ms, "
+              f"{d['total_mrays_per_s']:.1f} Mrays/s")
+
+
+def cmd_bvh_debug(args):
+    import jax.numpy as jnp
+
+    from .ops.traverse import traversal_depth_map
+    from .render import _raygen
+    from .camera import Camera
+
+    cfg, scene, cam = _build(args)
+    dev = scene.to_device()
+    camp = cam.to_device(cfg)
+    gen = _raygen(cfg, camp, jnp.asarray(0), jnp.asarray(1, jnp.uint32),
+                  cfg.height, 0)
+    n_pix = cfg.width * cfg.height
+    t, hid, visits = traversal_depth_map(gen["origin"][:n_pix],
+                                         gen["direction"][:n_pix], dev.bvh)
+    v = np.zeros(n_pix, np.int32)
+    v[np.asarray(gen["pixel"][:n_pix])] = np.asarray(visits)
+    # reference colouring: kernel.cu:317-326
+    img = np.zeros((n_pix, 3), np.uint8)
+    g = np.clip(0.0002 * v * 255.99, 0, 255).astype(np.uint8)
+    img[:, 1] = g
+    costly = v >= 70
+    img[costly, 0] = g[costly]
+    img[costly, 1] = 0
+    _write_png(args.out, img.reshape(cfg.height, cfg.width, 3))
+    print(f"visits: mean {v.mean():.1f} max {v.max()}; wrote {args.out}",
+          file=sys.stderr)
+
+
+def _write_png(path, img):
+    try:
+        from PIL import Image
+        Image.fromarray(img).save(path)
+    except ImportError:
+        np.save(path + ".npy", img)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tyrant_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="progressive render to PNG")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--out", default="out.png")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="3-pose benchmark (PERFORMANCE_TEST)")
+    _add_common(p)
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("bvh-debug", help="traversal-cost heatmap (BVH_DEBUG)")
+    _add_common(p)
+    p.add_argument("--out", default="bvh_debug.png")
+    p.set_defaults(fn=cmd_bvh_debug)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Multi-chip data-parallel rendering via shard_map over a device mesh.
+
+The reference is single-GPU (main.cpp:89-101 detects a second device but
+only prints).  The TPU-native scale-out story (SURVEY.md §2.3/§5): shard the
+*image* into per-device row strips; each device runs the full wavefront on
+its own strip with its own carried rays, start position and accumulation
+buffer — the scene (triangles + BVH, read-only after load) is replicated.
+There are NO collectives in the hot loop; the only cross-device operation is
+the framebuffer gather at display time (an all-gather over ICI, or simply a
+host fetch of the sharded array).
+
+State layout: every per-ray / per-pixel leaf gets a leading global axis
+sharded over the ``"shards"`` mesh axis; per-shard scalars (frame counter,
+carried-ray count, scan position) become length-``n_devices`` vectors
+sharded the same way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import sky as skymod
+from ..camera import CameraParams
+from ..config import RenderConfig
+from ..render import RenderState, render_step
+from ..scene.scene import SceneData
+
+AXIS = "shards"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
+    """Global-view state: [D * local] leading axes, sharded over the mesh."""
+    n_dev = mesh.devices.size
+    assert cfg.height % n_dev == 0, \
+        f"height {cfg.height} must divide across {n_dev} devices"
+    local_h = cfg.height // n_dev
+    p_local = cfg.width * local_h
+    n = cfg.num_rays  # per-device ray budget
+
+    def sharded(x):
+        return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
+
+    return RenderState(
+        accum=sharded(jnp.zeros((n_dev * p_local, 4), jnp.float32)),
+        origin=sharded(jnp.zeros((n_dev * n, 3), jnp.float32)),
+        direction=sharded(jnp.tile(jnp.asarray([[1.0, 0, 0]], jnp.float32),
+                                   (n_dev * n, 1))),
+        direct=sharded(jnp.zeros((n_dev * n, 3), jnp.float32)),
+        pixel=sharded(jnp.zeros((n_dev * n,), jnp.int32)),
+        bounces=sharded(jnp.zeros((n_dev * n,), jnp.int32)),
+        last_specular=sharded(jnp.zeros((n_dev * n,), bool)),
+        n_carried=sharded(jnp.zeros((n_dev,), jnp.int32)),
+        start_position=sharded(jnp.zeros((n_dev,), jnp.int32)),
+        frame=sharded(jnp.ones((n_dev,), jnp.uint32)),
+    )
+
+
+def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
+                      sky_params: skymod.SkyParams | None = None):
+    """Returns jitted step(state, scene, camera, sun_dir) -> state operating
+    on the sharded global state."""
+    n_dev = mesh.devices.size
+    local_h = cfg.height // n_dev
+    sky_params = sky_params or skymod.SkyParams(cfg.sky)
+
+    def local_step(state: RenderState, scene: SceneData, camera: CameraParams,
+                   sun_dir):
+        # leaves arrive with local shapes; scalars are length-1 slices
+        st = RenderState(
+            accum=state.accum, origin=state.origin, direction=state.direction,
+            direct=state.direct, pixel=state.pixel, bounces=state.bounces,
+            last_specular=state.last_specular,
+            n_carried=state.n_carried[0],
+            start_position=state.start_position[0],
+            frame=state.frame[0])
+        row_offset = jax.lax.axis_index(AXIS).astype(jnp.int32) * local_h
+        out = render_step(st, scene, camera, sun_dir, cfg=cfg,
+                          sky_params=sky_params, local_height=local_h,
+                          row_offset=row_offset)
+        return RenderState(
+            accum=out.accum, origin=out.origin, direction=out.direction,
+            direct=out.direct, pixel=out.pixel, bounces=out.bounces,
+            last_specular=out.last_specular,
+            n_carried=out.n_carried[None],
+            start_position=out.start_position[None],
+            frame=out.frame[None])
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map  # type: ignore
+
+    # spec prefixes: every state leaf sharded on its leading axis; scene,
+    # camera and sun direction fully replicated.  check_vma off: while_loop
+    # carries seeded with literals inside the body are device-invariant,
+    # tripping the varying-manual-axes check spuriously.
+    try:
+        sharded = shard_map(local_step, mesh=mesh,
+                            in_specs=(P(AXIS), P(), P(), P()),
+                            out_specs=P(AXIS), check_vma=False)
+    except TypeError:  # older jax: check_rep
+        sharded = shard_map(local_step, mesh=mesh,
+                            in_specs=(P(AXIS), P(), P(), P()),
+                            out_specs=P(AXIS), check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def assemble_image(state: RenderState, cfg: RenderConfig):
+    """Framebuffer gather — the one cross-device operation (SURVEY.md §2.3).
+    The accum array is already the full image in row-strip order."""
+    from ..ops.tonemap import resolve
+    return resolve(state.accum, cfg.width, cfg.height)
+
+
+class ShardedRenderer:
+    """Host wrapper mirroring render.Renderer for a device mesh."""
+
+    def __init__(self, scene, cfg: RenderConfig, mesh: Mesh | None = None,
+                 sun_position=(0.05, 0.3)):
+        from ..scene.scene import Scene
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh()
+        self.scene = scene.to_device() if isinstance(scene, Scene) else scene
+        self.sun_dir = skymod.sun_direction_from_position(
+            jnp.asarray(sun_position, jnp.float32))
+        self._step = make_sharded_step(cfg, self.mesh)
+        self.state = init_sharded_state(cfg, self.mesh)
+        self._last_pose = None
+
+    def step(self, camera, n_steps: int = 1):
+        pose = camera.pose_key()
+        if self._last_pose is not None and pose != self._last_pose:
+            self.state = init_sharded_state(self.cfg, self.mesh)
+        self._last_pose = pose
+        cam = camera.to_device(self.cfg)
+        for _ in range(n_steps):
+            self.state = self._step(self.state, self.scene, cam, self.sun_dir)
+        return self.state
+
+    def image(self):
+        return assemble_image(self.state, self.cfg)
