@@ -105,7 +105,11 @@ def test_dragon_mesh_traversal():
     n = 512
     r = np.random.default_rng(7)
     o = np.tile(center + np.array([0, -60, 20], np.float32), (n, 1))
-    target = verts[r.integers(0, verts.shape[0], n)]
+    # aim at triangle centroids: interior points are numerically robust,
+    # unlike vertices where the barycentric test sits on a knife edge and
+    # fma-fusion differences flip hit/miss between code paths
+    fsel = faces[r.integers(0, faces.shape[0], n)]
+    target = verts[fsel].mean(axis=1)
     d = target - o
     d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
 

@@ -71,6 +71,9 @@ class RenderConfig:
     # Dense-batch dtype for ray payloads.  f32 keeps exact parity with the
     # reference; bf16 is an opt-in speed knob for variance-tolerant buffers.
     dtype: str = "float32"
+    # traversal cascade floor (see ops/traverse.py): compaction stops once
+    # the active working set is this small
+    traversal_min_stage: int = 8192
 
     @property
     def num_pixels(self) -> int:

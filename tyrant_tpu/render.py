@@ -179,10 +179,9 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     sph_r = scene.sphere_radius[sid]
     normal_sphere = (o - sph_c) / sph_r[:, None]
 
-    tid = jnp.clip(ident, 0, scene.bvh.tri_e1.shape[0] - 1)
-    tri_e1 = scene.bvh.tri_e1[tid]
-    tri_e2 = scene.bvh.tri_e2[tid]
-    normal_tri = normalize(jnp.cross(tri_e1, tri_e2))
+    tid = jnp.clip(ident, 0, scene.bvh.tri_packed.shape[0] - 1)
+    tri_row = scene.bvh.tri_packed[tid]
+    normal_tri = normalize(jnp.cross(tri_row[:, 3:6], tri_row[:, 6:9]))
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     refl = jnp.where(is_sphere, scene.sphere_refl[sid], DIFF)
@@ -415,7 +414,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     start_next = (state.start_position + generated) % total_local
 
     # 2. extend
-    t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"], scene)
+    t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
+                                        scene)
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(

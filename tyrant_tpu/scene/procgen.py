@@ -48,11 +48,11 @@ def terrain(n_quads: int = 256, extent: float = 200.0, height: float = 35.0,
     b = v[1:, :-1].reshape(-1, 3)
     c = v[:-1, 1:].reshape(-1, 3)
     d = v[1:, 1:].reshape(-1, 3)
-    # two tris per quad, normals +z-ish: (a, c, b) and (b, c, d) give
-    # e1 x e2 pointing up for our vertex layout
+    # two tris per quad: (a, b, c) and (b, d, c) make e1 x e2 point +z, so
+    # downward rays see front faces under backface culling
     v0 = np.concatenate([a, b])
-    v1 = np.concatenate([c, c])
-    v2 = np.concatenate([b, d])
+    v1 = np.concatenate([b, d])
+    v2 = np.concatenate([c, c])
 
     tris = [np.stack([v0, v1, v2], axis=1)]
     for _ in range(towers):

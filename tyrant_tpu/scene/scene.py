@@ -159,20 +159,19 @@ class Scene:
     def to_device(self) -> SceneData:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
         if self.bvh is None:
-            # spheres-only: single degenerate node so traversal is a no-op
-            from .bvh import pack_meta, thread_links
+            # spheres-only: single degenerate leaf so traversal is a no-op
+            from .bvh import pack_meta
             meta = pack_meta(np.zeros(1, np.int64), np.ones(1, np.int64),
                              np.zeros(1, np.int64))
-            hit_link, miss_link = thread_links(meta, np.full(1, -1, np.int32))
-            inf = np.float32(1e10)
+            node = np.zeros((1, 8), np.float32)
+            node[:, 0:3] = 1e10   # inverted bounds -> slab test always fails
+            node[:, 3:6] = -1e10
+            node[:, 6] = meta.view(np.float32)
+            node[:, 7] = np.full(1, -1, np.int32).view(np.float32)
             bvh_dev = BVHDevice(
-                lo=jnp.full((1, 3), inf), hi=jnp.full((1, 3), -inf),
-                meta=jnp.asarray(meta),
-                hit_link=jnp.asarray(hit_link),
-                miss_link=jnp.asarray(miss_link),
-                tri_vert=jnp.zeros((4, 3), jnp.float32),
-                tri_e1=jnp.zeros((4, 3), jnp.float32),
-                tri_e2=jnp.zeros((4, 3), jnp.float32))
+                node_packed=jnp.asarray(node),
+                miss_flat=jnp.full((8,), -1, jnp.int32),
+                tri_packed=jnp.zeros((4, 12), jnp.float32))
         else:
             bvh_dev = BVHDevice.from_host(self.bvh, self.tri_vert,
                                           self.tri_e1, self.tri_e2)

@@ -1,0 +1,223 @@
+"""Interactive host viewers streaming TPU framebuffers.
+
+The reference's presentation path is CUDA-GL interop into a GLFW window with
+an ImGui overlay (interop.cpp, main.cpp:139-205).  A TPU has no display
+interop — the framebuffer must cross to the host — so the equivalents are:
+
+  * :class:`HttpViewer` — a dependency-free localhost web viewer: streams
+    PNG frames to a canvas and feeds WASD/mouse/slider input back into the
+    fly camera + DoF/sun parameters (the ImGui overlay analog, including the
+    frame-time readout and the reference's sun keys main.cpp:143-151 and DoF
+    sliders main.cpp:192-195).
+  * :class:`TerminalViewer` — ANSI half-block preview for ssh sessions.
+
+Run: ``python -m tyrant_tpu.viewer --scene dragon.ply`` then open the URL.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+
+import numpy as np
+
+
+def _to_png_bytes(img_u8: np.ndarray) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+_PAGE = """<!doctype html><html><head><title>tyrant_tpu</title><style>
+body{margin:0;background:#111;color:#ccc;font:13px monospace;display:flex}
+#v{flex:1;display:flex;align-items:center;justify-content:center}
+img{max-width:100%%;image-rendering:pixelated}
+#hud{width:230px;padding:10px;background:#1a1a1a}
+label{display:block;margin-top:8px}
+input[type=range]{width:100%%}
+</style></head><body>
+<div id=v><img id=f></div>
+<div id=hud>
+ <div id=stats>-</div>
+ <label>focal distance <input type=range id=fd min=0.1 max=60 step=0.1 value=1></label>
+ <label>lens radius <input type=range id=lr min=0 max=1 step=0.01 value=0></label>
+ <label>sun azimuth <input type=range id=sx min=0 max=1 step=0.005 value=0.05></label>
+ <label>sun height <input type=range id=sy min=0 max=1 step=0.005 value=0.3></label>
+ <p>WASD move &middot; drag to look<br>shift = sprint &middot; space/ctrl = up/down</p>
+</div>
+<script>
+const img=document.getElementById('f');const keys={};let drag=null;
+onkeydown=e=>keys[e.key.toLowerCase()]=1;onkeyup=e=>keys[e.key.toLowerCase()]=0;
+img.onmousedown=e=>{drag=[e.clientX,e.clientY]};
+onmouseup=()=>drag=null;
+onmousemove=e=>{if(drag){post({look:[e.clientX-drag[0],e.clientY-drag[1]]});drag=[e.clientX,e.clientY]}};
+function post(o){fetch('/input',{method:'POST',body:JSON.stringify(o)})}
+setInterval(()=>{
+ const f=(keys['w']?1:0)-(keys['s']?1:0), s=(keys['d']?1:0)-(keys['a']?1:0),
+       v=(keys[' ']?1:0)-(keys['control']?1:0);
+ if(f||s||v)post({move:[f,s,v],sprint:keys['shift']?1:0});
+},50);
+for(const id of['fd','lr','sx','sy'])
+ document.getElementById(id).oninput=e=>post({[id]:parseFloat(e.target.value)});
+async function loop(){
+ img.src='/frame.png?'+Date.now();
+ const r=await fetch('/stats');document.getElementById('stats').innerText=await r.text();
+ setTimeout(loop,100)}
+loop();
+</script></body></html>"""
+
+
+class HttpViewer:
+    def __init__(self, renderer, camera, port: int = 8760,
+                 steps_per_frame: int = 1):
+        self.renderer = renderer
+        self.camera = camera
+        self.port = port
+        self.steps_per_frame = steps_per_frame
+        self._png = b""
+        self._stats = "starting"
+        self._lock = threading.Lock()
+        self._running = False
+
+    def _render_loop(self):
+        from .ops.tonemap import to_uint8
+        frame_ms = 0.0
+        while self._running:
+            t0 = time.perf_counter()
+            self.renderer.step(self.camera, self.steps_per_frame)
+            img = np.asarray(to_uint8(self.renderer.image()))
+            frame_ms = 0.9 * frame_ms + 0.1 * (time.perf_counter() - t0) * 1e3
+            acc = self.renderer.state.accum
+            paths = float(np.asarray(acc[:, 3]).mean())
+            with self._lock:
+                self._png = _to_png_bytes(img)
+                self._stats = (f"{frame_ms:.1f} ms/frame  "
+                               f"{1e3 / max(frame_ms, 1e-6):.1f} fps\\n"
+                               f"{paths:.0f} paths/pixel\\n"
+                               f"pos {np.round(self.camera.position, 1)}")
+
+    def serve(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, ctype, body):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    with viewer._lock:
+                        png = viewer._png
+                    self._send(200, "image/png", png or b"")
+                elif self.path.startswith("/stats"):
+                    with viewer._lock:
+                        s = viewer._stats
+                    self._send(200, "text/plain", s.encode())
+                else:
+                    self._send(200, "text/html", (_PAGE % ()).encode())
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    msg = json.loads(self.rfile.read(n))
+                except Exception:
+                    msg = {}
+                cam = viewer.camera
+                if "move" in msg:
+                    f, s, v = msg["move"]
+                    cam.move(forward=f, strafe=s, vertical=v, delta=0.05,
+                             sprint=bool(msg.get("sprint")))
+                if "look" in msg:
+                    dx, dy = msg["look"]
+                    cam.look(dx, dy)
+                if "fd" in msg:
+                    cam.focal_distance = float(msg["fd"])
+                if "lr" in msg:
+                    cam.lens_radius = float(msg["lr"])
+                if "sx" in msg or "sy" in msg:
+                    sx, sy = viewer.renderer.sun_position
+                    sx = float(msg.get("sx", sx))
+                    sy = float(msg.get("sy", sy))
+                    viewer.renderer.set_sun((sx, sy))
+                self._send(200, "text/plain", b"ok")
+
+        self._running = True
+        t = threading.Thread(target=self._render_loop, daemon=True)
+        t.start()
+        srv = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        print(f"viewer: http://127.0.0.1:{self.port}/")
+        try:
+            srv.serve_forever()
+        finally:
+            self._running = False
+
+
+class TerminalViewer:
+    """ANSI half-block progressive preview (no interaction)."""
+
+    def __init__(self, renderer, camera, cols: int = 100):
+        self.renderer = renderer
+        self.camera = camera
+        self.cols = cols
+
+    def show(self, steps: int = 50, refresh_every: int = 10):
+        from .ops.tonemap import to_uint8
+        done = 0
+        while done < steps:
+            self.renderer.step(self.camera, refresh_every)
+            done += refresh_every
+            img = np.asarray(to_uint8(self.renderer.image()))
+            print(f"\x1b[H\x1b[2J{self._ansi(img)}\nsteps {done}/{steps}")
+
+    def _ansi(self, img: np.ndarray) -> str:
+        h, w, _ = img.shape
+        cols = min(self.cols, w)
+        rows = max(2, int(cols * h / w / 2) * 2)
+        ys = (np.linspace(0, h - 1, rows)).astype(int)
+        xs = (np.linspace(0, w - 1, cols)).astype(int)
+        small = img[ys][:, xs]
+        lines = []
+        for r in range(0, rows - 1, 2):
+            line = []
+            for c in range(cols):
+                tr, tg, tb = small[r, c]
+                br, bg, bb = small[r + 1, c]
+                line.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                            f"\x1b[48;2;{br};{bg};{bb}m▀")
+            lines.append("".join(line) + "\x1b[0m")
+        return "\n".join(lines)
+
+
+def main(argv=None):
+    import argparse
+
+    from .cli import _add_common, _build
+    from .render import Renderer
+
+    ap = argparse.ArgumentParser(prog="tyrant_tpu.viewer")
+    _add_common(ap)
+    ap.add_argument("--port", type=int, default=8760)
+    ap.add_argument("--terminal", action="store_true")
+    args = ap.parse_args(argv)
+    # viewer defaults: smaller interactive resolution unless overridden
+    cfg, scene, cam = _build(args)
+    r = Renderer(scene, cfg, sun_position=tuple(args.sun))
+    if args.terminal:
+        TerminalViewer(r, cam).show()
+    else:
+        HttpViewer(r, cam, port=args.port).serve()
+
+
+if __name__ == "__main__":
+    main()
