@@ -1,0 +1,83 @@
+"""Pallas packet-traversal kernel vs the XLA cascade oracle (interpret mode
+on CPU; compiled-mode equivalence is exercised on real TPU by bench/driver)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tyrant_tpu.config import VERY_FAR
+from tyrant_tpu.ops.pallas.traverse_kernel import (PacketTables,
+                                                   any_hit_packets,
+                                                   closest_hit_packets,
+                                                   tables_fit_vmem)
+from tyrant_tpu.ops.traverse import any_hit, closest_hit
+from tyrant_tpu.scene.procgen import terrain
+from tyrant_tpu.scene.scene import Scene
+
+
+def _setup(n_quads=32, towers=3, seed=3, n_rays=2048):
+    v0, v1, v2 = terrain(n_quads=n_quads, towers=towers)
+    sc = Scene.from_triangles(v0, v1, v2, builder="numpy")
+    dev = sc.to_device().bvh
+    tables = PacketTables(dev)
+    r = np.random.default_rng(seed)
+    o = np.tile([[0.0, -150.0, 60.0]], (n_rays, 1)).astype(np.float32) \
+        + r.normal(0, 5, (n_rays, 3)).astype(np.float32)
+    d = r.normal(size=(n_rays, 3)).astype(np.float32)
+    d[:, 2] -= 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return dev, tables, jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+
+
+def test_packet_closest_matches_cascade():
+    dev, tables, o, d = _setup()
+    t_ref, id_ref = closest_hit(o, d, dev)
+    t_pk, id_pk = closest_hit_packets(o, d, tables, interpret=True)
+    t_ref, id_ref = np.asarray(t_ref), np.asarray(id_ref)
+    t_pk, id_pk = np.asarray(t_pk), np.asarray(id_pk)
+    np.testing.assert_array_equal(id_ref >= 0, id_pk >= 0)
+    hits = id_ref >= 0
+    assert hits.mean() > 0.2
+    np.testing.assert_allclose(t_ref[hits], t_pk[hits], rtol=1e-5)
+    np.testing.assert_array_equal(id_ref[hits], id_pk[hits])
+
+
+def test_packet_closest_with_t_init():
+    dev, tables, o, d = _setup(seed=9)
+    t_init = jnp.full((o.shape[0],), 80.0, jnp.float32)
+    t_ref, id_ref = closest_hit(o, d, dev, t_init=t_init)
+    t_pk, id_pk = closest_hit_packets(o, d, tables, t_init=t_init,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_pk))
+    hits = np.asarray(id_ref) >= 0
+    np.testing.assert_allclose(np.asarray(t_ref)[hits],
+                               np.asarray(t_pk)[hits], rtol=1e-5)
+
+
+def test_packet_any_hit_matches_cascade():
+    dev, tables, o, d = _setup(seed=5)
+    maxd = jnp.full((o.shape[0],), 120.0, jnp.float32)
+    occ_ref = np.asarray(any_hit(o, d, maxd, dev))
+    occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables, interpret=True))
+    np.testing.assert_array_equal(occ_ref, occ_pk)
+
+
+def test_packet_any_hit_active_mask():
+    dev, tables, o, d = _setup(seed=7, n_rays=1024)
+    maxd = jnp.full((1024,), 120.0, jnp.float32)
+    active = jnp.asarray(np.arange(1024) % 2 == 0)
+    occ = np.asarray(any_hit_packets(o, d, maxd, tables, active=active,
+                                     interpret=True))
+    assert not occ[1::2].any()  # inactive rays never occluded
+
+
+def test_non_multiple_packet_padding():
+    dev, tables, o, d = _setup(seed=11, n_rays=1500)  # not a multiple of 1024
+    t_ref, id_ref = closest_hit(o, d, dev)
+    t_pk, id_pk = closest_hit_packets(o, d, tables, interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_ref) >= 0,
+                                  np.asarray(id_pk) >= 0)
+
+
+def test_tables_fit_predicate():
+    assert tables_fit_vmem(10_000, 10_000)
+    assert not tables_fit_vmem(2_000_000, 1_000_000)

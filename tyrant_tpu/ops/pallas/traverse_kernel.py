@@ -110,6 +110,8 @@ def _traverse_kernel(node_ref, nodei_ref, tri_ref,
         return (sp >= 0) & jnp.logical_not(jnp.all(occ > 0))
 
     def body(state):
+        # Fully predicated body (no lax.cond/switch): leaf intersection is
+        # masked, stack pushes write dead slots when not descending.
         sp, t_best, hit = state
         node = stack_ref[sp]
         sp = sp - 1
@@ -144,59 +146,48 @@ def _traverse_kernel(node_ref, nodei_ref, tri_ref,
         any_ray = jnp.any(box_hit)
 
         is_leaf = count > 0
+        do_leaf = any_ray & is_leaf
 
-        def leaf_case(args):
-            t_best, hit = args
+        # --- leaf: 4 masked triangle tests (scalar loads, vector M-T) ---
+        def tri_iter(j, carry):
+            t_best, hit = carry
+            lane_ok = do_leaf & (j < count)
+            ti = jnp.where(lane_ok, offset + j, 0)
+            v0x = tri_ref[ti, 0]
+            v0y = tri_ref[ti, 1]
+            v0z = tri_ref[ti, 2]
+            e1x = tri_ref[ti, 3]
+            e1y = tri_ref[ti, 4]
+            e1z = tri_ref[ti, 5]
+            e2x = tri_ref[ti, 6]
+            e2y = tri_ref[ti, 7]
+            e2z = tri_ref[ti, 8]
+            t = _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z,
+                           e1x, e1y, e1z, e2x, e2y, e2z)
+            if closest:
+                # accept rule bvh.h:134
+                ok = lane_ok & (t > EPSILON) & ((t_best - t) > EPSILON) & box_hit
+                t_best = jnp.where(ok, t, t_best)
+                hit = jnp.where(ok, ti, hit)
+            else:
+                # accept rule bvh.h:229 vs max dist in t_init
+                ok = lane_ok & (t > EPSILON) & ((t_init - t) > EPSILON) & box_hit
+                hit = jnp.where(ok, 1, hit)
+            return t_best, hit
 
-            def tri_iter(j, carry):
-                t_best, hit = carry
+        t_best, hit = jax.lax.fori_loop(0, 4, tri_iter, (t_best, hit))
 
-                def do(carry):
-                    t_best, hit = carry
-                    ti = offset + j
-                    v0x = tri_ref[ti, 0]
-                    v0y = tri_ref[ti, 1]
-                    v0z = tri_ref[ti, 2]
-                    e1x = tri_ref[ti, 3]
-                    e1y = tri_ref[ti, 4]
-                    e1z = tri_ref[ti, 5]
-                    e2x = tri_ref[ti, 6]
-                    e2y = tri_ref[ti, 7]
-                    e2z = tri_ref[ti, 8]
-                    t = _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z,
-                                   e1x, e1y, e1z, e2x, e2y, e2z)
-                    if closest:
-                        # accept rule bvh.h:134
-                        ok = (t > EPSILON) & ((t_best - t) > EPSILON) & box_hit
-                        t_best = jnp.where(ok, t, t_best)
-                        hit = jnp.where(ok, offset + j, hit)
-                    else:
-                        # accept rule bvh.h:229 vs max dist in t_init
-                        ok = (t > EPSILON) & ((t_init - t) > EPSILON) & box_hit
-                        hit = jnp.where(ok, 1, hit)
-                    return t_best, hit
-
-                return jax.lax.cond(j < count, do, lambda c: c,
-                                    (t_best, hit))
-
-            return jax.lax.fori_loop(0, 4, tri_iter, (t_best, hit))
-
-        t_best, hit = jax.lax.cond(any_ray & is_leaf, leaf_case,
-                                   lambda a: a, (t_best, hit))
-
-        # interior descent: push far then near (near popped first)
-        def push(sp):
-            neg_axis = jax.lax.switch(axis, [lambda: negx, lambda: negy,
-                                             lambda: negz])
-            first = node + 1
-            near = jnp.where(neg_axis == 1, second, first)
-            far = jnp.where(neg_axis == 1, first, second)
-            stack_ref[sp + 1] = far
-            stack_ref[sp + 2] = near
-            return sp + 2
-
-        sp = jax.lax.cond(any_ray & jnp.logical_not(is_leaf), push,
-                          lambda s: s, sp)
+        # --- interior descent: push far then near (near popped first) ---
+        neg_axis = jnp.where(axis == 0, negx,
+                             jnp.where(axis == 1, negy, negz))
+        first = node + 1
+        near = jnp.where(neg_axis == 1, second, first)
+        far = jnp.where(neg_axis == 1, first, second)
+        descend = any_ray & jnp.logical_not(is_leaf)
+        # dead writes above sp are harmless when not descending
+        stack_ref[sp + 1] = far
+        stack_ref[sp + 2] = near
+        sp = sp + 2 * descend.astype(jnp.int32)
         return sp, t_best, hit
 
     if closest:
