@@ -184,13 +184,16 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     normal_tri = normalize(jnp.cross(tri_row[:, 3:6], tri_row[:, 6:9]))
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
-    refl = jnp.where(is_sphere, scene.sphere_refl[sid], DIFF)
+    # triangles honour per-triangle materials (defaults: white DIFF, the
+    # reference's hard-wired behaviour kernel.cu:380-384 / unused
+    # Triangle::materialType loader.h:16)
+    refl = jnp.where(is_sphere, scene.sphere_refl[sid], scene.tri_refl[tid])
     refl = jnp.where(hit, refl, DIFF)
-    obj_color = jnp.where(is_sphere[:, None], scene.sphere_color[sid], 1.0)
+    obj_color = jnp.where(is_sphere[:, None], scene.sphere_color[sid],
+                          scene.tri_color[tid])
 
-    # throughput *= color for sphere materials except REFR/LIGHT
-    # (kernel.cu:375-377); triangles shade white DIFF (kernel.cu:380-384)
-    mul_mask = is_sphere & (refl != REFR) & (refl != LIGHT)
+    # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
+    mul_mask = hit & (refl != REFR) & (refl != LIGHT)
     direct = rays["direct"] * jnp.where(mul_mask[:, None], obj_color, 1.0)
 
     outside = dot(normal, d) < 0

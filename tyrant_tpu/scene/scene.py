@@ -75,6 +75,11 @@ class SceneData:
     The reference passes ``Scene::GPUScene`` by value into kernels
     (Scene.h:5-7) and keeps spheres in ``__constant__`` memory
     (kernel.cu:123); here everything is a jnp leaf closed over by jit.
+
+    Per-triangle materials: the reference stores ``Triangle::materialType``
+    but never reads it — every triangle shades as white diffuse
+    (loader.h:16, kernel.cu:380-384; SURVEY.md C7).  Here ``tri_refl`` /
+    ``tri_color`` are honoured (defaults reproduce the reference).
     """
 
     bvh: BVHDevice
@@ -84,11 +89,13 @@ class SceneData:
     sphere_emission: jnp.ndarray
     sphere_refl: jnp.ndarray
     light_index: jnp.ndarray  # scalar i32: NEE area light (spheres[6] analog)
+    tri_refl: jnp.ndarray     # [T+pad] i32 (leaf order)
+    tri_color: jnp.ndarray    # [T+pad, 3] f32 (leaf order)
 
     def tree_flatten(self):
         return ((self.bvh, self.sphere_center, self.sphere_radius,
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
-                 self.light_index), None)
+                 self.light_index, self.tri_refl, self.tri_color), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -105,6 +112,8 @@ class Scene:
     tri_e2: np.ndarray
     bvh: Optional[BVHArrays]
     stats: dict
+    tri_refl: Optional[np.ndarray] = None   # [T] i32, default DIFF
+    tri_color: Optional[np.ndarray] = None  # [T, 3] f32, default white
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -143,8 +152,13 @@ class Scene:
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
                        bvh_cfg: BVHConfig = BVHConfig(),
-                       builder: str = "auto") -> "Scene":
-        """Build directly from triangle vertices [T,3] each."""
+                       builder: str = "auto",
+                       tri_refl=None, tri_color=None) -> "Scene":
+        """Build directly from triangle vertices [T,3] each.
+
+        tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
+        per-triangle materials (default: white diffuse, the reference's
+        hard-wired behaviour, kernel.cu:380-384)."""
         spheres = spheres or Spheres.default_seven()
         v0 = np.asarray(v0, np.float32)
         v1 = np.asarray(v1, np.float32)
@@ -154,7 +168,11 @@ class Scene:
         bvh = _build(tri_lo, tri_hi, bvh_cfg, builder)
         stats = bvh_stats(bvh)
         stats["triangles"] = int(v0.shape[0])
-        return cls(spheres, v0, v1 - v0, v2 - v0, bvh, stats)
+        return cls(spheres, v0, v1 - v0, v2 - v0, bvh, stats,
+                   tri_refl=None if tri_refl is None
+                   else np.asarray(tri_refl, np.int32),
+                   tri_color=None if tri_color is None
+                   else np.asarray(tri_color, np.float32))
 
     def to_device(self) -> SceneData:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
@@ -172,9 +190,20 @@ class Scene:
                 node_packed=jnp.asarray(node),
                 miss_flat=jnp.full((8,), -1, jnp.int32),
                 tri_packed=jnp.zeros((4, 12), jnp.float32))
+            tri_refl = np.zeros(4, np.int32)
+            tri_color = np.ones((4, 3), np.float32)
         else:
             bvh_dev = BVHDevice.from_host(self.bvh, self.tri_vert,
                                           self.tri_e1, self.tri_e2)
+            t = self.tri_vert.shape[0]
+            perm = self.bvh.perm
+            refl = (np.zeros(t, np.int32) if self.tri_refl is None
+                    else self.tri_refl)[perm]
+            color = (np.ones((t, 3), np.float32) if self.tri_color is None
+                     else self.tri_color)[perm]
+            pad = bvh_dev.tri_packed.shape[0] - t
+            tri_refl = np.concatenate([refl, np.zeros(pad, np.int32)])
+            tri_color = np.concatenate([color, np.ones((pad, 3), np.float32)])
         light_idx = int(np.nonzero(self.spheres.refl == LIGHT)[0][0]) \
             if (self.spheres.refl == LIGHT).any() else -1
         return SceneData(
@@ -185,6 +214,8 @@ class Scene:
             sphere_emission=jnp.asarray(self.spheres.emission),
             sphere_refl=jnp.asarray(self.spheres.refl),
             light_index=jnp.asarray(light_idx, jnp.int32),
+            tri_refl=jnp.asarray(tri_refl),
+            tri_color=jnp.asarray(tri_color),
         )
 
 
