@@ -148,11 +148,11 @@ def _traverse_kernel(node_ref, nodei_ref, tri_ref,
         is_leaf = count > 0
         do_leaf = any_ray & is_leaf
 
-        # --- leaf: 4 masked triangle tests (scalar loads, vector M-T) ---
-        def tri_iter(j, carry):
-            t_best, hit = carry
-            lane_ok = do_leaf & (j < count)
-            ti = jnp.where(lane_ok, offset + j, 0)
+        # --- leaf: 4 masked triangle tests, trace-time unrolled (scalar
+        # loads feeding vector M-T; masked row 0 reads when interior) ---
+        for j in range(4):
+            slot_ok = do_leaf & (j < count)
+            ti = jnp.where(slot_ok, offset + j, 0)
             v0x = tri_ref[ti, 0]
             v0y = tri_ref[ti, 1]
             v0z = tri_ref[ti, 2]
@@ -166,16 +166,13 @@ def _traverse_kernel(node_ref, nodei_ref, tri_ref,
                            e1x, e1y, e1z, e2x, e2y, e2z)
             if closest:
                 # accept rule bvh.h:134
-                ok = lane_ok & (t > EPSILON) & ((t_best - t) > EPSILON) & box_hit
+                ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON) & box_hit
                 t_best = jnp.where(ok, t, t_best)
                 hit = jnp.where(ok, ti, hit)
             else:
                 # accept rule bvh.h:229 vs max dist in t_init
-                ok = lane_ok & (t > EPSILON) & ((t_init - t) > EPSILON) & box_hit
+                ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON) & box_hit
                 hit = jnp.where(ok, 1, hit)
-            return t_best, hit
-
-        t_best, hit = jax.lax.fori_loop(0, 4, tri_iter, (t_best, hit))
 
         # --- interior descent: push far then near (near popped first) ---
         neg_axis = jnp.where(axis == 0, negx,
