@@ -74,6 +74,9 @@ class RenderConfig:
     # traversal cascade floor (see ops/traverse.py): compaction stops once
     # the active working set is this small
     traversal_min_stage: int = 8192
+    # pixel-visit order for raygen: "scan" (reference, kernel.cu:263) or
+    # "tiled8" (8x8 screen tiles -> coherent ray packets)
+    raygen_order: str = "tiled8"
 
     @property
     def num_pixels(self) -> int:

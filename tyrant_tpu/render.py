@@ -108,10 +108,24 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     total_local = w * local_height
 
     gen_index = jnp.arange(n, dtype=jnp.int32)
-    pixel = (start_position + gen_index) % total_local  # round-robin scan
-    x = (pixel % w).astype(jnp.float32)
-    y_local = pixel // w
-    y = (y_local + row_offset).astype(jnp.float32)
+    scan = (start_position + gen_index) % total_local  # round-robin scan
+    # Pixel-visit order: the reference scans rows linearly (kernel.cu:263).
+    # With 8x8-tile ordering consecutive rays share a screen tile, which
+    # keeps ray packets coherent for the traversal kernels.  Any bijection
+    # preserves the progressive-accumulation estimator.
+    if cfg.raygen_order == "tiled8" and w % 8 == 0 and local_height % 8 == 0:
+        tiles_x = w // 8
+        tile = scan // 64
+        within = scan % 64
+        x_i = (tile % tiles_x) * 8 + within % 8
+        y_i = (tile // tiles_x) * 8 + within // 8
+        pixel = y_i * w + x_i
+    else:
+        pixel = scan
+        x_i = pixel % w
+        y_i = pixel // w
+    x = x_i.astype(jnp.float32)
+    y = (y_i + row_offset).astype(jnp.float32)
 
     seed = rng.seed_from(frame, gen_index, 0x5EED)
     seed, uv = rng.random_2d_stratified(seed)
