@@ -69,9 +69,11 @@ class BVHDevice:
     node_packed: jnp.ndarray
     miss_flat: jnp.ndarray
     tri_packed: jnp.ndarray
+    leaf_packed: jnp.ndarray  # [L, 36] f32: 4 tri slots x (v0,e1,e2)
 
     def tree_flatten(self):
-        return ((self.node_packed, self.miss_flat, self.tri_packed), None)
+        return ((self.node_packed, self.miss_flat, self.tri_packed,
+                 self.leaf_packed), None)
 
     @classmethod
     def tree_unflatten(cls, aux, fields):
@@ -100,20 +102,44 @@ class BVHDevice:
         permuted to leaf order and padded here)."""
         import numpy as np
         nn = bvh.n_nodes
-        node = np.zeros((nn, 8), np.float32)
-        node[:, 0:3] = bvh.lo
-        node[:, 3:6] = bvh.hi
-        node[:, 6] = bvh.meta.view(np.float32)
-        node[:, 7] = bvh.second_child.astype(np.int32).view(np.float32)
+        count = bvh.prim_count
+        offset = bvh.prim_offset
+        is_leaf = count > 0
+
         perm = bvh.perm
         t = perm.shape[0]
         tri = np.zeros((t + LEAF_WIDTH - 1, 12), np.float32)
         tri[:t, 0:3] = tri_vert[perm]
         tri[:t, 3:6] = tri_e1[perm]
         tri[:t, 6:9] = tri_e2[perm]
+
+        # leaf-major packed rows: [L, 36] = 4 tri slots x 9 floats, so a leaf
+        # visit gathers ONE row instead of four (per-row gather cost
+        # dominates on TPU).  Empty slots point at a degenerate triangle.
+        leaf_ids = np.nonzero(is_leaf)[0]
+        n_leaves = max(len(leaf_ids), 1)
+        tri9 = np.concatenate([tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]], axis=1)
+        tri9 = np.vstack([tri9, np.zeros((1, 9), np.float32)])
+        slot = offset[leaf_ids][:, None] + np.arange(LEAF_WIDTH)[None]
+        slot = np.where(np.arange(LEAF_WIDTH)[None] < count[leaf_ids][:, None],
+                        slot, tri9.shape[0] - 1)
+        leaf_packed = tri9[slot].reshape(len(leaf_ids), 36) \
+            if len(leaf_ids) else np.zeros((1, 36), np.float32)
+
+        # node lane 7: second child for interiors, leaf-row index for leaves
+        leaf_row = np.zeros(nn, np.int32)
+        leaf_row[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+        lane7 = np.where(is_leaf, leaf_row, bvh.second_child).astype(np.int32)
+
+        node = np.zeros((nn, 8), np.float32)
+        node[:, 0:3] = bvh.lo
+        node[:, 3:6] = bvh.hi
+        node[:, 6] = bvh.meta.view(np.float32)
+        node[:, 7] = lane7.view(np.float32)
         return cls(node_packed=jnp.asarray(node),
                    miss_flat=jnp.asarray(bvh.miss_link.reshape(-1)),
-                   tri_packed=jnp.asarray(tri))
+                   tri_packed=jnp.asarray(tri),
+                   leaf_packed=jnp.asarray(leaf_packed))
 
 
 def _ray_setup(direction):
@@ -125,18 +151,21 @@ def _ray_setup(direction):
     return inv_dir, neg, octant
 
 
-def _visit(bvh: BVHDevice, node, origin, inv_dir, neg, octant, t_prune):
-    """One traversal step shared by closest/any-hit: box test + next node.
+def _step(bvh: BVHDevice, origin, direction, inv_dir, neg, octant,
+          node, t_best, hit_id, closest: bool, t_limit=None):
+    """One traversal visit, usable both trace-time-unrolled and inside
+    lax.while bodies.  Gathers exactly two rows per active ray: the packed
+    32-byte node and (for leaves) the packed 144-byte leaf-triangle row.
 
-    Returns (box_hit, is_leaf, offset, count, next_node) for active rays
-    (callers mask).  t_prune is the early-out distance (Bbox.h:61).
+    closest=True: (t_best, hit_id) = running closest hit.
+    closest=False: hit_id is the occluded flag (0/1), t_limit the max dist.
     """
     ni = jnp.maximum(node, 0)
     active = node >= 0
     row = bvh.node_packed[ni]
     lo, hi = row[:, 0:3], row[:, 3:6]
     meta = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-    second = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+    lane7 = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
     count = meta & META_COUNT_MASK
     axis = (meta >> META_AXIS_SHIFT) & META_AXIS_MASK
     offset = meta >> META_OFFSET_SHIFT
@@ -145,51 +174,88 @@ def _visit(bvh: BVHDevice, node, origin, inv_dir, neg, octant, t_prune):
     far_b = jnp.where(neg, lo, hi)
     t0 = jnp.max((near_b - origin) * inv_dir, axis=-1)
     t1 = jnp.min((far_b - origin) * inv_dir, axis=-1)
-    box_hit = (t0 <= t1) & (t0 < t_prune) & (t1 > 0) & active
+    prune = t_best if closest else t_limit
+    box_hit = (t0 <= t1) & (t0 < prune) & (t1 > 0) & active
 
     is_leaf = count > 0
+    do_leaf = box_hit & is_leaf
+
+    # --- leaf: one packed row, 4 unrolled slots (bvh.h:131-139) ---
+    lrow = bvh.leaf_packed[jnp.where(is_leaf, lane7, 0)]
+    slot_idx = jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None]
+    tv = lrow.reshape(-1, LEAF_WIDTH, 9)
+    t4 = moller_trumbore(origin[:, None, :], direction[:, None, :],
+                         tv[..., 0:3], tv[..., 3:6], tv[..., 6:9])
+    limit_col = (t_best if closest else t_limit)[:, None]
+    ok = (t4 > EPSILON) & ((limit_col - t4) > EPSILON) \
+        & (slot_idx < count[:, None]) & do_leaf[:, None]
+    if closest:
+        t4m = jnp.where(ok, t4, VERY_FAR)
+        j = jnp.argmin(t4m, axis=1)
+        t_min = jnp.min(t4m, axis=1)
+        upd = t_min < t_best
+        t_best = jnp.where(upd, t_min, t_best)
+        hit_id = jnp.where(upd, offset + j, hit_id)
+    else:
+        hit_id = hit_id | jnp.any(ok, axis=1).astype(jnp.int32)
+
+    # --- next node via threaded links (bvh.h:146-152 ordering) ---
     axis_neg = jnp.take_along_axis(neg.astype(jnp.int32), axis[:, None],
                                    axis=1)[:, 0]
-    near = jnp.where(axis_neg == 1, second, ni + 1)
+    near = jnp.where(axis_neg == 1, lane7, ni + 1)  # lane7 = second child
     miss = bvh.miss_flat[octant * bvh.n_nodes + ni]
     nxt = jnp.where(box_hit & ~is_leaf, near, miss)
-    nxt = jnp.where(active, nxt, node)
-    return box_hit, is_leaf, offset, count, nxt
+    if not closest:
+        nxt = jnp.where(hit_id > 0, -1, nxt)  # any-hit early exit
+    node = jnp.where(active, nxt, node)
+    return node, t_best, hit_id
 
 
-def _leaf_closest(bvh, origin, direction, do_leaf, offset, count, t_best,
-                  hit_id):
-    idx4 = offset[:, None] + jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None]
-    tri = bvh.tri_packed[idx4]
-    t4 = moller_trumbore(origin[:, None, :], direction[:, None, :],
-                         tri[..., 0:3], tri[..., 3:6], tri[..., 6:9])
-    # acceptance matches bvh.h:134: t > eps and strictly closer by > eps
-    ok = (t4 > EPSILON) & ((t_best[:, None] - t4) > EPSILON) \
-        & (jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None] < count[:, None]) \
-        & do_leaf[:, None]
-    t4m = jnp.where(ok, t4, VERY_FAR)
-    j = jnp.argmin(t4m, axis=1)
-    t_min = jnp.min(t4m, axis=1)
-    upd = t_min < t_best
-    t_best = jnp.where(upd, t_min, t_best)
-    hit_id = jnp.where(upd, jnp.take_along_axis(idx4, j[:, None], 1)[:, 0],
-                       hit_id)
-    return t_best, hit_id
+def _while_stage(bvh, origin, direction, state, limit, closest, t_limit):
+    """Run _step in a lax.while_loop until active count <= limit.  Gathers
+    inside lax loops are ~8x slower on TPU than unrolled ones, so this is
+    only the correctness backstop (sweeper) and small-batch path."""
+    inv_dir, neg, octant = _ray_setup(direction)
+
+    def cond(s):
+        return jnp.sum((s[0] >= 0).astype(jnp.int32)) > limit
+
+    def body(s):
+        return _step(bvh, origin, direction, inv_dir, neg, octant,
+                     *s, closest=closest, t_limit=t_limit)
+
+    return jax.lax.while_loop(cond, body, state)
 
 
-def _stage_sizes(n: int, min_stage: int):
-    sizes = []
-    s = n
-    while s > min_stage and s % 2 == 0:
-        sizes.append(s)
-        s //= 2
-    sizes.append(s)
-    return sizes
+def _unrolled_phase(bvh, origin, direction, state, steps, closest, t_limit,
+                    block=262144):
+    """`steps` trace-time-unrolled visits, processed in interleaved
+    trace-level blocks so independent gathers overlap."""
+    n = origin.shape[0]
+    if n <= block:
+        inv_dir, neg, octant = _ray_setup(direction)
+        for _ in range(steps):
+            state = _step(bvh, origin, direction, inv_dir, neg, octant,
+                          *state, closest=closest, t_limit=t_limit)
+        return state
+    n_blocks = (n + block - 1) // block
+    slices = [slice(b * block, min((b + 1) * block, n))
+              for b in range(n_blocks)]
+    setups = [_ray_setup(direction[sl]) for sl in slices]
+    blocks = [tuple(x[sl] for x in state) for sl in slices]
+    tl = [None if t_limit is None else t_limit[sl] for sl in slices]
+    for _ in range(steps):
+        blocks = [
+            _step(bvh, origin[sl], direction[sl], *setups[b], *blocks[b],
+                  closest=closest, t_limit=tl[b])
+            for b, sl in enumerate(slices)]
+    return tuple(jnp.concatenate([blk[i] for blk in blocks])
+                 for i in range(len(state)))
 
 
 def _compact(active, arrays, new_size):
     """Scatter active entries (in order) into new arrays of new_size.
-    Caller guarantees active_count <= new_size."""
+    Caller must guarantee active_count <= new_size (see pre-sweep)."""
     pos = jnp.cumsum(active.astype(jnp.int32)) - 1
     dest = jnp.where(active, pos, new_size)  # inactive -> dropped
     out = []
@@ -199,9 +265,81 @@ def _compact(active, arrays, new_size):
     return out
 
 
-@partial(jax.jit, static_argnames=("min_stage",))
-def closest_hit(origin, direction, bvh: BVHDevice, t_init=None,
-                min_stage: int = MIN_STAGE):
+def _phase_schedule(n: int):
+    """(steps, keep_fraction) phases.  Tuned to the v5e visit distribution
+    (p50 ~33, p99 ~81 on the terrain benchmark): a couple of steps kill the
+    root-miss rays, then halving compactions track the survival curve."""
+    if n <= 32768:
+        return []
+    return [(3, 2), (14, 2), (16, 2), (16, 2), (16, 4)]
+
+
+def _run_traversal(origin, direction, bvh, t_seed, closest: bool,
+                   active=None):
+    """Shared unrolled-cascade driver for closest/any hit.
+
+    t_seed: closest -> initial t_best; any -> max distance (t_limit).
+    """
+    n = origin.shape[0]
+    if closest:
+        state = (jnp.zeros((n,), jnp.int32), t_seed,
+                 jnp.full((n,), -1, jnp.int32))
+        t_limit = None
+    else:
+        node0 = jnp.zeros((n,), jnp.int32) if active is None \
+            else jnp.where(active, 0, -1).astype(jnp.int32)
+        state = (node0, jnp.zeros((n,), jnp.float32),
+                 jnp.zeros((n,), jnp.int32))
+        t_limit = t_seed
+
+    out_t = t_seed if closest else jnp.zeros((n,), jnp.float32)
+    out_id = jnp.full((n,), -1, jnp.int32) if closest \
+        else jnp.zeros((n,), jnp.int32)
+
+    origin_s, dir_s = origin, direction
+    ridx = jnp.arange(n, dtype=jnp.int32)
+    tl = t_limit
+    size = n
+
+    for steps, frac in _phase_schedule(n):
+        state = _unrolled_phase(bvh, origin_s, dir_s, state, steps, closest,
+                                tl)
+        new_size = size // frac
+        # pre-sweep: guarantee actives fit the next buffer (usually a no-op
+        # whose cond fails on the first check)
+        state = _while_stage(bvh, origin_s, dir_s, state, new_size, closest,
+                             tl)
+        # bank finished rays
+        node = state[0]
+        done = node < 0
+        dest = jnp.where(done, ridx, n)
+        out_t = out_t.at[dest].set(state[1], mode="drop")
+        out_id = out_id.at[dest].set(state[2], mode="drop")
+        # compact survivors
+        act = ~done
+        packed = _compact(act, (origin_s, dir_s, ridx) + state
+                          + ((tl,) if tl is not None else ()), new_size)
+        origin_s, dir_s, ridx = packed[0], packed[1], packed[2]
+        state = tuple(packed[3:6])
+        if tl is not None:
+            tl = packed[6]
+        pad = jnp.arange(new_size, dtype=jnp.int32) \
+            >= jnp.sum(act.astype(jnp.int32))
+        state = (jnp.where(pad, -1, state[0]), state[1], state[2])
+        ridx = jnp.where(pad, n, ridx)
+        size = new_size
+
+    # final sweeper: run to completion
+    state = _while_stage(bvh, origin_s, dir_s, state, 0, closest, tl)
+    done = state[0] < 0
+    dest = jnp.where(done, ridx, n)
+    out_t = out_t.at[dest].set(state[1], mode="drop")
+    out_id = out_id.at[dest].set(state[2], mode="drop")
+    return out_t, out_id
+
+
+@jax.jit
+def closest_hit(origin, direction, bvh: BVHDevice, t_init=None):
     """Closest-hit traversal.  Reference: bvh.h:118-161.
 
     origin/direction: [N, 3].  t_init: optional [N] initial closest distance
@@ -212,67 +350,11 @@ def closest_hit(origin, direction, bvh: BVHDevice, t_init=None,
     n = origin.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
-
-    out_t = t_init
-    out_id = jnp.full((n,), -1, jnp.int32)
-
-    # cascade state (size shrinks by half per stage)
-    origin_s, dir_s = origin, direction
-    node = jnp.zeros((n,), jnp.int32)
-    t_best = t_init
-    hit_id = jnp.full((n,), -1, jnp.int32)
-    ridx = jnp.arange(n, dtype=jnp.int32)
-
-    sizes = _stage_sizes(n, min_stage)
-    for si, size in enumerate(sizes):
-        last = si == len(sizes) - 1
-        limit = 0 if last else size // 2
-        inv_dir, neg, octant = _ray_setup(dir_s)
-
-        def cond(s):
-            node, _, _ = s
-            active = jnp.sum((node >= 0).astype(jnp.int32))
-            return active > limit
-
-        def body(s):
-            node, t_best, hit_id = s
-            box_hit, is_leaf, offset, count, nxt = _visit(
-                bvh, node, origin_s, inv_dir, neg, octant, t_best)
-            do_leaf = box_hit & is_leaf
-            t_best, hit_id = jax.lax.cond(
-                jnp.any(do_leaf),
-                lambda a: _leaf_closest(bvh, origin_s, dir_s, do_leaf,
-                                        offset, count, *a),
-                lambda a: a, (t_best, hit_id))
-            return nxt, t_best, hit_id
-
-        node, t_best, hit_id = jax.lax.while_loop(
-            cond, body, (node, t_best, hit_id))
-
-        # bank finished rays into the output buffers
-        done = node < 0
-        dest = jnp.where(done, ridx, n)
-        out_t = out_t.at[dest].set(t_best, mode="drop")
-        out_id = out_id.at[dest].set(hit_id, mode="drop")
-
-        if last:
-            break
-        active = ~done
-        origin_s, dir_s, node, t_best, hit_id, ridx = _compact(
-            active, (origin_s, dir_s, node, t_best, hit_id, ridx), size // 2)
-        # compacted padding slots are inactive (node == 0 from zeros -> must
-        # be -1); _compact zero-fills, so mark pad slots done explicitly
-        pad = jnp.arange(size // 2, dtype=jnp.int32) \
-            >= jnp.sum(active.astype(jnp.int32))
-        node = jnp.where(pad, -1, node)
-        ridx = jnp.where(pad, n, ridx)  # pad results dropped on scatter
-
-    return out_t, out_id
+    return _run_traversal(origin, direction, bvh, t_init, closest=True)
 
 
-@partial(jax.jit, static_argnames=("min_stage",))
-def any_hit(origin, direction, max_dist, bvh: BVHDevice, active=None,
-            min_stage: int = MIN_STAGE):
+@jax.jit
+def any_hit(origin, direction, max_dist, bvh: BVHDevice, active=None):
     """Shadow-ray occlusion test.  Reference: bvh.h:213-256
     ``intersectSimple`` — accepts any t > eps with (maxDist - t) > eps and
     terminates that ray immediately.
@@ -281,66 +363,9 @@ def any_hit(origin, direction, max_dist, bvh: BVHDevice, active=None,
     (the dense-batch stand-in for the reference's shadow_ray_cnt-bounded
     loop, kernel.cu:634).  Returns occluded [N] bool.
     """
-    n = origin.shape[0]
-    out_occ = jnp.zeros((n,), bool)
-
-    origin_s, dir_s, maxd_s = origin, direction, max_dist
-    if active is None:
-        node = jnp.zeros((n,), jnp.int32)
-    else:
-        node = jnp.where(active, 0, -1).astype(jnp.int32)
-    occ = jnp.zeros((n,), bool)
-    ridx = jnp.arange(n, dtype=jnp.int32)
-
-    sizes = _stage_sizes(n, min_stage)
-    for si, size in enumerate(sizes):
-        last = si == len(sizes) - 1
-        limit = 0 if last else size // 2
-        inv_dir, neg, octant = _ray_setup(dir_s)
-
-        def cond(s):
-            node, _ = s
-            return jnp.sum((node >= 0).astype(jnp.int32)) > limit
-
-        def body(s):
-            node, occ = s
-            box_hit, is_leaf, offset, count, nxt = _visit(
-                bvh, node, origin_s, inv_dir, neg, octant, maxd_s)
-            do_leaf = box_hit & is_leaf
-
-            def leaf(occ):
-                idx4 = offset[:, None] \
-                    + jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None]
-                tri = bvh.tri_packed[idx4]
-                t4 = moller_trumbore(origin_s[:, None, :], dir_s[:, None, :],
-                                     tri[..., 0:3], tri[..., 3:6],
-                                     tri[..., 6:9])
-                ok = (t4 > EPSILON) & ((maxd_s[:, None] - t4) > EPSILON) \
-                    & (jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None]
-                       < count[:, None]) & do_leaf[:, None]
-                return occ | jnp.any(ok, axis=1)
-
-            occ = jax.lax.cond(jnp.any(do_leaf), leaf, lambda o: o, occ)
-            nxt = jnp.where(occ, -1, nxt)  # early exit on first hit
-            return nxt, occ
-
-        node, occ = jax.lax.while_loop(cond, body, (node, occ))
-
-        done = node < 0
-        dest = jnp.where(done, ridx, n)
-        out_occ = out_occ.at[dest].set(occ, mode="drop")
-
-        if last:
-            break
-        act = ~done
-        origin_s, dir_s, maxd_s, node, occ, ridx = _compact(
-            act, (origin_s, dir_s, maxd_s, node, occ, ridx), size // 2)
-        pad = jnp.arange(size // 2, dtype=jnp.int32) \
-            >= jnp.sum(act.astype(jnp.int32))
-        node = jnp.where(pad, -1, node)
-        ridx = jnp.where(pad, n, ridx)
-
-    return out_occ
+    _, occ = _run_traversal(origin, direction, bvh, max_dist, closest=False,
+                            active=active)
+    return occ > 0
 
 
 def traversal_depth_map(origin, direction, bvh: BVHDevice):
@@ -351,21 +376,18 @@ def traversal_depth_map(origin, direction, bvh: BVHDevice):
     inv_dir, neg, octant = _ray_setup(direction)
 
     def cond(s):
-        return jnp.any(s[0] >= 0)
+        return jnp.any(s[0][0] >= 0)
 
     def body(s):
-        node, t_best, hit_id, visits = s
-        visits = visits + (node >= 0).astype(jnp.int32)
-        box_hit, is_leaf, offset, count, nxt = _visit(
-            bvh, node, origin, inv_dir, neg, octant, t_best)
-        do_leaf = box_hit & is_leaf
-        t_best, hit_id = _leaf_closest(bvh, origin, direction, do_leaf,
-                                       offset, count, t_best, hit_id)
-        return nxt, t_best, hit_id, visits
+        state, visits = s
+        visits = visits + (state[0] >= 0).astype(jnp.int32)
+        state = _step(bvh, origin, direction, inv_dir, neg, octant, *state,
+                      closest=True)
+        return state, visits
 
-    state = (jnp.zeros((n,), jnp.int32),
-             jnp.full((n,), VERY_FAR, jnp.float32),
-             jnp.full((n,), -1, jnp.int32),
-             jnp.zeros((n,), jnp.int32))
-    _, t, hit_id, visits = jax.lax.while_loop(cond, body, state)
+    state0 = ((jnp.zeros((n,), jnp.int32),
+               jnp.full((n,), VERY_FAR, jnp.float32),
+               jnp.full((n,), -1, jnp.int32)),
+              jnp.zeros((n,), jnp.int32))
+    (node, t, hit_id), visits = jax.lax.while_loop(cond, body, state0)
     return t, hit_id, visits
