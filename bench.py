@@ -44,9 +44,12 @@ def main():
     print(f"# scene: {scene.stats} ({time.time() - t0:.1f}s build)",
           file=sys.stderr)
 
-    cfg = RenderConfig(width=1920, height=1080, num_rays=2 * 1_048_576,
+    # 1080p, MAX_BOUNCES=5 like the reference harness; the wavefront size is
+    # a free parameter (the reference's 2M queue, variables.h:44, is tuned
+    # for SM occupancy) — 512k currently paces the TPU pipeline best
+    cfg = RenderConfig(width=1920, height=1080, num_rays=1 << 19,
                        max_bounces=5)
-    results = run_benchmark(scene, cfg, seconds_per_pose=4.0)
+    results = run_benchmark(scene, cfg, seconds_per_pose=8.0, warmup_steps=2)
     d = results_to_dict(results)
     for r in d["poses"]:
         print(f"# pose {r['pose']}: {r['avg_ms']:.2f} ms "

@@ -83,18 +83,24 @@ def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
     renderer = Renderer(scene, cfg, sun_position=sun_position)
     results = []
     poses = poses if poses is not None else range(len(TEST_POSITIONS))
+
+    def hard_sync():
+        # a reduce+fetch; block_until_ready alone does not reliably drain
+        # the async stream on tunneled TPU backends
+        return float(jnp.sum(renderer.state.accum[:, 3]))
+
     for pi in poses:
         cam = _camera_for_pose(pi)
         shadow_frac = measure_shadow_fraction(renderer, cam)
         renderer.step(cam, warmup_steps)
-        renderer.state.accum.block_until_ready()
+        hard_sync()
 
         times = []
         t_end = time.perf_counter() + seconds_per_pose
         while time.perf_counter() < t_end:
             t0 = time.perf_counter()
             renderer.step(cam, 1)
-            renderer.state.accum.block_until_ready()
+            hard_sync()
             times.append(time.perf_counter() - t0)
         times_ms = np.asarray(times) * 1e3
         avg = float(times_ms.mean())

@@ -47,7 +47,8 @@ VMEM_TABLE_BUDGET = 10 * 1024 * 1024
 
 
 def tables_fit_vmem(n_nodes: int, n_tris: int) -> bool:
-    bytes_needed = n_nodes * (8 * 4 + 2 * 4) + (n_tris + 3) * 12 * 4
+    # every table row costs a full 512-byte padded lane row in VMEM
+    bytes_needed = (2 * n_nodes + n_tris + 3) * 512
     return bytes_needed <= VMEM_TABLE_BUDGET
 
 
@@ -78,10 +79,13 @@ def _traverse_kernel(node_ref, nodei_ref, tri_ref,
                      t0_ref, tout_ref, hit_ref, stack_ref, *, closest: bool):
     """One packet per grid step.
 
-    node_ref:  [Nn, 8] f32 (lo3, hi3, unused, unused)
-    nodei_ref: [Nn, 8] i32 (meta, second_child, miss unused..) — separate
-               table so scalar loads need no bitcasts
-    tri_ref:   [T+3, 12] f32 leaf-ordered triangles
+    node_ref:  [Nn, 8] f32 (lo3, hi3, pad2).  Mosaic only proves dynamic
+               indices on the SUBLANE dim, so rows are (node, static-lane);
+               VMEM pads each row to 128 lanes (512 B/node) — the table
+               budget accounts for that
+    nodei_ref: [Nn, 2] i32 (meta, second_child) — separate table so scalar
+               loads need no bitcasts
+    tri_ref:   [T+3, 9] f32 leaf-ordered triangles (v0, e1, e2)
     rays:      [8, 128] components
     t0_ref:    [8, 128] initial t (sphere-pass seed / shadow max dist)
     tout/hit:  [8, 128] outputs (closest: t + prim id; any: t untouched +
@@ -95,10 +99,13 @@ def _traverse_kernel(node_ref, nodei_ref, tri_ref,
     inv_z = 1.0 / dz
     t_init = t0_ref[:]
 
-    # packet-majority direction signs (traversal order vote)
-    negx = (jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) * 2.0 > PACKET).astype(jnp.int32)
-    negy = (jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > PACKET).astype(jnp.int32)
-    negz = (jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > PACKET).astype(jnp.int32)
+    # packet traversal-order heuristic: first ray's direction signs (scalar
+    # loads — vector-reduce-to-scalar feeding addressing is avoided; for
+    # coherent packets the first ray is representative, and order only
+    # affects pruning efficiency, never correctness)
+    negx = (dxr_ref[0, 0] < 0).astype(jnp.int32)
+    negy = (dyr_ref[0, 0] < 0).astype(jnp.int32)
+    negz = (dzr_ref[0, 0] < 0).astype(jnp.int32)
 
     stack_ref[0] = 0  # push root
 
@@ -204,7 +211,7 @@ def _pad_to_packets(x, n, fill):
 
 
 @functools.partial(jax.jit, static_argnames=("closest", "interpret"))
-def _run(node_f32, node_i32, tri_packed, origin, direction, t_init,
+def _run(node_f32, node_i32, tri_flat, origin, direction, t_init,
          closest: bool, interpret: bool = False):
     n = origin.shape[0]
     comps = [
@@ -234,22 +241,25 @@ def _run(node_f32, node_i32, tri_packed, origin, direction, t_init,
                    jax.ShapeDtypeStruct((n_packets * 8, 128), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
-    )(node_f32, node_i32, tri_packed, *comps)
+    )(node_f32, node_i32, tri_flat, *comps)
     return t_out.reshape(-1)[:n], hit_out.reshape(-1)[:n]
 
 
 class PacketTables:
-    """Kernel-side tables derived from a BVHDevice (built once per scene)."""
+    """Kernel-side flat tables derived from a BVHDevice (built per scene).
+
+    Note node lane 7 of BVHDevice carries the leaf-row index for leaves; the
+    packet kernel only reads it for interiors (second child), so the shared
+    layout is safe.
+    """
 
     def __init__(self, bvh_device):
         node = bvh_device.node_packed  # [Nn, 8] f32 (meta/second in lanes 6,7)
         self.node_f32 = node
         meta = jax.lax.bitcast_convert_type(node[:, 6], jnp.int32)
         second = jax.lax.bitcast_convert_type(node[:, 7], jnp.int32)
-        pad = jnp.zeros((node.shape[0], 6), jnp.int32)
-        self.node_i32 = jnp.concatenate(
-            [meta[:, None], second[:, None], pad], axis=1)
-        self.tri_packed = bvh_device.tri_packed
+        self.node_i32 = jnp.stack([meta, second], axis=1)
+        self.tri_flat = bvh_device.tri_packed[:, 0:9]
         self.fits = tables_fit_vmem(node.shape[0],
                                     bvh_device.tri_packed.shape[0])
 
@@ -260,7 +270,7 @@ def closest_hit_packets(origin, direction, tables: PacketTables,
     n = origin.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
-    return _run(tables.node_f32, tables.node_i32, tables.tri_packed,
+    return _run(tables.node_f32, tables.node_i32, tables.tri_flat,
                 origin, direction, t_init, closest=True, interpret=interpret)
 
 
@@ -269,7 +279,7 @@ def any_hit_packets(origin, direction, max_dist, tables: PacketTables,
     """Packet any-hit.  Same contract as ops.traverse.any_hit."""
     if active is not None:
         max_dist = jnp.where(active, max_dist, 0.0)
-    _, occ = _run(tables.node_f32, tables.node_i32, tables.tri_packed,
+    _, occ = _run(tables.node_f32, tables.node_i32, tables.tri_flat,
                   origin, direction, max_dist, closest=False,
                   interpret=interpret)
     return occ > 0

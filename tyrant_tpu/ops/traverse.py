@@ -211,131 +211,125 @@ def _step(bvh: BVHDevice, origin, direction, inv_dir, neg, octant,
     return node, t_best, hit_id
 
 
-def _while_stage(bvh, origin, direction, state, limit, closest, t_limit):
-    """Run _step in a lax.while_loop until active count <= limit.  Gathers
-    inside lax loops are ~8x slower on TPU than unrolled ones, so this is
-    only the correctness backstop (sweeper) and small-batch path."""
+def _node_step(bvh: BVHDevice, origin, inv_dir, neg, octant, node, t_prune):
+    """Box test + threaded-link advance (no leaf work).  One 32-byte row
+    gather per active ray."""
+    ni = jnp.maximum(node, 0)
+    active = node >= 0
+    row = bvh.node_packed[ni]
+    lo, hi = row[:, 0:3], row[:, 3:6]
+    meta = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+    lane7 = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+    count = meta & META_COUNT_MASK
+    axis = (meta >> META_AXIS_SHIFT) & META_AXIS_MASK
+    offset = meta >> META_OFFSET_SHIFT
+
+    near_b = jnp.where(neg, hi, lo)
+    far_b = jnp.where(neg, lo, hi)
+    t0 = jnp.max((near_b - origin) * inv_dir, axis=-1)
+    t1 = jnp.min((far_b - origin) * inv_dir, axis=-1)
+    box_hit = (t0 <= t1) & (t0 < t_prune) & (t1 > 0) & active
+
+    is_leaf = count > 0
+    axis_neg = jnp.take_along_axis(neg.astype(jnp.int32), axis[:, None],
+                                   axis=1)[:, 0]
+    near = jnp.where(axis_neg == 1, lane7, ni + 1)
+    miss = bvh.miss_flat[octant * bvh.n_nodes + ni]
+    nxt = jnp.where(box_hit & ~is_leaf, near, miss)
+    nxt = jnp.where(active, nxt, node)
+    do_leaf = box_hit & is_leaf
+    return do_leaf, lane7, offset, count, nxt
+
+
+def _leaf_tests(bvh, origin, direction, do_leaf, leaf_row, offset, count,
+                limit_t):
+    """One packed leaf-row gather + 4 unrolled Möller-Trumbore slots.
+    Returns (t4m [N,4] masked distances, ids [N,4])."""
+    lrow = bvh.leaf_packed[jnp.where(do_leaf, leaf_row, 0)]
+    tv = lrow.reshape(-1, LEAF_WIDTH, 9)
+    t4 = moller_trumbore(origin[:, None, :], direction[:, None, :],
+                         tv[..., 0:3], tv[..., 3:6], tv[..., 6:9])
+    slot = jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None]
+    ok = (t4 > EPSILON) & ((limit_t[:, None] - t4) > EPSILON) \
+        & (slot < count[:, None]) & do_leaf[:, None]
+    return jnp.where(ok, t4, VERY_FAR), offset[:, None] + slot
+
+
+def _chunk_closest(origin, direction, t_init, bvh: BVHDevice):
+    """Closest hit for one chunk: while_loop with lax.cond-gated leaf work
+    (iterations where no ray in the chunk sits at a leaf skip the leaf
+    gather entirely)."""
+    n = origin.shape[0]
     inv_dir, neg, octant = _ray_setup(direction)
 
     def cond(s):
-        return jnp.sum((s[0] >= 0).astype(jnp.int32)) > limit
+        return jnp.any(s[0] >= 0)
 
     def body(s):
-        return _step(bvh, origin, direction, inv_dir, neg, octant,
-                     *s, closest=closest, t_limit=t_limit)
+        node, t_best, hit_id = s
+        do_leaf, leaf_row, offset, count, nxt = _node_step(
+            bvh, origin, inv_dir, neg, octant, node, t_best)
 
-    return jax.lax.while_loop(cond, body, state)
+        def leaf(args):
+            t_best, hit_id = args
+            t4m, ids = _leaf_tests(bvh, origin, direction, do_leaf, leaf_row,
+                                   offset, count, t_best)
+            j = jnp.argmin(t4m, axis=1)
+            t_min = jnp.min(t4m, axis=1)
+            upd = t_min < t_best
+            t_best = jnp.where(upd, t_min, t_best)
+            hit_id = jnp.where(
+                upd, jnp.take_along_axis(ids, j[:, None], 1)[:, 0], hit_id)
+            return t_best, hit_id
+
+        t_best, hit_id = jax.lax.cond(jnp.any(do_leaf), leaf, lambda a: a,
+                                      (t_best, hit_id))
+        return nxt, t_best, hit_id
+
+    state = (jnp.zeros((n,), jnp.int32), t_init,
+             jnp.full((n,), -1, jnp.int32))
+    _, t, hit_id = jax.lax.while_loop(cond, body, state)
+    return t, hit_id
 
 
-def _unrolled_phase(bvh, origin, direction, state, steps, closest, t_limit,
-                    block=262144):
-    """`steps` trace-time-unrolled visits, processed in interleaved
-    trace-level blocks so independent gathers overlap."""
+def _chunk_any(origin, direction, max_dist, node0, bvh: BVHDevice):
     n = origin.shape[0]
-    if n <= block:
-        inv_dir, neg, octant = _ray_setup(direction)
-        for _ in range(steps):
-            state = _step(bvh, origin, direction, inv_dir, neg, octant,
-                          *state, closest=closest, t_limit=t_limit)
-        return state
-    n_blocks = (n + block - 1) // block
-    slices = [slice(b * block, min((b + 1) * block, n))
-              for b in range(n_blocks)]
-    setups = [_ray_setup(direction[sl]) for sl in slices]
-    blocks = [tuple(x[sl] for x in state) for sl in slices]
-    tl = [None if t_limit is None else t_limit[sl] for sl in slices]
-    for _ in range(steps):
-        blocks = [
-            _step(bvh, origin[sl], direction[sl], *setups[b], *blocks[b],
-                  closest=closest, t_limit=tl[b])
-            for b, sl in enumerate(slices)]
-    return tuple(jnp.concatenate([blk[i] for blk in blocks])
-                 for i in range(len(state)))
+    inv_dir, neg, octant = _ray_setup(direction)
+
+    def cond(s):
+        return jnp.any(s[0] >= 0)
+
+    def body(s):
+        node, occ = s
+        do_leaf, leaf_row, offset, count, nxt = _node_step(
+            bvh, origin, inv_dir, neg, octant, node, max_dist)
+
+        def leaf(occ):
+            t4m, _ = _leaf_tests(bvh, origin, direction, do_leaf, leaf_row,
+                                 offset, count, max_dist)
+            return occ | jnp.any(t4m < VERY_FAR, axis=1)
+
+        occ = jax.lax.cond(jnp.any(do_leaf), leaf, lambda o: o, occ)
+        nxt = jnp.where(occ, -1, nxt)  # first hit terminates (bvh.h:231)
+        return nxt, occ
+
+    state = (node0, jnp.zeros((n,), bool))
+    _, occ = jax.lax.while_loop(cond, body, state)
+    return occ
 
 
-def _compact(active, arrays, new_size):
-    """Scatter active entries (in order) into new arrays of new_size.
-    Caller must guarantee active_count <= new_size (see pre-sweep)."""
-    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
-    dest = jnp.where(active, pos, new_size)  # inactive -> dropped
-    out = []
-    for a in arrays:
-        shape = (new_size,) + a.shape[1:]
-        out.append(jnp.zeros(shape, a.dtype).at[dest].set(a, mode="drop"))
-    return out
+# Chunk size: gathers are latency-bound below ~100k rows, and a chunk's
+# while_loop trip count adapts to ITS worst ray; 16k measured best on v5e.
+CHUNK = 16384
 
 
-def _phase_schedule(n: int):
-    """(steps, keep_fraction) phases.  Tuned to the v5e visit distribution
-    (p50 ~33, p99 ~81 on the terrain benchmark): a couple of steps kill the
-    root-miss rays, then halving compactions track the survival curve."""
-    if n <= 32768:
-        return []
-    return [(3, 2), (14, 2), (16, 2), (16, 2), (16, 4)]
-
-
-def _run_traversal(origin, direction, bvh, t_seed, closest: bool,
-                   active=None):
-    """Shared unrolled-cascade driver for closest/any hit.
-
-    t_seed: closest -> initial t_best; any -> max distance (t_limit).
-    """
-    n = origin.shape[0]
-    if closest:
-        state = (jnp.zeros((n,), jnp.int32), t_seed,
-                 jnp.full((n,), -1, jnp.int32))
-        t_limit = None
-    else:
-        node0 = jnp.zeros((n,), jnp.int32) if active is None \
-            else jnp.where(active, 0, -1).astype(jnp.int32)
-        state = (node0, jnp.zeros((n,), jnp.float32),
-                 jnp.zeros((n,), jnp.int32))
-        t_limit = t_seed
-
-    out_t = t_seed if closest else jnp.zeros((n,), jnp.float32)
-    out_id = jnp.full((n,), -1, jnp.int32) if closest \
-        else jnp.zeros((n,), jnp.int32)
-
-    origin_s, dir_s = origin, direction
-    ridx = jnp.arange(n, dtype=jnp.int32)
-    tl = t_limit
-    size = n
-
-    for steps, frac in _phase_schedule(n):
-        state = _unrolled_phase(bvh, origin_s, dir_s, state, steps, closest,
-                                tl)
-        new_size = size // frac
-        # pre-sweep: guarantee actives fit the next buffer (usually a no-op
-        # whose cond fails on the first check)
-        state = _while_stage(bvh, origin_s, dir_s, state, new_size, closest,
-                             tl)
-        # bank finished rays
-        node = state[0]
-        done = node < 0
-        dest = jnp.where(done, ridx, n)
-        out_t = out_t.at[dest].set(state[1], mode="drop")
-        out_id = out_id.at[dest].set(state[2], mode="drop")
-        # compact survivors
-        act = ~done
-        packed = _compact(act, (origin_s, dir_s, ridx) + state
-                          + ((tl,) if tl is not None else ()), new_size)
-        origin_s, dir_s, ridx = packed[0], packed[1], packed[2]
-        state = tuple(packed[3:6])
-        if tl is not None:
-            tl = packed[6]
-        pad = jnp.arange(new_size, dtype=jnp.int32) \
-            >= jnp.sum(act.astype(jnp.int32))
-        state = (jnp.where(pad, -1, state[0]), state[1], state[2])
-        ridx = jnp.where(pad, n, ridx)
-        size = new_size
-
-    # final sweeper: run to completion
-    state = _while_stage(bvh, origin_s, dir_s, state, 0, closest, tl)
-    done = state[0] < 0
-    dest = jnp.where(done, ridx, n)
-    out_t = out_t.at[dest].set(state[1], mode="drop")
-    out_id = out_id.at[dest].set(state[2], mode="drop")
-    return out_t, out_id
+def _map_chunks(fn, arrays, n, chunk=CHUNK):
+    if n > chunk and n % chunk == 0:
+        c = n // chunk
+        reshaped = tuple(a.reshape((c, chunk) + a.shape[1:]) for a in arrays)
+        out = jax.lax.map(lambda xs: fn(*xs), reshaped)
+        return jax.tree.map(lambda o: o.reshape((n,) + o.shape[2:]), out)
+    return fn(*arrays)
 
 
 @jax.jit
@@ -350,7 +344,8 @@ def closest_hit(origin, direction, bvh: BVHDevice, t_init=None):
     n = origin.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
-    return _run_traversal(origin, direction, bvh, t_init, closest=True)
+    return _map_chunks(lambda o, d, t: _chunk_closest(o, d, t, bvh),
+                       (origin, direction, t_init), n)
 
 
 @jax.jit
@@ -363,9 +358,13 @@ def any_hit(origin, direction, max_dist, bvh: BVHDevice, active=None):
     (the dense-batch stand-in for the reference's shadow_ray_cnt-bounded
     loop, kernel.cu:634).  Returns occluded [N] bool.
     """
-    _, occ = _run_traversal(origin, direction, bvh, max_dist, closest=False,
-                            active=active)
-    return occ > 0
+    n = origin.shape[0]
+    if active is None:
+        node0 = jnp.zeros((n,), jnp.int32)
+    else:
+        node0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    return _map_chunks(lambda o, d, m, s: _chunk_any(o, d, m, s, bvh),
+                       (origin, direction, max_dist, node0), n)
 
 
 def traversal_depth_map(origin, direction, bvh: BVHDevice):
