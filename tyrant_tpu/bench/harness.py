@@ -56,25 +56,25 @@ def measure_shadow_fraction(renderer: Renderer, camera: Camera,
                             probe_steps: int = 4) -> float:
     """Estimate valid-shadow-rays per path segment (the reference's
     shadow_ray_cnt / queue size) by probing terminated+shadow stats."""
-    from .. import sky as skymod
     from ..render import _intersect_scene, _raygen, _shade
 
     cfg = renderer.cfg
-    cam = camera.to_device(cfg)
-    state = renderer.state
+    if not hasattr(renderer, "_shadow_probe"):
+        def probe(state, cam):
+            gen = _raygen(cfg, cam, state.start_position, state.frame,
+                          cfg.height, 0)
+            t, ident, is_tri = _intersect_scene(gen["origin"],
+                                                gen["direction"],
+                                                renderer.scene)
+            _, _, _, _, shadow = _shade(cfg, renderer.scene,
+                                        renderer.sky_params,
+                                        renderer.sun_dir, gen, t, ident,
+                                        is_tri, state.frame)
+            return jnp.mean(shadow["valid"].astype(jnp.float32))
 
-    @jax.jit
-    def probe(state):
-        gen = _raygen(cfg, cam, state.start_position, state.frame,
-                      cfg.height, 0)
-        t, ident, is_tri = _intersect_scene(gen["origin"], gen["direction"],
-                                            renderer.scene)
-        _, _, _, _, shadow = _shade(cfg, renderer.scene, renderer.sky_params,
-                                    renderer.sun_dir, gen, t, ident, is_tri,
-                                    state.frame)
-        return jnp.mean(shadow["valid"].astype(jnp.float32))
-
-    return float(probe(state))
+        renderer._shadow_probe = jax.jit(probe)
+    return float(renderer._shadow_probe(renderer.state,
+                                        camera.to_device(cfg)))
 
 
 def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,

@@ -41,11 +41,17 @@ class SkyConfig:
 
 @dataclasses.dataclass(frozen=True)
 class BVHConfig:
-    """SAH builder knobs.  Reference: bvh.h:76-84."""
+    """SAH builder knobs.  Reference: bvh.h:76-84.
+
+    Deviation: the reference uses traversal_cost = 1.0 (bvh.h:81), tuned for
+    a GPU where a node step is cheap relative to a triangle test.  On TPU a
+    node visit costs a full gathered row, the same as a packed leaf test, so
+    fatter leaves win: 4.0 halves the node count and cuts traversal time
+    ~20% (docs/PERFORMANCE.md)."""
 
     bucket_number: int = 14       # bvh.h:76
     max_prims_per_leaf: int = 4   # bvh.h:78
-    traversal_cost: float = 1.0   # bvh.h:81
+    traversal_cost: float = 4.0   # reference: 1.0 (bvh.h:81)
     intersection_cost: float = 1.0  # bvh.h:84
 
 

@@ -164,10 +164,22 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
 def _intersect_scene(origin, direction, scene: SceneData):
     """Spheres first, then BVH seeded with the sphere distance (the BVH only
     wins if strictly closer by > epsilon, bvh.h:134).  Returns
-    (t, identifier, is_triangle)."""
+    (t, identifier, is_triangle).
+
+    Rays are traversed in direction-octant order: bounce rays are
+    incoherent, and grouping by octant reduces per-chunk worst-ray stalls
+    (~10%, docs/PERFORMANCE.md) — the XLA stand-in for the reference's
+    divergence-hiding work stealing."""
     t_sph, sph_id = intersect_spheres(origin, direction,
                                       scene.sphere_center, scene.sphere_radius)
-    t, tri_id = closest_hit(origin, direction, scene.bvh, t_init=t_sph)
+    neg = direction < 0
+    key = (neg[:, 0].astype(jnp.int32) + 2 * neg[:, 1].astype(jnp.int32)
+           + 4 * neg[:, 2].astype(jnp.int32))
+    order = jnp.argsort(key)
+    t_o, tri_id_o = closest_hit(origin[order], direction[order], scene.bvh,
+                                t_init=t_sph[order])
+    inv = jnp.argsort(order)
+    t, tri_id = t_o[inv], tri_id_o[inv]
     is_tri = tri_id >= 0
     ident = jnp.where(is_tri, tri_id, sph_id)
     return t, ident, is_tri
@@ -354,9 +366,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                            direct / jnp.maximum(p, 1e-20)[:, None], direct)
 
     # --- miss: sky radiance (kernel.cu:613-617) ---
-    miss_col = jnp.where(last_spec_in[:, None],
-                         skymod.sunsky(d, sun_dir, sky_params),
-                         skymod.sky(d, sun_dir, sky_params))
+    sky_v, sunsky_v = skymod.sky_and_sunsky(d, sun_dir, sky_params)
+    miss_col = jnp.where(last_spec_in[:, None], sunsky_v, sky_v)
     color = color + jnp.where(hit[:, None], 0.0, rays["direct"] * miss_col)
 
     terminated = (~hit) | (hit & ~survive)

@@ -151,3 +151,17 @@ def sunsky(view_dir, sun_dir, params: SkyParams):
     sundisk = t * t * (3.0 - 2.0 * t)  # glm::smoothstep, sunsky.cu:156-157
     sun_term = (sun_e[..., None] * 19000.0 * fex) * sundisk[..., None] * 1e-5
     return 0.01 * (sun_term + sky_term)
+
+
+def sky_and_sunsky(view_dir, sun_dir, params: SkyParams):
+    """Both miss radiances from one shared atmosphere evaluation (the shade
+    step needs sky() for diffuse-born misses and sunsky() for specular-born
+    ones, kernel.cu:615)."""
+    sun_e, fex, sky_term, cos_view_sun = _atmosphere_common(view_dir, sun_dir,
+                                                            params)
+    sky_v = params.cfg.sky_factor * 0.01 * sky_term
+    a = params.sun_angular_diameter_cos
+    t = jnp.clip((cos_view_sun - a) / 0.00002, 0.0, 1.0)
+    sundisk = t * t * (3.0 - 2.0 * t)
+    sun_term = (sun_e[..., None] * 19000.0 * fex) * sundisk[..., None] * 1e-5
+    return sky_v, 0.01 * (sun_term + sky_term)
