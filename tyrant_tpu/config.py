@@ -83,6 +83,11 @@ class RenderConfig:
     # pixel-visit order for raygen: "scan" (reference, kernel.cu:263) or
     # "tiled8" (8x8 screen tiles -> coherent ray packets)
     raygen_order: str = "tiled8"
+    # Pallas packet-traversal kernel: "off" (XLA cascade), "on" (requires
+    # tables to fit VMEM).  2.8x faster where it applies but still hits
+    # intermittent TPU-worker faults on the axon stack (docs/PERFORMANCE.md),
+    # hence off by default this round.
+    use_packet_kernel: str = "off"
 
     @property
     def num_pixels(self) -> int:

@@ -161,7 +161,7 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
 # extend — kernel.cu:331-343 / intersect_scene kernel.cu:125-142
 # --------------------------------------------------------------------------
 
-def _intersect_scene(origin, direction, scene: SceneData):
+def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None):
     """Spheres first, then BVH seeded with the sphere distance (the BVH only
     wins if strictly closer by > epsilon, bvh.h:134).  Returns
     (t, identifier, is_triangle).
@@ -169,17 +169,23 @@ def _intersect_scene(origin, direction, scene: SceneData):
     Rays are traversed in direction-octant order: bounce rays are
     incoherent, and grouping by octant reduces per-chunk worst-ray stalls
     (~10%, docs/PERFORMANCE.md) — the XLA stand-in for the reference's
-    divergence-hiding work stealing."""
+    divergence-hiding work stealing.  ``packet_tables``: use the Pallas
+    packet kernel instead of the XLA cascade."""
     t_sph, sph_id = intersect_spheres(origin, direction,
                                       scene.sphere_center, scene.sphere_radius)
-    neg = direction < 0
-    key = (neg[:, 0].astype(jnp.int32) + 2 * neg[:, 1].astype(jnp.int32)
-           + 4 * neg[:, 2].astype(jnp.int32))
-    order = jnp.argsort(key)
-    t_o, tri_id_o = closest_hit(origin[order], direction[order], scene.bvh,
-                                t_init=t_sph[order])
-    inv = jnp.argsort(order)
-    t, tri_id = t_o[inv], tri_id_o[inv]
+    if packet_tables is not None:
+        from .ops.pallas.traverse_kernel import closest_hit_packets
+        t, tri_id = closest_hit_packets(origin, direction, packet_tables,
+                                        t_init=t_sph)
+    else:
+        neg = direction < 0
+        key = (neg[:, 0].astype(jnp.int32) + 2 * neg[:, 1].astype(jnp.int32)
+               + 4 * neg[:, 2].astype(jnp.int32))
+        order = jnp.argsort(key)
+        t_o, tri_id_o = closest_hit(origin[order], direction[order],
+                                    scene.bvh, t_init=t_sph[order])
+        inv = jnp.argsort(order)
+        t, tri_id = t_o[inv], tri_id_o[inv]
     is_tri = tri_id >= 0
     ident = jnp.where(is_tri, tri_id, sph_id)
     return t, ident, is_tri
@@ -385,10 +391,15 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 # connect — kernel.cu:630-646 / intersect_scene_simple kernel.cu:162-174
 # --------------------------------------------------------------------------
 
-def _connect(scene: SceneData, shadow):
+def _connect(scene: SceneData, shadow, packet_tables=None):
     o, sdir = shadow["origin"], shadow["direction"]
     maxd = jnp.where(shadow["valid"], shadow["max_dist"], 0.0)
-    occluded = any_hit(o, sdir, maxd, scene.bvh, active=shadow["valid"])
+    if packet_tables is not None:
+        from .ops.pallas.traverse_kernel import any_hit_packets
+        occluded = any_hit_packets(o, sdir, maxd, packet_tables,
+                                   active=shadow["valid"])
+    else:
+        occluded = any_hit(o, sdir, maxd, scene.bvh, active=shadow["valid"])
     # sphere any-hit: (t + eps) < closestAllowed (kernel.cu:168-172)
     t_all = ray_sphere(o[:, None, :], sdir[:, None, :],
                        scene.sphere_center[None], scene.sphere_radius[None])
@@ -408,7 +419,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
                 sun_dir, *, cfg: RenderConfig,
                 sky_params: skymod.SkyParams | None = None,
                 local_height: int | None = None,
-                row_offset=0) -> RenderState:
+                row_offset=0, packet_tables=None) -> RenderState:
     """One wavefront iteration == one displayed frame of the reference
     (one bounce for every ray in flight + top-off raygen).  Pure function;
     jit with static cfg/local_height (see :class:`Renderer`)."""
@@ -443,14 +454,14 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
 
     # 2. extend
     t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
-                                        scene)
+                                        scene, packet_tables=packet_tables)
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(
         cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, state.frame)
 
     # 4. connect
-    shadow_contrib = _connect(scene, shadow)
+    shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables)
 
     # 5. accumulate (deterministic scatter-add replaces atomicAdd,
     # kernel.cu:622-625 / 641-644)
@@ -492,7 +503,14 @@ class Renderer:
         self.sun_dir = skymod.sun_direction_from_position(
             jnp.asarray(self.sun_position))
         self._last_pose = None
-        step = partial(render_step, cfg=cfg, sky_params=self.sky_params)
+        packet_tables = None
+        if cfg.use_packet_kernel == "on":
+            from .ops.pallas.traverse_kernel import PacketTables
+            packet_tables = PacketTables(self.scene.bvh)
+            if not packet_tables.fits:
+                packet_tables = None
+        step = partial(render_step, cfg=cfg, sky_params=self.sky_params,
+                       packet_tables=packet_tables)
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
         self.state = init_state(cfg)
 

@@ -228,6 +228,9 @@ def load_mesh(path: str):
             return ply_native.load_ply(path)
         except Exception:
             return ply.load_ply(path)
+    if path.endswith(".obj"):
+        from .obj import load_obj
+        return load_obj(path)
     raise ValueError(f"unsupported mesh format: {path}")
 
 
