@@ -16,6 +16,7 @@ a net identity — we perform no swap (SURVEY.md C4).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -129,6 +130,14 @@ class Scene:
         """
         spheres = spheres or Spheres.default_seven()
         if path is None:
+            z = np.zeros((0, 3), np.float32)
+            return cls(spheres, z, z, z, None, {"nodes": 0})
+        if not os.path.exists(path):
+            # degrade to a primitive-less scene with a warning, like the
+            # reference (Scene.cpp:49-52 "No primitives found in scene")
+            import sys
+            print(f"warning: scene file {path!r} not found; "
+                  "loading scene without mesh primitives", file=sys.stderr)
             z = np.zeros((0, 3), np.float32)
             return cls(spheres, z, z, z, None, {"nodes": 0})
 
