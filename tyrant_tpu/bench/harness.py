@@ -115,6 +115,19 @@ def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
     return results
 
 
+def write_performance_txt(results: list[PoseResult], path: str):
+    """Write the reference-style Performance.txt (performance_measure.cpp:
+    24-42 — with its ms/seconds mislabeling fixed)."""
+    with open(path, "w") as f:
+        for r in results:
+            f.write(f"Scene {r.pose}\n")
+            f.write(f"Average frame time: {r.avg_ms:.4f} ms "
+                    f"({r.fps:.2f} FPS)\n")
+            f.write(f"Min frame time: {r.min_ms:.4f} ms\n")
+            f.write(f"Max frame time: {r.max_ms:.4f} ms\n")
+            f.write(f"Throughput: {r.total_mrays_per_s:.2f} Mrays/s\n\n")
+
+
 def results_to_dict(results: list[PoseResult]) -> dict:
     return {
         "poses": [dataclasses.asdict(r) for r in results],

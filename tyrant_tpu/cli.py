@@ -48,7 +48,6 @@ def _build(args):
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()
-        import dataclasses as dc
         # keep only the light so NEE still has a target
         keep = s.refl == 4
         spheres = Spheres(center=s.center[keep], radius=s.radius[keep],
@@ -68,6 +67,8 @@ def cmd_render(args):
     from .ops.tonemap import to_uint8
     from .render import Renderer
 
+    import jax.numpy as jnp
+
     cfg, scene, cam = _build(args)
     r = Renderer(scene, cfg, sun_position=tuple(args.sun))
     t0 = time.time()
@@ -76,7 +77,7 @@ def cmd_render(args):
         chunk = min(args.steps - done, 25)
         r.step(cam, chunk)
         done += chunk
-        r.state.accum.block_until_ready()
+        float(jnp.sum(r.state.accum[:, 3]))  # hard sync (see bench harness)
         el = time.time() - t0
         print(f"  step {done}/{args.steps}  {el:.1f}s "
               f"({done * cfg.num_rays / el / 1e6:.1f} Mseg/s)", file=sys.stderr)
@@ -87,11 +88,13 @@ def cmd_render(args):
 
 def cmd_bench(args):
     from .bench import results_to_dict, run_benchmark
-    from .config import RenderConfig
+    from .bench.harness import write_performance_txt
 
     cfg, scene, _ = _build(args)
     results = run_benchmark(scene, cfg, seconds_per_pose=args.seconds)
     d = results_to_dict(results)
+    if args.txt:
+        write_performance_txt(results, args.txt)
     if args.json:
         print(json.dumps(d))
     else:
@@ -153,6 +156,7 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--txt", default=None, help="also write reference-style Performance.txt")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("bvh-debug", help="traversal-cost heatmap (BVH_DEBUG)")
