@@ -23,24 +23,24 @@ BASELINE_MRAYS = 100.0
 
 
 def main():
-    import numpy as np
+    import os
 
     from tyrant_tpu.bench import results_to_dict, run_benchmark
     from tyrant_tpu.config import RenderConfig
-    from tyrant_tpu.scene.procgen import benchmark_scene
     from tyrant_tpu.scene.scene import Scene
 
-    try:
-        from tyrant_tpu.native import bvh_native  # noqa: F401
-        n_tris = 1_000_000
-        builder = "native"
-    except Exception:
-        n_tris = 65_536
-        builder = "numpy"
-
     t0 = time.time()
-    v0, v1, v2 = benchmark_scene(n_tris)
-    scene = Scene.from_triangles(v0, v1, v2, builder=builder)
+    dragon = "/root/reference/PathTracer/Data/dragon.ply"
+    if os.path.exists(dragon):
+        # the metric of record is "bundled mesh scene" (BASELINE.json);
+        # dragon.ply is the bundled mesh (castle.ply is a missing blob)
+        scene = Scene.load(dragon)
+        kernel = "on"  # 38k tris: fat-row tables fit VMEM
+    else:
+        from tyrant_tpu.scene.procgen import benchmark_scene
+        v0, v1, v2 = benchmark_scene(65_536)
+        scene = Scene.from_triangles(v0, v1, v2)
+        kernel = "on"
     print(f"# scene: {scene.stats} ({time.time() - t0:.1f}s build)",
           file=sys.stderr)
 
@@ -48,7 +48,7 @@ def main():
     # a free parameter (the reference's 2M queue, variables.h:44, is tuned
     # for SM occupancy) — 512k currently paces the TPU pipeline best
     cfg = RenderConfig(width=1920, height=1080, num_rays=1 << 19,
-                       max_bounces=5)
+                       max_bounces=5, use_packet_kernel=kernel)
     results = run_benchmark(scene, cfg, seconds_per_pose=8.0, warmup_steps=2)
     d = results_to_dict(results)
     for r in d["poses"]:
@@ -58,7 +58,7 @@ def main():
 
     value = d["total_mrays_per_s"]
     print(json.dumps({
-        "metric": "total_ray_throughput_1080p_terrain",
+        "metric": "total_ray_throughput_1080p_bundled_mesh",
         "value": round(value, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(value / BASELINE_MRAYS, 3),

@@ -79,5 +79,5 @@ def test_non_multiple_packet_padding():
 
 
 def test_tables_fit_predicate():
-    assert tables_fit_vmem(4_000, 4_000)
-    assert not tables_fit_vmem(2_000_000, 1_000_000)
+    assert tables_fit_vmem(15_000)       # ~30k-tri scene
+    assert not tables_fit_vmem(500_000)  # ~1M-tri scene needs treelets

@@ -83,11 +83,10 @@ class RenderConfig:
     # pixel-visit order for raygen: "scan" (reference, kernel.cu:263) or
     # "tiled8" (8x8 screen tiles -> coherent ray packets)
     raygen_order: str = "tiled8"
-    # Pallas packet-traversal kernel: "off" (XLA cascade), "on" (requires
-    # tables to fit VMEM).  2.8x faster where it applies but still hits
-    # intermittent TPU-worker faults on the axon stack (docs/PERFORMANCE.md),
-    # hence off by default this round.
-    use_packet_kernel: str = "off"
+    # Pallas packet-traversal kernel: "auto" (on TPU when the fat-row table
+    # fits VMEM, ~20k tris), "on" (force), "off" (XLA cascade).  ~15-50x
+    # faster than the XLA path where it applies (docs/PERFORMANCE.md).
+    use_packet_kernel: str = "auto"
 
     @property
     def num_pixels(self) -> int:

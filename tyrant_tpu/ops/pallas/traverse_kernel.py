@@ -16,11 +16,24 @@ kernel uses classic *packet tracing* (Wald-style SIMD packets), which maps
   * a node is descended if ANY ray in the packet wants it; per-ray
     ``t_best`` keeps the reference's early-out pruning (Bbox.h:61).
 
-Node and triangle tables are VMEM-resident (fits ~<=150k triangles; larger
-scenes fall back to the XLA gather cascade in ops/traverse.py — a two-level
-treelet scheme is the planned extension).  Traversal order is per-packet:
-near-child-first by the packet's majority direction sign along the split
-axis — same front-to-back heuristic as bvh.h:146-152, voted per packet.
+Table layout ("fat rows").  Mosaic scalar loads only allow dynamic indices
+on the SUBLANE dimension, and VMEM pads every row to 128 lanes (512 B), so
+the layout packs everything about one INTERIOR node into a single f32 row:
+
+  lanes  0-5   left child AABB (lo.xyz, hi.xyz)
+  lanes  6-11  right child AABB
+  lane   12    left child tag:  >0 leaf prim count, <0 interior, 0 empty
+  lane   13    right child tag
+  lane   14    left ref:  fat-row index (interior) / global prim offset (leaf)
+  lane   15    right ref
+  lane   16    this node's split axis (traversal ordering, bvh.h:146-152)
+  lanes  17-52 left leaf payload: 4 x (v0,e1,e2) triangles
+  lanes  53-88 right leaf payload
+
+Integers are stored as exact f32 values (all < 2^24) so the kernel needs no
+bitcasts.  One row per interior node: visits halve vs a node-at-a-time walk
+and VMEM capacity is ~n_tris/2 rows (~20k-triangle scenes; two-level treelet
+streaming is the planned extension for larger scenes).
 
 Semantics (hit acceptance, epsilon rules) match ops/traverse.py bit-for-bit
 except for floating-point association differences in Möller-Trumbore.
@@ -29,7 +42,6 @@ except for floating-point association differences in Möller-Trumbore.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -41,15 +53,20 @@ from ...config import EPSILON, VERY_FAR
 from ...scene.bvh import META_AXIS_SHIFT, META_COUNT_MASK, META_OFFSET_SHIFT
 
 PACKET = 1024          # rays per packet (8 sublanes x 128 lanes)
-STACK_DEPTH = 96       # cf. reference's 64-entry stack (bvh.h:124)
-# VMEM budget for node+tri tables; beyond this the caller should fall back
+# packets per grid step: amortizes the per-grid-step overhead (the fat-row
+# table DMA) over many packets
+PACKETS_PER_BLOCK = 16
+STACK_DEPTH = 128      # cf. reference's 64-entry stack (bvh.h:124)
+ROW_WIDTH = 128
+# VMEM budget for the fat-row table; beyond this the caller falls back
 VMEM_TABLE_BUDGET = 10 * 1024 * 1024
 
+_L_TAG, _R_TAG, _L_REF, _R_REF, _AXIS = 12, 13, 14, 15, 16
+_L_TRI, _R_TRI = 17, 53
 
-def tables_fit_vmem(n_nodes: int, n_tris: int) -> bool:
-    # every table row costs a full 512-byte padded lane row in VMEM
-    bytes_needed = (2 * n_nodes + n_tris + 3) * 512
-    return bytes_needed <= VMEM_TABLE_BUDGET
+
+def tables_fit_vmem(n_interior_rows: int) -> bool:
+    return n_interior_rows * ROW_WIDTH * 4 <= VMEM_TABLE_BUDGET
 
 
 def _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
@@ -74,133 +91,147 @@ def _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
     return jnp.where(valid, t, 0.0)
 
 
-def _traverse_kernel(node_ref, nodei_ref, tri_ref,
-                     ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref, dzr_ref,
-                     t0_ref, tout_ref, hit_ref, stack_ref, *, closest: bool):
-    """One packet per grid step.
+def _traverse_kernel(rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
+                     dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref, *,
+                     closest: bool):
+    """PACKETS_PER_BLOCK packets per grid step.  rows_ref: [I, 128] f32
+    fat-row table; rays/outputs: [K*8, 128] blocks;
+    stack_ref: SMEM [STACK_DEPTH] i32."""
+    for k in range(PACKETS_PER_BLOCK):
+        sub = PACKET // 128
+        s = slice(sub * k, sub * (k + 1))
+        _traverse_packet(rows_ref, ox_ref[s, :], oy_ref[s, :], oz_ref[s, :],
+                         dxr_ref[s, :], dyr_ref[s, :], dzr_ref[s, :],
+                         t0_ref[s, :],
+                         dxr_ref[sub * k, 0], dyr_ref[sub * k, 0],
+                         dzr_ref[sub * k, 0],
+                         tout_ref, hit_ref, s, stack_ref, closest)
 
-    node_ref:  [Nn, 8] f32 (lo3, hi3, pad2).  Mosaic only proves dynamic
-               indices on the SUBLANE dim, so rows are (node, static-lane);
-               VMEM pads each row to 128 lanes (512 B/node) — the table
-               budget accounts for that
-    nodei_ref: [Nn, 2] i32 (meta, second_child) — separate table so scalar
-               loads need no bitcasts
-    tri_ref:   [T+3, 9] f32 leaf-ordered triangles (v0, e1, e2)
-    rays:      [8, 128] components
-    t0_ref:    [8, 128] initial t (sphere-pass seed / shadow max dist)
-    tout/hit:  [8, 128] outputs (closest: t + prim id; any: t untouched +
-               occluded mask as i32)
-    stack_ref: SMEM [STACK_DEPTH] i32
-    """
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dxr_ref[:], dyr_ref[:], dzr_ref[:]
+
+def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
+                     dx0, dy0, dz0, tout_ref, hit_ref, out_slice, stack_ref,
+                     closest: bool):
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
-    t_init = t0_ref[:]
 
     # packet traversal-order heuristic: first ray's direction signs (scalar
-    # loads — vector-reduce-to-scalar feeding addressing is avoided; for
-    # coherent packets the first ray is representative, and order only
-    # affects pruning efficiency, never correctness)
-    negx = (dxr_ref[0, 0] < 0).astype(jnp.int32)
-    negy = (dyr_ref[0, 0] < 0).astype(jnp.int32)
-    negz = (dzr_ref[0, 0] < 0).astype(jnp.int32)
+    # loads; order only affects pruning efficiency, never correctness)
+    negx = (dx0 < 0).astype(jnp.int32)
+    negy = (dy0 < 0).astype(jnp.int32)
+    negz = (dz0 < 0).astype(jnp.int32)
 
-    stack_ref[0] = 0  # push root
+    # accumulators live in the OUTPUT refs so the leaf blocks can run under
+    # pl.when (scalar predication): visits whose children are interior skip
+    # all triangle loads and tests
+    tout_ref[out_slice, :] = t_init
+    if closest:
+        hit_ref[out_slice, :] = jnp.full(t_init.shape, -1, jnp.int32)
+    else:
+        hit_ref[out_slice, :] = jnp.zeros(t_init.shape, jnp.int32)
 
-    def cond(state):
-        sp = state[0]
-        if closest:
-            return sp >= 0
-        occ = state[2]
-        return (sp >= 0) & jnp.logical_not(jnp.all(occ > 0))
+    stack_ref[0] = 0  # push the root fat-row
 
-    def body(state):
-        # Fully predicated body (no lax.cond/switch): leaf intersection is
-        # masked, stack pushes write dead slots when not descending.
-        sp, t_best, hit = state
-        node = stack_ref[sp]
+    def cond(sp):
+        return sp >= 0
+
+    def body(sp):
+        row = stack_ref[sp]
         sp = sp - 1
 
-        lox = node_ref[node, 0]
-        loy = node_ref[node, 1]
-        loz = node_ref[node, 2]
-        hix = node_ref[node, 3]
-        hiy = node_ref[node, 4]
-        hiz = node_ref[node, 5]
-        meta = nodei_ref[node, 0]
-        second = nodei_ref[node, 1]
-        count = meta & META_COUNT_MASK
-        axis = (meta >> META_AXIS_SHIFT) & 3
-        offset = meta >> META_OFFSET_SHIFT
-
-        # vector slab test (Bbox.h:38-62); per-ray sign select
-        n_x = jnp.where(dx < 0, hix, lox)
-        f_x = jnp.where(dx < 0, lox, hix)
-        n_y = jnp.where(dy < 0, hiy, loy)
-        f_y = jnp.where(dy < 0, loy, hiy)
-        n_z = jnp.where(dz < 0, hiz, loz)
-        f_z = jnp.where(dz < 0, loz, hiz)
-        tmin = jnp.maximum(jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
-                           (n_z - oz) * inv_z)
-        tmax = jnp.minimum(jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
-                           (f_z - oz) * inv_z)
-        prune = t_best if closest else t_init
-        box_hit = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
-        if not closest:
-            box_hit = box_hit & (hit == 0)
-        any_ray = jnp.any(box_hit)
-
-        is_leaf = count > 0
-        do_leaf = any_ray & is_leaf
-
-        # --- leaf: 4 masked triangle tests, trace-time unrolled (scalar
-        # loads feeding vector M-T; masked row 0 reads when interior) ---
-        for j in range(4):
-            slot_ok = do_leaf & (j < count)
-            ti = jnp.where(slot_ok, offset + j, 0)
-            v0x = tri_ref[ti, 0]
-            v0y = tri_ref[ti, 1]
-            v0z = tri_ref[ti, 2]
-            e1x = tri_ref[ti, 3]
-            e1y = tri_ref[ti, 4]
-            e1z = tri_ref[ti, 5]
-            e2x = tri_ref[ti, 6]
-            e2y = tri_ref[ti, 7]
-            e2z = tri_ref[ti, 8]
-            t = _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z,
-                           e1x, e1y, e1z, e2x, e2y, e2z)
-            if closest:
-                # accept rule bvh.h:134
-                ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON) & box_hit
-                t_best = jnp.where(ok, t, t_best)
-                hit = jnp.where(ok, ti, hit)
-            else:
-                # accept rule bvh.h:229 vs max dist in t_init
-                ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON) & box_hit
-                hit = jnp.where(ok, 1, hit)
-
-        # --- interior descent: push far then near (near popped first) ---
+        axis = rows_ref[row, _AXIS].astype(jnp.int32)
         neg_axis = jnp.where(axis == 0, negx,
                              jnp.where(axis == 1, negy, negz))
-        first = node + 1
-        near = jnp.where(neg_axis == 1, second, first)
-        far = jnp.where(neg_axis == 1, first, second)
-        descend = any_ray & jnp.logical_not(is_leaf)
-        # dead writes above sp are harmless when not descending
-        stack_ref[sp + 1] = far
-        stack_ref[sp + 2] = near
-        sp = sp + 2 * descend.astype(jnp.int32)
-        return sp, t_best, hit
+        t_best = tout_ref[out_slice, :]
+        prune = t_best if closest else t_init
+        if not closest:
+            occ = hit_ref[out_slice, :]
 
-    if closest:
-        state = (jnp.int32(0), t_init, jnp.full((8, 128), -1, jnp.int32))
-    else:
-        state = (jnp.int32(0), t_init, jnp.zeros((8, 128), jnp.int32))
-    _, t_out, hit_out = jax.lax.while_loop(cond, body, state)
-    tout_ref[:] = t_out
-    hit_ref[:] = hit_out
+        def slab(base):
+            lox = rows_ref[row, base + 0]
+            loy = rows_ref[row, base + 1]
+            loz = rows_ref[row, base + 2]
+            hix = rows_ref[row, base + 3]
+            hiy = rows_ref[row, base + 4]
+            hiz = rows_ref[row, base + 5]
+            n_x = jnp.where(dx < 0, hix, lox)
+            f_x = jnp.where(dx < 0, lox, hix)
+            n_y = jnp.where(dy < 0, hiy, loy)
+            f_y = jnp.where(dy < 0, loy, hiy)
+            n_z = jnp.where(dz < 0, hiz, loz)
+            f_z = jnp.where(dz < 0, loz, hiz)
+            tmin = jnp.maximum(
+                jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
+                (n_z - oz) * inv_z)
+            tmax = jnp.minimum(
+                jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
+                (f_z - oz) * inv_z)
+            bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
+            if not closest:
+                bh = bh & (occ == 0)
+            return bh
+
+        box_l = slab(0)
+        box_r = slab(6)
+        any_l = jnp.any(box_l)
+        any_r = jnp.any(box_r)
+
+        tag_l = rows_ref[row, _L_TAG].astype(jnp.int32)
+        tag_r = rows_ref[row, _R_TAG].astype(jnp.int32)
+        ref_l = rows_ref[row, _L_REF].astype(jnp.int32)
+        ref_r = rows_ref[row, _R_REF].astype(jnp.int32)
+
+        # --- leaf children under scalar predication ---
+        def leaf_child(tri_base, tag, ref, box_hit):
+            def run():
+                t_best = tout_ref[out_slice, :]
+                hit = hit_ref[out_slice, :]
+                for j in range(4):
+                    slot_ok = box_hit & (j < tag)
+                    b = tri_base + 9 * j
+                    t = _mt_packet(
+                        ox, oy, oz, dx, dy, dz,
+                        rows_ref[row, b + 0], rows_ref[row, b + 1],
+                        rows_ref[row, b + 2], rows_ref[row, b + 3],
+                        rows_ref[row, b + 4], rows_ref[row, b + 5],
+                        rows_ref[row, b + 6], rows_ref[row, b + 7],
+                        rows_ref[row, b + 8])
+                    if closest:
+                        # accept rule bvh.h:134
+                        ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
+                        t_best = jnp.where(ok, t, t_best)
+                        hit = jnp.where(ok, ref + j, hit)
+                    else:
+                        # accept rule bvh.h:229 vs max dist in t_init
+                        ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
+                        hit = jnp.where(ok, 1, hit)
+                if closest:
+                    tout_ref[out_slice, :] = t_best
+                hit_ref[out_slice, :] = hit
+            return run
+
+        pl.when(any_l & (tag_l > 0))(leaf_child(_L_TRI, tag_l, ref_l, box_l))
+        pl.when(any_r & (tag_r > 0))(leaf_child(_R_TRI, tag_r, ref_r, box_r))
+
+        # --- interior children: push far then near (near popped first);
+        # dead writes above sp are harmless when predicated off ---
+        push_l = any_l & (tag_l < 0)
+        push_r = any_r & (tag_r < 0)
+        near_is_r = neg_axis == 1
+        first_ref = jnp.where(near_is_r, ref_l, ref_r)   # far
+        first_ok = jnp.where(near_is_r, push_l, push_r)
+        second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near
+        second_ok = jnp.where(near_is_r, push_r, push_l)
+        stack_ref[sp + 1] = first_ref
+        sp = sp + first_ok.astype(jnp.int32)
+        stack_ref[sp + 1] = second_ref
+        sp = sp + second_ok.astype(jnp.int32)
+        if not closest:
+            # early exit once every ray is occluded
+            sp = jnp.where(jnp.all(hit_ref[out_slice, :] > 0), -1, sp)
+        return sp
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 def _pad_to_packets(x, n, fill):
@@ -211,8 +242,8 @@ def _pad_to_packets(x, n, fill):
 
 
 @functools.partial(jax.jit, static_argnames=("closest", "interpret"))
-def _run(node_f32, node_i32, tri_flat, origin, direction, t_init,
-         closest: bool, interpret: bool = False):
+def _run(rows, origin, direction, t_init, closest: bool,
+         interpret: bool = False):
     n = origin.shape[0]
     comps = [
         _pad_to_packets(origin[:, 0], n, 0.0),
@@ -223,45 +254,93 @@ def _run(node_f32, node_i32, tri_flat, origin, direction, t_init,
         _pad_to_packets(direction[:, 2], n, 1.0),
         _pad_to_packets(t_init, n, 0.0 if not closest else VERY_FAR),
     ]
+    # round packets up to a whole number of blocks
+    block_rays = PACKET * PACKETS_PER_BLOCK
     npad = comps[0].shape[0]
-    n_packets = npad // PACKET
-    comps = [c.reshape(n_packets * 8, 128) for c in comps]
+    if npad % block_rays:
+        extra = block_rays - npad % block_rays
+        comps = [jnp.concatenate(
+            [c, jnp.broadcast_to(c[-1:], (extra,) + c.shape[1:])])
+            for c in comps]
+        npad += extra
+    n_blocks = npad // block_rays
+    rows_per_block = (PACKET // 128) * PACKETS_PER_BLOCK
+    comps = [c.reshape(n_blocks * rows_per_block, 128) for c in comps]
 
-    ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_traverse_kernel, closest=closest)
     t_out, hit_out = pl.pallas_call(
         kernel,
-        grid=(n_packets,),
-        in_specs=[table_spec, table_spec, table_spec] + [ray_spec] * 7,
+        grid=(n_blocks,),
+        in_specs=[table_spec] + [ray_spec] * 7,
         out_specs=[ray_spec, ray_spec],
-        out_shape=[jax.ShapeDtypeStruct((n_packets * 8, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((n_packets * 8, 128), jnp.int32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * rows_per_block, 128),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * rows_per_block, 128),
+                                 jnp.int32)],
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
-    )(node_f32, node_i32, tri_flat, *comps)
+    )(rows, *comps)
     return t_out.reshape(-1)[:n], hit_out.reshape(-1)[:n]
 
 
 class PacketTables:
-    """Kernel-side flat tables derived from a BVHDevice (built per scene).
-
-    Note node lane 7 of BVHDevice carries the leaf-row index for leaves; the
-    packet kernel only reads it for interiors (second child), so the shared
-    layout is safe.
-    """
+    """Fat-row table derived from a BVHDevice (built once per scene)."""
 
     def __init__(self, bvh_device):
-        node = bvh_device.node_packed  # [Nn, 8] f32 (meta/second in lanes 6,7)
-        self.node_f32 = node
-        meta = jax.lax.bitcast_convert_type(node[:, 6], jnp.int32)
-        second = jax.lax.bitcast_convert_type(node[:, 7], jnp.int32)
-        self.node_i32 = jnp.stack([meta, second], axis=1)
-        self.tri_flat = bvh_device.tri_packed[:, 0:9]
-        self.fits = tables_fit_vmem(node.shape[0],
-                                    bvh_device.tri_packed.shape[0])
+        node = np.asarray(bvh_device.node_packed)  # [Nn, 8]
+        leaf_packed = np.asarray(bvh_device.leaf_packed)  # [L, 36]
+        meta = node[:, 6].copy().view(np.int32)
+        lane7 = node[:, 7].copy().view(np.int32)  # second child / leaf row
+        count = meta & META_COUNT_MASK
+        axis = (meta >> META_AXIS_SHIFT) & 3
+        offset = meta >> META_OFFSET_SHIFT
+        is_leaf = count > 0
+        nn = node.shape[0]
+
+        if nn == 1:
+            # single-node tree (or spheres-only stub): pseudo-root with the
+            # lone leaf on the left and an empty right child
+            rows = np.zeros((1, ROW_WIDTH), np.float32)
+            rows[0, 0:6] = node[0, 0:6]
+            rows[0, 6:9] = 1e10   # inverted box: never hit
+            rows[0, 9:12] = -1e10
+            rows[0, _L_TAG] = float(count[0])
+            rows[0, _L_REF] = float(offset[0])
+            if is_leaf[0]:
+                rows[0, _L_TRI:_L_TRI + 36] = leaf_packed[lane7[0]]
+            self.rows = jnp.asarray(rows)
+            self.fits = True
+            return
+
+        interior = np.nonzero(~is_leaf)[0]
+        n_rows = len(interior)
+        row_of = np.full(nn, -1, np.int64)
+        row_of[interior] = np.arange(n_rows)
+
+        rows = np.zeros((n_rows, ROW_WIDTH), np.float32)
+        rows[:, _AXIS] = axis[interior].astype(np.float32)
+        for side, child, tag_c, ref_c, tri_c in (
+                ("L", interior + 1, _L_TAG, _L_REF, _L_TRI),
+                ("R", lane7[interior], _R_TAG, _R_REF, _R_TRI)):
+            base = 0 if side == "L" else 6
+            rows[:, base:base + 6] = node[child, 0:6]
+            child_leaf = is_leaf[child]
+            rows[:, tag_c] = np.where(child_leaf, count[child],
+                                      -1).astype(np.float32)
+            rows[:, ref_c] = np.where(child_leaf, offset[child],
+                                      row_of[child]).astype(np.float32)
+            lp = np.where(child_leaf, lane7[child], 0)
+            payload = leaf_packed[lp]
+            payload[~child_leaf] = 0.0
+            rows[:, tri_c:tri_c + 36] = payload
+
+        self.rows = jnp.asarray(rows)
+        self.fits = tables_fit_vmem(n_rows)
 
 
 def closest_hit_packets(origin, direction, tables: PacketTables,
@@ -270,8 +349,8 @@ def closest_hit_packets(origin, direction, tables: PacketTables,
     n = origin.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
-    return _run(tables.node_f32, tables.node_i32, tables.tri_flat,
-                origin, direction, t_init, closest=True, interpret=interpret)
+    return _run(tables.rows, origin, direction, t_init, closest=True,
+                interpret=interpret)
 
 
 def any_hit_packets(origin, direction, max_dist, tables: PacketTables,
@@ -279,7 +358,6 @@ def any_hit_packets(origin, direction, max_dist, tables: PacketTables,
     """Packet any-hit.  Same contract as ops.traverse.any_hit."""
     if active is not None:
         max_dist = jnp.where(active, max_dist, 0.0)
-    _, occ = _run(tables.node_f32, tables.node_i32, tables.tri_flat,
-                  origin, direction, max_dist, closest=False,
+    _, occ = _run(tables.rows, origin, direction, max_dist, closest=False,
                   interpret=interpret)
     return occ > 0

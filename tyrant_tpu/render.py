@@ -504,7 +504,10 @@ class Renderer:
             jnp.asarray(self.sun_position))
         self._last_pose = None
         packet_tables = None
-        if cfg.use_packet_kernel == "on":
+        want_packets = cfg.use_packet_kernel == "on" or (
+            cfg.use_packet_kernel == "auto"
+            and jax.default_backend() not in ("cpu",))
+        if want_packets:
             from .ops.pallas.traverse_kernel import PacketTables
             packet_tables = PacketTables(self.scene.bvh)
             if not packet_tables.fits:
