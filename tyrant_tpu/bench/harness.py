@@ -79,7 +79,11 @@ def measure_shadow_fraction(renderer: Renderer, camera: Camera,
 
 def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
                   warmup_steps: int = 3, sun_position=(0.05, 0.3),
-                  poses=None) -> list[PoseResult]:
+                  poses=None, steps_per_sample: int = 4) -> list[PoseResult]:
+    """steps_per_sample: wavefront steps timed per sync.  The tunneled TPU
+    backend charges a ~20 ms host round-trip per sync, which is display
+    latency, not ray throughput — chaining a few steps per sample measures
+    the device pipeline the way a progressive renderer actually runs it."""
     renderer = Renderer(scene, cfg, sun_position=sun_position)
     results = []
     poses = poses if poses is not None else range(len(TEST_POSITIONS))
@@ -99,15 +103,16 @@ def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
         t_end = time.perf_counter() + seconds_per_pose
         while time.perf_counter() < t_end:
             t0 = time.perf_counter()
-            renderer.step(cam, 1)
+            renderer.step(cam, steps_per_sample)
             hard_sync()
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / steps_per_sample)
         times_ms = np.asarray(times) * 1e3
         avg = float(times_ms.mean())
+        n_frames = len(times) * steps_per_sample
         segs = cfg.num_rays / (avg * 1e-3)
         shadow = segs * shadow_frac
         results.append(PoseResult(
-            pose=pi, frames=len(times), avg_ms=avg,
+            pose=pi, frames=n_frames, avg_ms=avg,
             min_ms=float(times_ms.min()), max_ms=float(times_ms.max()),
             fps=1e3 / avg,
             segments_per_s=segs, shadow_rays_per_s=shadow,
