@@ -80,4 +80,18 @@ def test_non_multiple_packet_padding():
 
 def test_tables_fit_predicate():
     assert tables_fit_vmem(15_000)       # ~30k-tri scene
-    assert not tables_fit_vmem(500_000)  # ~1M-tri scene needs treelets
+    assert not tables_fit_vmem(500_000)  # ~1M-tri scene -> HBM row DMA
+
+
+def test_packet_hbm_mode_matches():
+    """The HBM row-DMA variant must agree with the VMEM variant."""
+    dev, tables, o, d = _setup(seed=21)
+    t_ref, id_ref = closest_hit_packets(o, d, tables, interpret=True)
+    tables.fits = False  # force the HBM path
+    t_h, id_h = closest_hit_packets(o, d, tables, interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_h))
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_h))
+    maxd = jnp.full((o.shape[0],), 120.0, jnp.float32)
+    occ_h = np.asarray(any_hit_packets(o, d, maxd, tables, interpret=True))
+    occ_ref = np.asarray(any_hit(o, d, maxd, dev))
+    np.testing.assert_array_equal(occ_h, occ_ref)

@@ -92,11 +92,12 @@ def _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
 
 
 def _traverse_kernel(rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
-                     dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref, *,
-                     closest: bool):
+                     dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref,
+                     *scratch, closest: bool, hbm: bool = False):
     """PACKETS_PER_BLOCK packets per grid step.  rows_ref: [I, 128] f32
-    fat-row table; rays/outputs: [K*8, 128] blocks;
-    stack_ref: SMEM [STACK_DEPTH] i32."""
+    fat-row table (VMEM, or HBM when ``hbm`` — rows are then DMA'd into a
+    one-row scratch per visit, lifting the VMEM size cap entirely);
+    rays/outputs: [K*8, 128] blocks; stack_ref: SMEM [STACK_DEPTH] i32."""
     for k in range(PACKETS_PER_BLOCK):
         sub = PACKET // 128
         s = slice(sub * k, sub * (k + 1))
@@ -105,12 +106,13 @@ def _traverse_kernel(rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
                          t0_ref[s, :],
                          dxr_ref[sub * k, 0], dyr_ref[sub * k, 0],
                          dzr_ref[sub * k, 0],
-                         tout_ref, hit_ref, s, stack_ref, closest)
+                         tout_ref, hit_ref, s, stack_ref, closest,
+                         scratch if hbm else None)
 
 
 def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
                      dx0, dy0, dz0, tout_ref, hit_ref, out_slice, stack_ref,
-                     closest: bool):
+                     closest: bool, hbm_scratch=None):
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
@@ -139,7 +141,22 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
         row = stack_ref[sp]
         sp = sp - 1
 
-        axis = rows_ref[row, _AXIS].astype(jnp.int32)
+        if hbm_scratch is not None:
+            # fetch the fat row from HBM into a one-row VMEM scratch; all
+            # subsequent reads are static-index loads from the scratch
+            row_buf, sem = hbm_scratch
+            dma = pltpu.make_async_copy(
+                rows_ref.at[pl.ds(row, 1), :], row_buf, sem)
+            dma.start()
+            dma.wait()
+
+            def rd(i):
+                return row_buf[0, i]
+        else:
+            def rd(i):
+                return rows_ref[row, i]
+
+        axis = rd(_AXIS).astype(jnp.int32)
         neg_axis = jnp.where(axis == 0, negx,
                              jnp.where(axis == 1, negy, negz))
         t_best = tout_ref[out_slice, :]
@@ -148,12 +165,12 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
             occ = hit_ref[out_slice, :]
 
         def slab(base):
-            lox = rows_ref[row, base + 0]
-            loy = rows_ref[row, base + 1]
-            loz = rows_ref[row, base + 2]
-            hix = rows_ref[row, base + 3]
-            hiy = rows_ref[row, base + 4]
-            hiz = rows_ref[row, base + 5]
+            lox = rd(base + 0)
+            loy = rd(base + 1)
+            loz = rd(base + 2)
+            hix = rd(base + 3)
+            hiy = rd(base + 4)
+            hiz = rd(base + 5)
             n_x = jnp.where(dx < 0, hix, lox)
             f_x = jnp.where(dx < 0, lox, hix)
             n_y = jnp.where(dy < 0, hiy, loy)
@@ -176,10 +193,10 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
         any_l = jnp.any(box_l)
         any_r = jnp.any(box_r)
 
-        tag_l = rows_ref[row, _L_TAG].astype(jnp.int32)
-        tag_r = rows_ref[row, _R_TAG].astype(jnp.int32)
-        ref_l = rows_ref[row, _L_REF].astype(jnp.int32)
-        ref_r = rows_ref[row, _R_REF].astype(jnp.int32)
+        tag_l = rd(_L_TAG).astype(jnp.int32)
+        tag_r = rd(_R_TAG).astype(jnp.int32)
+        ref_l = rd(_L_REF).astype(jnp.int32)
+        ref_r = rd(_R_REF).astype(jnp.int32)
 
         # --- leaf children under scalar predication ---
         def leaf_child(tri_base, tag, ref, box_hit):
@@ -191,11 +208,9 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
                     b = tri_base + 9 * j
                     t = _mt_packet(
                         ox, oy, oz, dx, dy, dz,
-                        rows_ref[row, b + 0], rows_ref[row, b + 1],
-                        rows_ref[row, b + 2], rows_ref[row, b + 3],
-                        rows_ref[row, b + 4], rows_ref[row, b + 5],
-                        rows_ref[row, b + 6], rows_ref[row, b + 7],
-                        rows_ref[row, b + 8])
+                        rd(b + 0), rd(b + 1), rd(b + 2),
+                        rd(b + 3), rd(b + 4), rd(b + 5),
+                        rd(b + 6), rd(b + 7), rd(b + 8))
                     if closest:
                         # accept rule bvh.h:134
                         ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
@@ -241,9 +256,9 @@ def _pad_to_packets(x, n, fill):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("closest", "interpret"))
+@functools.partial(jax.jit, static_argnames=("closest", "interpret", "hbm"))
 def _run(rows, origin, direction, t_init, closest: bool,
-         interpret: bool = False):
+         interpret: bool = False, hbm: bool = False):
     n = origin.shape[0]
     comps = [
         _pad_to_packets(origin[:, 0], n, 0.0),
@@ -269,9 +284,16 @@ def _run(rows, origin, direction, t_init, closest: bool,
 
     ray_spec = pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if hbm:
+        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                   pltpu.VMEM((1, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
 
-    kernel = functools.partial(_traverse_kernel, closest=closest)
+    kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
     t_out, hit_out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -282,7 +304,7 @@ def _run(rows, origin, direction, t_init, closest: bool,
                                  jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * rows_per_block, 128),
                                  jnp.int32)],
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(rows, *comps)
     return t_out.reshape(-1)[:n], hit_out.reshape(-1)[:n]
@@ -350,7 +372,7 @@ def closest_hit_packets(origin, direction, tables: PacketTables,
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
     return _run(tables.rows, origin, direction, t_init, closest=True,
-                interpret=interpret)
+                interpret=interpret, hbm=not tables.fits)
 
 
 def any_hit_packets(origin, direction, max_dist, tables: PacketTables,
@@ -359,5 +381,5 @@ def any_hit_packets(origin, direction, max_dist, tables: PacketTables,
     if active is not None:
         max_dist = jnp.where(active, max_dist, 0.0)
     _, occ = _run(tables.rows, origin, direction, max_dist, closest=False,
-                  interpret=interpret)
+                  interpret=interpret, hbm=not tables.fits)
     return occ > 0

@@ -508,10 +508,10 @@ class Renderer:
             cfg.use_packet_kernel == "auto"
             and jax.default_backend() not in ("cpu",))
         if want_packets:
+            # tables that exceed VMEM automatically use the HBM row-DMA
+            # variant, so the packet path covers any scene size
             from .ops.pallas.traverse_kernel import PacketTables
             packet_tables = PacketTables(self.scene.bvh)
-            if not packet_tables.fits:
-                packet_tables = None
         step = partial(render_step, cfg=cfg, sky_params=self.sky_params,
                        packet_tables=packet_tables)
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
