@@ -107,12 +107,13 @@ def _traverse_kernel(rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
                          dxr_ref[sub * k, 0], dyr_ref[sub * k, 0],
                          dzr_ref[sub * k, 0],
                          tout_ref, hit_ref, s, stack_ref, closest,
-                         scratch if hbm else None)
+                         scratch[0],
+                         scratch[1:] if hbm else None)
 
 
 def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
                      dx0, dy0, dz0, tout_ref, hit_ref, out_slice, stack_ref,
-                     closest: bool, hbm_scratch=None):
+                     closest: bool, row8_ref=None, hbm_scratch=None):
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
@@ -149,12 +150,28 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
                 rows_ref.at[pl.ds(row, 1), :], row_buf, sem)
             dma.start()
             dma.wait()
+            rowv = row_buf[0:1, :]
 
             def rd(i):
                 return row_buf[0, i]
         else:
+            rowv = rows_ref[pl.ds(row, 1), :]
+
             def rd(i):
                 return rows_ref[row, i]
+
+        # vector copy of the row replicated across sublanes: box/triangle
+        # floats become lane slices (all one-dim broadcasts, which Mosaic
+        # supports) instead of ~80 serialized scalar loads; the scalar unit
+        # only reads the 5 control fields.  The ref round-trip stops XLA
+        # from folding the two broadcasts into one (unsupported) both-dims
+        # broadcast.
+        sub = ox.shape[0]
+        row8_ref[:] = jnp.broadcast_to(rowv, (sub, 128))
+        rowv8 = row8_ref[:]
+
+        def rv(i):
+            return rowv8[:, i:i + 1]
 
         axis = rd(_AXIS).astype(jnp.int32)
         neg_axis = jnp.where(axis == 0, negx,
@@ -165,12 +182,12 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
             occ = hit_ref[out_slice, :]
 
         def slab(base):
-            lox = rd(base + 0)
-            loy = rd(base + 1)
-            loz = rd(base + 2)
-            hix = rd(base + 3)
-            hiy = rd(base + 4)
-            hiz = rd(base + 5)
+            lox = rv(base + 0)
+            loy = rv(base + 1)
+            loz = rv(base + 2)
+            hix = rv(base + 3)
+            hiy = rv(base + 4)
+            hiz = rv(base + 5)
             n_x = jnp.where(dx < 0, hix, lox)
             f_x = jnp.where(dx < 0, lox, hix)
             n_y = jnp.where(dy < 0, hiy, loy)
@@ -208,9 +225,9 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
                     b = tri_base + 9 * j
                     t = _mt_packet(
                         ox, oy, oz, dx, dy, dz,
-                        rd(b + 0), rd(b + 1), rd(b + 2),
-                        rd(b + 3), rd(b + 4), rd(b + 5),
-                        rd(b + 6), rd(b + 7), rd(b + 8))
+                        rv(b + 0), rv(b + 1), rv(b + 2),
+                        rv(b + 3), rv(b + 4), rv(b + 5),
+                        rv(b + 6), rv(b + 7), rv(b + 8))
                     if closest:
                         # accept rule bvh.h:134
                         ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
@@ -284,14 +301,17 @@ def _run(rows, origin, direction, t_init, closest: bool,
 
     ray_spec = pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    sub = PACKET // 128
     if hbm:
         table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                   pltpu.VMEM((sub, 128), jnp.float32),
                    pltpu.VMEM((1, 128), jnp.float32),
                    pltpu.SemaphoreType.DMA]
     else:
         table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                   pltpu.VMEM((sub, 128), jnp.float32)]
 
     kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
     t_out, hit_out = pl.pallas_call(

@@ -470,8 +470,18 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     accum = state.accum.at[rays["pixel"]].add(updates)
 
     # 6. compact survivors to the front (replaces the atomic write into
-    # ray_buffer_next + buffer swap, kernel.cu:607-608 / main.cpp:169)
-    order = jnp.argsort(~survive, stable=True)
+    # ray_buffer_next + buffer swap, kernel.cu:607-608 / main.cpp:169).
+    # Survivors are ordered by (screen tile, direction octant) so next
+    # step's ray packets stay position- AND direction-coherent — the dense
+    # analog of the reference's divergence-hiding work regrouping.
+    x_t = next_rays["pixel"] % cfg.width
+    y_t = next_rays["pixel"] // cfg.width
+    tile = (y_t // 8) * (cfg.width // 8) + x_t // 8
+    nneg = next_rays["direction"] < 0
+    octant = (nneg[:, 0].astype(jnp.int32) + 2 * nneg[:, 1].astype(jnp.int32)
+              + 4 * nneg[:, 2].astype(jnp.int32))
+    key = jnp.where(survive, tile * 8 + octant, jnp.int32(2 ** 30))
+    order = jnp.argsort(key, stable=True)
     n_carried = jnp.sum(survive).astype(jnp.int32)
 
     return RenderState(
