@@ -77,9 +77,6 @@ class RenderConfig:
     # Dense-batch dtype for ray payloads.  f32 keeps exact parity with the
     # reference; bf16 is an opt-in speed knob for variance-tolerant buffers.
     dtype: str = "float32"
-    # traversal cascade floor (see ops/traverse.py): compaction stops once
-    # the active working set is this small
-    traversal_min_stage: int = 8192
     # pixel-visit order for raygen: "scan" (reference, kernel.cu:263) or
     # "tiled8" (8x8 screen tiles -> coherent ray packets)
     raygen_order: str = "tiled8"

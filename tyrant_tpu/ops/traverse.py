@@ -47,8 +47,6 @@ from ..scene.bvh import META_AXIS_MASK, META_AXIS_SHIFT, META_COUNT_MASK, META_O
 from .intersect import moller_trumbore
 
 LEAF_WIDTH = 4  # == BVHConfig.max_prims_per_leaf == reference bvh.h:78
-# cascade floor: below this, compaction overhead beats the win
-MIN_STAGE = 8192
 
 
 @jax.tree_util.register_pytree_node_class
