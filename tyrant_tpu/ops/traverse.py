@@ -8,22 +8,21 @@ a table lookup into precomputed per-octant hit/miss links
 lock-step ``lax.while_loop`` iterations of dense gathers + slab tests —
 no per-lane stack.
 
-Performance design (measured on v5e):
+Performance design (measured on v5e, see docs/PERFORMANCE.md):
   * One 32-byte packed node row per visit ([Nn, 8] f32 with meta/child
     bitcast into lanes) — the same cache-line layout as the reference's
     ``static_assert(sizeof(BVHNode)==32)`` (bvh.h:68) — instead of five
     separate gathers.
-  * Leaf intersection runs under ``lax.cond`` so iterations where no ray in
-    the batch sits at a leaf skip the triangle gathers entirely.
-  * Gather cost on TPU is latency-bound below ~100k rows and
-    bandwidth-bound above, while a lock-step loop stalls the whole batch on
-    its worst ray (a terrain-grazing ray can visit 1000+ nodes).  The
-    traversal therefore runs a **shrinking cascade**: start with the full
-    batch, loop until fewer than half the rays remain active, compact the
-    survivors into a half-size batch, repeat.  Total work approaches
-    sum-of-visits (the reference's work-stealing achieves the same via
-    atomic queue claims, kernel.cu:211-224) while every iteration stays in
-    the bandwidth-friendly large-batch regime.
+  * Leaf triangles are packed four-per-row ([L, 36]) so a leaf visit
+    gathers ONE row; leaf work runs under ``lax.cond`` so iterations where
+    no ray in the batch sits at a leaf skip the gather entirely.
+  * Rays are processed in 16k chunks via ``lax.map`` so each chunk's
+    while_loop trip count adapts to ITS worst ray instead of the whole
+    batch's — the dense-batch answer to the reference's per-thread work
+    stealing (kernel.cu:211-224).
+
+This XLA path is the any-scene-size fallback and the semantic oracle; the
+Pallas packet kernel (ops/pallas/traverse_kernel.py) is the fast path.
 
 Ordered near-child-first traversal (the reference's ``dirIsNeg[splitAxis]``
 trick, bvh.h:146-152) is preserved exactly: links are indexed by the ray's
