@@ -46,8 +46,8 @@ def main():
 
     # 1080p, MAX_BOUNCES=5 like the reference harness; the wavefront size is
     # a free parameter (the reference's 2M queue, variables.h:44, is tuned
-    # for SM occupancy) — 512k currently paces the TPU pipeline best
-    cfg = RenderConfig(width=1920, height=1080, num_rays=1 << 19,
+    # for SM occupancy) — 1M currently paces the TPU pipeline best
+    cfg = RenderConfig(width=1920, height=1080, num_rays=1 << 20,
                        max_bounces=5, use_packet_kernel=kernel)
     results = run_benchmark(scene, cfg, seconds_per_pose=8.0, warmup_steps=2)
     d = results_to_dict(results)
