@@ -50,7 +50,10 @@ class BVHConfig:
     ~20% (docs/PERFORMANCE.md)."""
 
     bucket_number: int = 14       # bvh.h:76
-    max_prims_per_leaf: int = 4   # bvh.h:78
+    # reference: 4 (bvh.h:78).  6 fills the packet kernel's fat rows
+    # (2 children x 6 triangles x 9 floats + tags = 125 of 128 lanes) and
+    # cuts node count ~30%
+    max_prims_per_leaf: int = 6
     traversal_cost: float = 4.0   # reference: 1.0 (bvh.h:81)
     intersection_cost: float = 1.0  # bvh.h:84
 

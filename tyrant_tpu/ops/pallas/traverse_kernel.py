@@ -27,8 +27,8 @@ the layout packs everything about one INTERIOR node into a single f32 row:
   lane   14    left ref:  fat-row index (interior) / global prim offset (leaf)
   lane   15    right ref
   lane   16    this node's split axis (traversal ordering, bvh.h:146-152)
-  lanes  17-52 left leaf payload: 4 x (v0,e1,e2) triangles
-  lanes  53-88 right leaf payload
+  lanes  17..  left leaf payload: LEAF_WIDTH x (v0,e1,e2) triangles
+  lanes  ..    right leaf payload (2 x 6 x 9 + 17 = 125 lanes used)
 
 Integers are stored as exact f32 values (all < 2^24) so the kernel needs no
 bitcasts.  One row per interior node: visits halve vs a node-at-a-time walk
@@ -61,8 +61,11 @@ ROW_WIDTH = 128
 # VMEM budget for the fat-row table; beyond this the caller falls back
 VMEM_TABLE_BUDGET = 10 * 1024 * 1024
 
+LEAF_WIDTH = 6  # must match ops.traverse.LEAF_WIDTH / BVHConfig
 _L_TAG, _R_TAG, _L_REF, _R_REF, _AXIS = 12, 13, 14, 15, 16
-_L_TRI, _R_TRI = 17, 53
+_L_TRI = 17
+_R_TRI = _L_TRI + 9 * LEAF_WIDTH
+assert _R_TRI + 9 * LEAF_WIDTH <= ROW_WIDTH
 
 
 def tables_fit_vmem(n_interior_rows: int) -> bool:
@@ -220,7 +223,7 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
             def run():
                 t_best = tout_ref[out_slice, :]
                 hit = hit_ref[out_slice, :]
-                for j in range(4):
+                for j in range(LEAF_WIDTH):
                     slot_ok = box_hit & (j < tag)
                     b = tri_base + 9 * j
                     t = _mt_packet(
@@ -354,7 +357,7 @@ class PacketTables:
             rows[0, _L_TAG] = float(count[0])
             rows[0, _L_REF] = float(offset[0])
             if is_leaf[0]:
-                rows[0, _L_TRI:_L_TRI + 36] = leaf_packed[lane7[0]]
+                rows[0, _L_TRI:_L_TRI + 9 * LEAF_WIDTH] = leaf_packed[lane7[0]]
             self.rows = jnp.asarray(rows)
             self.fits = True
             return
@@ -379,7 +382,7 @@ class PacketTables:
             lp = np.where(child_leaf, lane7[child], 0)
             payload = leaf_packed[lp]
             payload[~child_leaf] = 0.0
-            rows[:, tri_c:tri_c + 36] = payload
+            rows[:, tri_c:tri_c + 9 * LEAF_WIDTH] = payload
 
         self.rows = jnp.asarray(rows)
         self.fits = tables_fit_vmem(n_rows)

@@ -45,7 +45,7 @@ from ..config import EPSILON, VERY_FAR
 from ..scene.bvh import META_AXIS_MASK, META_AXIS_SHIFT, META_COUNT_MASK, META_OFFSET_SHIFT
 from .intersect import moller_trumbore
 
-LEAF_WIDTH = 4  # == BVHConfig.max_prims_per_leaf == reference bvh.h:78
+LEAF_WIDTH = 6  # == BVHConfig.max_prims_per_leaf (reference uses 4, bvh.h:78)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -59,14 +59,14 @@ class BVHDevice:
     node_packed: [Nn, 8] f32 — lo.xyz, hi.xyz, meta (bitcast i32),
         second_child (bitcast i32).  32 bytes, like the reference node.
     miss_flat: [8 * Nn] i32 — per-octant escape links, octant-major.
-    tri_packed: [T + 3, 12] f32 — v0.xyz, e1.xyz, e2.xyz, pad.  Leaf order,
-        padded with degenerate rows so every leaf reads 4 slots.
+    tri_packed: [T + pad, 12] f32 — v0.xyz, e1.xyz, e2.xyz, pad.  Leaf
+        order, padded with degenerate rows so leaf reads stay in bounds.
     """
 
     node_packed: jnp.ndarray
     miss_flat: jnp.ndarray
     tri_packed: jnp.ndarray
-    leaf_packed: jnp.ndarray  # [L, 36] f32: 4 tri slots x (v0,e1,e2)
+    leaf_packed: jnp.ndarray  # [L, 9*LEAF_WIDTH] f32 tri slots (v0,e1,e2)
 
     def tree_flatten(self):
         return ((self.node_packed, self.miss_flat, self.tri_packed,
@@ -110,9 +110,9 @@ class BVHDevice:
         tri[:t, 3:6] = tri_e1[perm]
         tri[:t, 6:9] = tri_e2[perm]
 
-        # leaf-major packed rows: [L, 36] = 4 tri slots x 9 floats, so a leaf
-        # visit gathers ONE row instead of four (per-row gather cost
-        # dominates on TPU).  Empty slots point at a degenerate triangle.
+        # leaf-major packed rows: [L, 9*LEAF_WIDTH], so a leaf visit gathers
+        # ONE row (per-row gather cost dominates on TPU).  Empty slots point
+        # at a degenerate triangle.
         leaf_ids = np.nonzero(is_leaf)[0]
         n_leaves = max(len(leaf_ids), 1)
         tri9 = np.concatenate([tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]], axis=1)
@@ -120,8 +120,8 @@ class BVHDevice:
         slot = offset[leaf_ids][:, None] + np.arange(LEAF_WIDTH)[None]
         slot = np.where(np.arange(LEAF_WIDTH)[None] < count[leaf_ids][:, None],
                         slot, tri9.shape[0] - 1)
-        leaf_packed = tri9[slot].reshape(len(leaf_ids), 36) \
-            if len(leaf_ids) else np.zeros((1, 36), np.float32)
+        leaf_packed = tri9[slot].reshape(len(leaf_ids), 9 * LEAF_WIDTH) \
+            if len(leaf_ids) else np.zeros((1, 9 * LEAF_WIDTH), np.float32)
 
         # node lane 7: second child for interiors, leaf-row index for leaves
         leaf_row = np.zeros(nn, np.int32)

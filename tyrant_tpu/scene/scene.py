@@ -199,7 +199,7 @@ class Scene:
                 node_packed=jnp.asarray(node),
                 miss_flat=jnp.full((8,), -1, jnp.int32),
                 tri_packed=jnp.zeros((4, 12), jnp.float32),
-                leaf_packed=jnp.zeros((1, 36), jnp.float32))
+                leaf_packed=jnp.zeros((1, 9 * 6), jnp.float32))
             tri_refl = np.zeros(4, np.int32)
             tri_color = np.ones((4, 3), np.float32)
         else:
