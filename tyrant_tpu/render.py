@@ -474,13 +474,18 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # Survivors are ordered by (screen tile, direction octant) so next
     # step's ray packets stay position- AND direction-coherent — the dense
     # analog of the reference's divergence-hiding work regrouping.
-    x_t = next_rays["pixel"] % cfg.width
-    y_t = next_rays["pixel"] // cfg.width
-    tile = (y_t // 8) * (cfg.width // 8) + x_t // 8
+    # spatial cell of the bounce origin (scene root box, 32^3 grid) beats
+    # screen-tile keys for secondary rays whose hit points have diverged
+    root_lo = scene.bvh.node_packed[0, 0:3]
+    root_hi = scene.bvh.node_packed[0, 3:6]
+    span = jnp.maximum(root_hi - root_lo, 1e-3)
+    q = jnp.clip(((next_rays["origin"] - root_lo) / span * 32.0)
+                 .astype(jnp.int32), 0, 31)
+    cell = (q[:, 0] * 32 + q[:, 1]) * 32 + q[:, 2]
     nneg = next_rays["direction"] < 0
     octant = (nneg[:, 0].astype(jnp.int32) + 2 * nneg[:, 1].astype(jnp.int32)
               + 4 * nneg[:, 2].astype(jnp.int32))
-    key = jnp.where(survive, tile * 8 + octant, jnp.int32(2 ** 30))
+    key = jnp.where(survive, cell * 8 + octant, jnp.int32(2 ** 30))
     order = jnp.argsort(key, stable=True)
     n_carried = jnp.sum(survive).astype(jnp.int32)
 
