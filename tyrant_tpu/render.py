@@ -42,6 +42,9 @@ from .scene.scene import DIFF, LIGHT, PHONG, REFR, SPEC, SceneData
 
 PHONG_EXPONENT = 40.0  # kernel.cu:520
 
+# survivor-ordering spatial grid resolution (see render_step compaction)
+_KEY_GRID = 8
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -479,9 +482,10 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     root_lo = scene.bvh.node_packed[0, 0:3]
     root_hi = scene.bvh.node_packed[0, 3:6]
     span = jnp.maximum(root_hi - root_lo, 1e-3)
-    q = jnp.clip(((next_rays["origin"] - root_lo) / span * 32.0)
-                 .astype(jnp.int32), 0, 31)
-    cell = (q[:, 0] * 32 + q[:, 1]) * 32 + q[:, 2]
+    g = _KEY_GRID
+    q = jnp.clip(((next_rays["origin"] - root_lo) / span * float(g))
+                 .astype(jnp.int32), 0, g - 1)
+    cell = (q[:, 0] * g + q[:, 1]) * g + q[:, 2]
     nneg = next_rays["direction"] < 0
     octant = (nneg[:, 0].astype(jnp.int32) + 2 * nneg[:, 1].astype(jnp.int32)
               + 4 * nneg[:, 2].astype(jnp.int32))
