@@ -44,10 +44,9 @@ def main():
     print(f"# scene: {scene.stats} ({time.time() - t0:.1f}s build)",
           file=sys.stderr)
 
-    # 1080p, MAX_BOUNCES=5 like the reference harness; the wavefront size is
-    # a free parameter (the reference's 2M queue, variables.h:44, is tuned
-    # for SM occupancy) — 1M currently paces the TPU pipeline best
-    cfg = RenderConfig(width=1920, height=1080, num_rays=1 << 20,
+    # 1080p, 2M-ray wavefront, MAX_BOUNCES=5 — the reference harness's
+    # exact configuration (variables.h:44, kernel.cu:16)
+    cfg = RenderConfig(width=1920, height=1080, num_rays=2 * 1_048_576,
                        max_bounces=5, use_packet_kernel=kernel)
     results = run_benchmark(scene, cfg, seconds_per_pose=8.0, warmup_steps=2)
     d = results_to_dict(results)
