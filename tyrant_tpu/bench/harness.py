@@ -52,29 +52,10 @@ def _camera_for_pose(i: int) -> Camera:
     return cam
 
 
-def measure_shadow_fraction(renderer: Renderer, camera: Camera,
-                            probe_steps: int = 4) -> float:
-    """Estimate valid-shadow-rays per path segment (the reference's
-    shadow_ray_cnt / queue size) by probing terminated+shadow stats."""
-    from ..render import _intersect_scene, _raygen, _shade
-
-    cfg = renderer.cfg
-    if not hasattr(renderer, "_shadow_probe"):
-        def probe(state, cam):
-            gen = _raygen(cfg, cam, state.start_position, state.frame,
-                          cfg.height, 0)
-            t, ident, is_tri = _intersect_scene(gen["origin"],
-                                                gen["direction"],
-                                                renderer.scene)
-            _, _, _, _, shadow = _shade(cfg, renderer.scene,
-                                        renderer.sky_params,
-                                        renderer.sun_dir, gen, t, ident,
-                                        is_tri, state.frame)
-            return jnp.mean(shadow["valid"].astype(jnp.float32))
-
-        renderer._shadow_probe = jax.jit(probe)
-    return float(renderer._shadow_probe(renderer.state,
-                                        camera.to_device(cfg)))
+def _shadow_count(renderer: Renderer) -> int:
+    """The monotonic valid-NEE-shadow-ray counter maintained by render_step
+    (RenderState.shadow_rays, u32 wraparound).  Reading it forces a sync."""
+    return int(jnp.asarray(renderer.state.shadow_rays))
 
 
 def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
@@ -95,9 +76,9 @@ def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
 
     for pi in poses:
         cam = _camera_for_pose(pi)
-        shadow_frac = measure_shadow_fraction(renderer, cam)
         renderer.step(cam, warmup_steps)
         hard_sync()
+        count0 = _shadow_count(renderer)
 
         times = []
         t_end = time.perf_counter() + seconds_per_pose
@@ -109,8 +90,11 @@ def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
         times_ms = np.asarray(times) * 1e3
         avg = float(times_ms.mean())
         n_frames = len(times) * steps_per_sample
+        # shadow rays COUNTED over the timed window (VERDICT r1 item 8):
+        # u32 wraparound-safe diff of the per-step valid-shadow counter
+        shadow_n = (_shadow_count(renderer) - count0) % (1 << 32)
         segs = cfg.num_rays / (avg * 1e-3)
-        shadow = segs * shadow_frac
+        shadow = segs * (shadow_n / (n_frames * cfg.num_rays))
         results.append(PoseResult(
             pose=pi, frames=n_frames, avg_ms=avg,
             min_ms=float(times_ms.min()), max_ms=float(times_ms.max()),

@@ -22,7 +22,10 @@ import numpy as np
 from .render import RenderState
 
 _FIELDS = ["accum", "origin", "direction", "direct", "pixel", "bounces",
-           "last_specular", "n_carried", "start_position", "frame"]
+           "last_specular", "n_carried", "start_position", "frame",
+           "shadow_rays"]
+# fields added after round 1; absent from old checkpoints — default on load
+_OPTIONAL = {"shadow_rays": np.asarray(0, np.uint32)}
 
 
 def save_state(path: str, state: RenderState, metadata: dict | None = None):
@@ -41,7 +44,9 @@ def load_state(path: str):
     """Returns (RenderState, metadata dict)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__metadata__"]).decode() or "{}")
-        state = RenderState(**{f: jnp.asarray(z[f]) for f in _FIELDS})
+        state = RenderState(**{
+            f: jnp.asarray(z[f] if f in z else _OPTIONAL[f])
+            for f in _FIELDS})
     return state, meta
 
 
@@ -58,4 +63,6 @@ def load_orbax(path: str) -> RenderState:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
-    return RenderState(**{f: jnp.asarray(restored[f]) for f in _FIELDS})
+    return RenderState(**{
+        f: jnp.asarray(restored[f] if f in restored else _OPTIONAL[f])
+        for f in _FIELDS})

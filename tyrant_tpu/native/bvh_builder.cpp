@@ -3,8 +3,9 @@
 // C++ implementation of the algorithm in tyrant_tpu/scene/bvh.py (the
 // reference's PBRT-derived builder, /root/reference bvh.cpp:61-212, with the
 // deviations documented there: degenerate-centroid ranges split at the
-// median so leaves stay <= max_leaf).  Outputs are bit-identical in
-// structure to the numpy builder: SoA node arrays in depth-first order
+// median so leaves stay <= max_leaf).  Outputs are structurally equivalent
+// to the numpy builder (same layout, same splits up to f32 rounding of the
+// SAH cost, asserted in tests/test_native.py): SoA node arrays in depth-first order
 // (left child == current+1), packed meta (count | axis<<3 | offset<<5),
 // per-octant threaded hit/miss links, and the leaf-contiguous triangle
 // permutation.
@@ -72,7 +73,8 @@ extern "C" {
 // one int32 each) and perm must hold n_prims int32.
 int tyrant_build_bvh(const float* tri_lo_in, const float* tri_hi_in,
                      int n_prims, int bucket_number, int max_leaf,
-                     float traversal_cost, int use_sah, float* node_lo,
+                     float traversal_cost, float intersection_cost,
+                     int use_sah, float* node_lo,
                      float* node_hi, int32_t* meta, int32_t* second_child,
                      int32_t* perm) {
   if (n_prims <= 0 || bucket_number < 2 || max_leaf < 1 || max_leaf > 7)
@@ -176,11 +178,12 @@ int tyrant_build_bvh(const float* tri_lo_in, const float* tri_hi_in,
     }
 
     // binned SAH (reference bvh.cpp:122-188)
-    const float inv_extent = 1.0f / (chi - clo);
     std::fill(b_count.begin(), b_count.end(), 0);
     std::fill(b_box.begin(), b_box.end(), Box{});
     auto bucket_of = [&](int p) {
-      float scaled = (axis_of(centroid[p], dim) - clo) * inv_extent;
+      // same f32 expression as the numpy builder (scene/bvh.py:186):
+      // a reciprocal-multiply can bucket boundary centroids differently
+      float scaled = (axis_of(centroid[p], dim) - clo) / (chi - clo);
       int b = static_cast<int>(bucket_number * scaled);
       return std::min(b, bucket_number - 1);
     };
@@ -207,13 +210,14 @@ int tyrant_build_bvh(const float* tri_lo_in, const float* tri_hi_in,
     {
       Box acc;
       int cnt = 0;
-      const float inv_area = 1.0f / node_box.surface_area();
+      const float area = node_box.surface_area();
       for (int b = 0; b < bucket_number - 1; ++b) {
         acc.grow(b_box[b].lo, b_box[b].hi);
         cnt += b_count[b];
         float sa1 = cnt > 0 ? acc.surface_area() : 0.f;
+        // divide (not reciprocal-multiply), matching scene/bvh.py:206
         float cost = traversal_cost +
-                     (cnt * sa1 + suf_cnt[b + 1] * suf_sa[b + 1]) * inv_area;
+                     (cnt * sa1 + suf_cnt[b + 1] * suf_sa[b + 1]) / area;
         if (cost < best_cost) {
           best_cost = cost;
           best_b = b;
@@ -221,7 +225,7 @@ int tyrant_build_bvh(const float* tri_lo_in, const float* tri_hi_in,
       }
     }
 
-    const float leaf_cost = static_cast<float>(np);  // INTERSECTION_COST == 1
+    const float leaf_cost = intersection_cost * static_cast<float>(np);
     if (np > max_leaf || best_cost < leaf_cost) {
       // stable partition by bucket <= best_b (order-stable like the numpy
       // builder; std::partition in the reference is order-unspecified)

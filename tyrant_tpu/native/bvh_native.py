@@ -26,7 +26,8 @@ def _configure(lib):
     lib.tyrant_build_bvh.restype = ctypes.c_int
     lib.tyrant_build_bvh.argtypes = [
         _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_float, ctypes.c_int, _f32p, _f32p, _i32p, _i32p, _i32p]
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        _f32p, _f32p, _i32p, _i32p, _i32p]
     lib.tyrant_thread_links.restype = ctypes.c_int
     lib.tyrant_thread_links.argtypes = [_i32p, _i32p, ctypes.c_int,
                                         _i32p, _i32p]
@@ -52,7 +53,9 @@ def build_bvh(tri_lo: np.ndarray, tri_hi: np.ndarray,
 
     n_nodes = lib.tyrant_build_bvh(
         tri_lo, tri_hi, n, cfg.bucket_number, cfg.max_prims_per_leaf,
-        ctypes.c_float(cfg.traversal_cost), 1 if method == "sah" else 0,
+        ctypes.c_float(cfg.traversal_cost),
+        ctypes.c_float(cfg.intersection_cost),
+        1 if method == "sah" else 0,
         lo, hi, meta, second, perm)
     if n_nodes < 0:
         raise RuntimeError("tyrant_build_bvh failed")

@@ -306,7 +306,7 @@ def _run(rows, origin, direction, t_init, closest: bool,
                             memory_space=pltpu.VMEM)
     sub = PACKET // 128
     if hbm:
-        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        table_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                    pltpu.VMEM((sub, 128), jnp.float32),
                    pltpu.VMEM((1, 128), jnp.float32),
@@ -334,7 +334,12 @@ def _run(rows, origin, direction, t_init, closest: bool,
 
 
 class PacketTables:
-    """Fat-row table derived from a BVHDevice (built once per scene)."""
+    """Fat-row table derived from a BVHDevice (built once per scene).
+
+    ``supported`` is False when the scene exceeds the kernel's exact-f32
+    integer range (2^24 primitive offsets / row indices) or the tree is
+    deeper than the SMEM stack; callers must fall back to the XLA path.
+    """
 
     def __init__(self, bvh_device):
         node = np.asarray(bvh_device.node_packed)  # [Nn, 8]
@@ -360,6 +365,7 @@ class PacketTables:
                 rows[0, _L_TRI:_L_TRI + 9 * LEAF_WIDTH] = leaf_packed[lane7[0]]
             self.rows = jnp.asarray(rows)
             self.fits = True
+            self.supported = True
             return
 
         interior = np.nonzero(~is_leaf)[0]
@@ -386,6 +392,21 @@ class PacketTables:
 
         self.rows = jnp.asarray(rows)
         self.fits = tables_fit_vmem(n_rows)
+
+        # ints ride in f32 lanes, exact only below 2^24; deeper trees than
+        # the SMEM stack would silently corrupt traversal.  Refuse instead.
+        max_ref = int(offset.max()) + LEAF_WIDTH if is_leaf.any() else 0
+        child_l = row_of[interior + 1]
+        child_r = row_of[lane7[interior]]
+        depth, frontier = 1, np.asarray([0])
+        while frontier.size:
+            nxt = np.concatenate([child_l[frontier], child_r[frontier]])
+            nxt = nxt[nxt >= 0]
+            depth += 1 if nxt.size else 0
+            frontier = nxt
+        self.max_depth = depth
+        self.supported = (max(n_rows, max_ref) < 2 ** 24
+                          and depth + 2 <= STACK_DEPTH)
 
 
 def closest_hit_packets(origin, direction, tables: PacketTables,

@@ -177,7 +177,7 @@ def _step(bvh: BVHDevice, origin, direction, inv_dir, neg, octant,
     is_leaf = count > 0
     do_leaf = box_hit & is_leaf
 
-    # --- leaf: one packed row, 4 unrolled slots (bvh.h:131-139) ---
+    # --- leaf: one packed row, LEAF_WIDTH unrolled slots (bvh.h:131-139) ---
     lrow = bvh.leaf_packed[jnp.where(is_leaf, lane7, 0)]
     slot_idx = jnp.arange(LEAF_WIDTH, dtype=jnp.int32)[None]
     tv = lrow.reshape(-1, LEAF_WIDTH, 9)
@@ -240,7 +240,7 @@ def _node_step(bvh: BVHDevice, origin, inv_dir, neg, octant, node, t_prune):
 
 def _leaf_tests(bvh, origin, direction, do_leaf, leaf_row, offset, count,
                 limit_t):
-    """One packed leaf-row gather + 4 unrolled Möller-Trumbore slots.
+    """One packed leaf-row gather + LEAF_WIDTH unrolled Möller-Trumbore slots.
     Returns (t4m [N,4] masked distances, ids [N,4])."""
     lrow = bvh.leaf_packed[jnp.where(do_leaf, leaf_row, 0)]
     tv = lrow.reshape(-1, LEAF_WIDTH, 9)

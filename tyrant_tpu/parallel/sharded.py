@@ -63,19 +63,27 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
         n_carried=sharded(jnp.zeros((n_dev,), jnp.int32)),
         start_position=sharded(jnp.zeros((n_dev,), jnp.int32)),
         frame=sharded(jnp.ones((n_dev,), jnp.uint32)),
+        shadow_rays=sharded(jnp.zeros((n_dev,), jnp.uint32)),
     )
 
 
 def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
-                      sky_params: skymod.SkyParams | None = None):
+                      sky_params: skymod.SkyParams | None = None,
+                      packet_tables=None):
     """Returns jitted step(state, scene, camera, sun_dir) -> state operating
-    on the sharded global state."""
+    on the sharded global state.
+
+    ``packet_tables``: a PacketTables instance to run the Pallas packet
+    traversal on every device (the fat-row table is replicated — it is
+    read-only scene data, exactly like the BVH itself).  None -> XLA
+    cascade (the CPU-mesh test path)."""
     n_dev = mesh.devices.size
     local_h = cfg.height // n_dev
     sky_params = sky_params or skymod.SkyParams(cfg.sky)
+    tables_fit = None if packet_tables is None else packet_tables.fits
 
     def local_step(state: RenderState, scene: SceneData, camera: CameraParams,
-                   sun_dir):
+                   sun_dir, table_rows):
         # leaves arrive with local shapes; scalars are length-1 slices
         st = RenderState(
             accum=state.accum, origin=state.origin, direction=state.direction,
@@ -83,18 +91,25 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             last_specular=state.last_specular,
             n_carried=state.n_carried[0],
             start_position=state.start_position[0],
-            frame=state.frame[0])
+            frame=state.frame[0],
+            shadow_rays=state.shadow_rays[0])
+        if table_rows is not None:
+            import types
+            tables = types.SimpleNamespace(rows=table_rows, fits=tables_fit)
+        else:
+            tables = None
         row_offset = jax.lax.axis_index(AXIS).astype(jnp.int32) * local_h
         out = render_step(st, scene, camera, sun_dir, cfg=cfg,
                           sky_params=sky_params, local_height=local_h,
-                          row_offset=row_offset)
+                          row_offset=row_offset, packet_tables=tables)
         return RenderState(
             accum=out.accum, origin=out.origin, direction=out.direction,
             direct=out.direct, pixel=out.pixel, bounces=out.bounces,
             last_specular=out.last_specular,
             n_carried=out.n_carried[None],
             start_position=out.start_position[None],
-            frame=out.frame[None])
+            frame=out.frame[None],
+            shadow_rays=out.shadow_rays[None])
 
     try:
         shard_map = jax.shard_map
@@ -102,18 +117,21 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
         from jax.experimental.shard_map import shard_map  # type: ignore
 
     # spec prefixes: every state leaf sharded on its leading axis; scene,
-    # camera and sun direction fully replicated.  check_vma off: while_loop
-    # carries seeded with literals inside the body are device-invariant,
-    # tripping the varying-manual-axes check spuriously.
+    # camera, sun direction and the packet table fully replicated.
+    # check_vma off: while_loop carries seeded with literals inside the body
+    # are device-invariant, tripping the varying-manual-axes check
+    # spuriously.
+    in_specs = (P(AXIS), P(), P(), P(), P())
     try:
-        sharded = shard_map(local_step, mesh=mesh,
-                            in_specs=(P(AXIS), P(), P(), P()),
+        sharded = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                             out_specs=P(AXIS), check_vma=False)
     except TypeError:  # older jax: check_rep
-        sharded = shard_map(local_step, mesh=mesh,
-                            in_specs=(P(AXIS), P(), P(), P()),
+        sharded = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                             out_specs=P(AXIS), check_rep=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    rows = None if packet_tables is None else packet_tables.rows
+    step = jax.jit(lambda state, scene, camera, sun_dir: sharded(
+        state, scene, camera, sun_dir, rows), donate_argnums=(0,))
+    return step
 
 
 def assemble_image(state: RenderState, cfg: RenderConfig):
@@ -134,7 +152,20 @@ class ShardedRenderer:
         self.scene = scene.to_device() if isinstance(scene, Scene) else scene
         self.sun_dir = skymod.sun_direction_from_position(
             jnp.asarray(sun_position, jnp.float32))
-        self._step = make_sharded_step(cfg, self.mesh)
+        # same packet-kernel policy as render.Renderer: fast traversal on
+        # every chip of the mesh, XLA fallback on CPU test meshes
+        packet_tables = None
+        want_packets = cfg.use_packet_kernel == "on" or (
+            cfg.use_packet_kernel == "auto"
+            and jax.default_backend() not in ("cpu",))
+        if want_packets:
+            from ..ops.pallas.traverse_kernel import PacketTables
+            packet_tables = PacketTables(self.scene.bvh)
+            if not packet_tables.supported:
+                packet_tables = None
+        self.packet_tables = packet_tables
+        self._step = make_sharded_step(cfg, self.mesh,
+                                       packet_tables=packet_tables)
         self.state = init_sharded_state(cfg, self.mesh)
         self._last_pose = None
 

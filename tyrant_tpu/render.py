@@ -63,11 +63,18 @@ class RenderState:
     n_carried: jnp.ndarray    # scalar i32 — reference primary_ray_cnt
     start_position: jnp.ndarray  # scalar i32 — reference start_position
     frame: jnp.ndarray        # scalar u32
+    # monotonic count of valid NEE shadow rays traced (scalar u32, wraps);
+    # the bench diffs it across the timed window instead of extrapolating
+    # from a primary-wavefront probe (reference: shadow queue fill,
+    # kernel.cu:416-446)
+    shadow_rays: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0, jnp.uint32))
 
     def tree_flatten(self):
         return ((self.accum, self.origin, self.direction, self.direct,
                  self.pixel, self.bounces, self.last_specular,
-                 self.n_carried, self.start_position, self.frame), None)
+                 self.n_carried, self.start_position, self.frame,
+                 self.shadow_rays), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -88,6 +95,7 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
         n_carried=jnp.asarray(0, jnp.int32),
         start_position=jnp.asarray(0, jnp.int32),
         frame=jnp.asarray(1, jnp.uint32),  # kernel.cu:667 (never 0: RNG seed)
+        shadow_rays=jnp.asarray(0, jnp.uint32),
     )
 
 
@@ -105,13 +113,18 @@ def reset_accumulation(state: RenderState) -> RenderState:
 # --------------------------------------------------------------------------
 
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
-            local_height: int, row_offset):
+            local_height: int, row_offset, n_carried=0):
     n = cfg.num_rays
     w, h_global = cfg.width, cfg.height
     total_local = w * local_height
 
     gen_index = jnp.arange(n, dtype=jnp.int32)
-    scan = (start_position + gen_index) % total_local  # round-robin scan
+    # Fresh rays occupy slots >= n_carried; index pixels by the *fresh-ray*
+    # counter so the scan window is not shifted by the carried count
+    # (reference: x/y from start_position + index over primary rays only,
+    # kernel.cu:263).  Carried slots compute a wrapped dummy pixel whose
+    # value is discarded by the merge in render_step.
+    scan = (start_position + gen_index - n_carried) % total_local
     # Pixel-visit order: the reference scans rows linearly (kernel.cu:263).
     # With 8x8-tile ordering consecutive rays share a screen tile, which
     # keeps ray packets coherent for the traversal kernels.  Any bijection
@@ -130,7 +143,10 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     x = x_i.astype(jnp.float32)
     y = (y_i + row_offset).astype(jnp.float32)
 
-    seed = rng.seed_from(frame, gen_index, 0x5EED)
+    # row_offset enters the seed so every shard of the multi-chip path draws
+    # an independent stream (identical seeds would correlate jitter/lens/NEE
+    # noise across image strips)
+    seed = rng.seed_from(frame, gen_index, row_offset, 0x5EED)
     seed, uv = rng.random_2d_stratified(seed)
     # NB the reference subtracts the jitter (kernel.cu:268-269)
     px = x - uv[..., 0]
@@ -199,7 +215,7 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None):
 # --------------------------------------------------------------------------
 
 def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
-           sun_dir, rays, t, ident, is_tri, frame):
+           sun_dir, rays, t, ident, is_tri, frame, row_offset=0):
     n = cfg.num_rays
     eps = cfg.epsilon
     d = rays["direction"]
@@ -244,7 +260,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     direct = jnp.where((is_light & ~last_spec_in)[:, None], 0.0, direct)
 
     slot = jnp.arange(n, dtype=jnp.int32)
-    seed = rng.seed_from(frame, rays["pixel"], slot, 0x5ADE)
+    # row_offset: per-shard stream decorrelation (see _raygen)
+    seed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x5ADE)
 
     # --- shared NEE samples ---
     sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
@@ -433,7 +450,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # 1. raygen top-off (kernel.cu:250-296): slots < n_carried keep the
     # carried survivors, the rest are fresh primaries
     gen = _raygen(cfg, camera, state.start_position, state.frame,
-                  local_height, row_offset)
+                  local_height, row_offset, n_carried=state.n_carried)
     slot = jnp.arange(n, dtype=jnp.int32)
     keep = slot < state.n_carried
 
@@ -461,7 +478,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(
-        cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, state.frame)
+        cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, state.frame,
+        row_offset=row_offset)
 
     # 4. connect
     shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables)
@@ -504,6 +522,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         n_carried=n_carried,
         start_position=start_next.astype(jnp.int32),
         frame=state.frame + 1,
+        shadow_rays=state.shadow_rays
+        + jnp.sum(shadow["valid"]).astype(jnp.uint32),
     )
 
 
@@ -528,9 +548,14 @@ class Renderer:
             and jax.default_backend() not in ("cpu",))
         if want_packets:
             # tables that exceed VMEM automatically use the HBM row-DMA
-            # variant, so the packet path covers any scene size
+            # variant, so the packet path covers any scene size up to the
+            # exact-f32-index limit (2^24 rows/tris); beyond that
+            # PacketTables flags itself unsupported and we fall back
             from .ops.pallas.traverse_kernel import PacketTables
             packet_tables = PacketTables(self.scene.bvh)
+            if not packet_tables.supported:
+                packet_tables = None
+        self.packet_tables = packet_tables
         step = partial(render_step, cfg=cfg, sky_params=self.sky_params,
                        packet_tables=packet_tables)
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())

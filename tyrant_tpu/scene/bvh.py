@@ -4,15 +4,16 @@ Builder semantics mirror the reference's PBRT-derived builder
 (bvh.cpp:61-212, parameters bvh.h:76-84): depth-first node layout with the
 left child at ``current + 1`` and the right child via ``second_child``
 (bvh.cpp:195-209), 14-bucket binned SAH on the largest centroid-extent axis
-(bvh.cpp:122-188), leaves of at most 4 primitives, triangle reordering so
+(bvh.cpp:122-188), leaves of at most ``BVHConfig.max_prims_per_leaf`` (= LEAF_WIDTH = 6 here;
+the reference uses 4) primitives, triangle reordering so
 leaf primitives are contiguous (bvh.cpp:18-24).
 
 Deliberate deviations (documented per SURVEY.md §7):
   * The reference makes an arbitrarily large leaf when the centroid bounds
     are degenerate (bvh.cpp:101-109).  We split such ranges at the median
     instead so every leaf holds <= 4 primitives — the fixed-width leaf test
-    is what lets the TPU traversal intersect exactly 4 padded triangle slots
-    per leaf visit with no data-dependent loop.
+    is what lets the TPU traversal intersect exactly LEAF_WIDTH padded
+    triangle slots per leaf visit with no data-dependent loop.
   * ``PartitionAlgorithm::Middle`` is unimplemented in the reference
     (bvh.cpp:190-193 errors out); we do not carry it.
 
@@ -267,7 +268,7 @@ def thread_links(meta: np.ndarray, second_child: np.ndarray):
                 stack.append((far[n], m))        # far's miss = parent's miss
         miss_link[octant] = ml
 
-    # Leaf hit links are never read (after a leaf's 4 slots are intersected
+    # Leaf hit links are never read (after a leaf's LEAF_WIDTH slots are intersected
     # the traversal always follows miss), so -1 there is just a tripwire.
     return hit_link, miss_link
 

@@ -41,21 +41,29 @@ def time_blocked(fn, *args, reps: int = 3, warmup: int = 1, **kw):
 
 def stage_profile(renderer, camera, n_steps: int = 5) -> dict:
     """Per-stage timings of one wavefront step (raygen/extend/shade/connect),
-    plus a full-step measurement."""
-    import jax.numpy as jnp
+    plus a full-step measurement.
 
-    from ..render import _connect, _intersect_scene, _raygen, _shade
+    Uses a non-donating jit of render_step for the full-step number:
+    renderer._step donates its input buffers, so calling it repeatedly with
+    the same state would fail with 'array has been deleted' on TPU and
+    invalidate renderer.state."""
+    from functools import partial
+
+    from ..render import (_connect, _intersect_scene, _raygen, _shade,
+                          render_step)
 
     cfg = renderer.cfg
     cam = camera.to_device(cfg)
     state = renderer.state
     scene = renderer.scene
+    tables = getattr(renderer, "packet_tables", None)
 
     raygen = jax.jit(lambda: _raygen(cfg, cam, state.start_position,
                                      state.frame, cfg.height, 0))
     t_raygen, gen = time_blocked(raygen, reps=n_steps)
 
-    extend = jax.jit(lambda o, d: _intersect_scene(o, d, scene))
+    extend = jax.jit(lambda o, d: _intersect_scene(
+        o, d, scene, packet_tables=tables))
     t_extend, ext = time_blocked(extend, gen["origin"], gen["direction"],
                                  reps=n_steps)
 
@@ -64,11 +72,13 @@ def stage_profile(renderer, camera, n_steps: int = 5) -> dict:
         state.frame))
     t_shade, sh = time_blocked(shade, gen, *ext, reps=n_steps)
 
-    connect = jax.jit(lambda s: _connect(scene, s))
+    connect = jax.jit(lambda s: _connect(scene, s, packet_tables=tables))
     t_connect, _ = time_blocked(connect, sh[4], reps=n_steps)
 
-    step = lambda: renderer._step(renderer.state, scene, cam,
-                                  renderer.sun_dir)
+    full = jax.jit(partial(render_step, cfg=cfg,
+                           sky_params=renderer.sky_params,
+                           packet_tables=tables))
+    step = lambda: full(state, scene, cam, renderer.sun_dir)
     t_full, _ = time_blocked(step, reps=n_steps)
 
     total = t_raygen + t_extend + t_shade + t_connect
