@@ -6,8 +6,11 @@ Not part of the library; findings land in docs/PERFORMANCE.md.
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

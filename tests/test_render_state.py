@@ -52,8 +52,9 @@ def test_carry_and_start_position():
         st = st2
     # after several steps some paths carry over (bounces > 0 exist)
     assert int(st.n_carried) > 0
-    # carried slots must be the compacted survivors: bounces of carried > 0
-    b = np.asarray(st.bounces)[: int(st.n_carried)]
+    # carried slots are the compacted survivors at the TAIL (the front is
+    # refilled by raygen): bounces of carried > 0
+    b = np.asarray(st.bounces)[-int(st.n_carried):]
     assert (b > 0).all()
     # pixel indices in range
     assert np.asarray(st.pixel).min() >= 0

@@ -21,9 +21,9 @@ import numpy as np
 
 from .render import RenderState
 
-_FIELDS = ["accum", "origin", "direction", "direct", "pixel", "bounces",
-           "last_specular", "n_carried", "start_position", "frame",
-           "shadow_rays"]
+_FIELDS = ["accum", "origin", "direction", "direct", "pending", "pixel",
+           "bounces", "last_specular", "n_carried", "start_position",
+           "frame", "shadow_rays"]
 # fields added after round 1; absent from old checkpoints — default on load
 _OPTIONAL = {"shadow_rays": np.asarray(0, np.uint32)}
 

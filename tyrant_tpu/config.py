@@ -87,6 +87,10 @@ class RenderConfig:
     # fits VMEM, ~20k tris), "on" (force), "off" (XLA cascade).  ~15-50x
     # faster than the XLA path where it applies (docs/PERFORMANCE.md).
     use_packet_kernel: str = "auto"
+    # Pallas framebuffer accumulation over pixel-sorted terminated rays:
+    # "auto" (on TPU), "on", "off" (XLA scatter-add — the CPU/test path).
+    # ~13x faster than the scatter at the 2M queue size (accum_kernel.py).
+    use_accum_kernel: str = "auto"
 
     @property
     def num_pixels(self) -> int:

@@ -57,6 +57,7 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
         direction=sharded(jnp.tile(jnp.asarray([[1.0, 0, 0]], jnp.float32),
                                    (n_dev * n, 1))),
         direct=sharded(jnp.zeros((n_dev * n, 3), jnp.float32)),
+        pending=sharded(jnp.zeros((n_dev * n, 3), jnp.float32)),
         pixel=sharded(jnp.zeros((n_dev * n,), jnp.int32)),
         bounces=sharded(jnp.zeros((n_dev * n,), jnp.int32)),
         last_specular=sharded(jnp.zeros((n_dev * n,), bool)),
@@ -87,7 +88,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
         # leaves arrive with local shapes; scalars are length-1 slices
         st = RenderState(
             accum=state.accum, origin=state.origin, direction=state.direction,
-            direct=state.direct, pixel=state.pixel, bounces=state.bounces,
+            direct=state.direct, pending=state.pending,
+            pixel=state.pixel, bounces=state.bounces,
             last_specular=state.last_specular,
             n_carried=state.n_carried[0],
             start_position=state.start_position[0],
@@ -104,7 +106,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
                           row_offset=row_offset, packet_tables=tables)
         return RenderState(
             accum=out.accum, origin=out.origin, direction=out.direction,
-            direct=out.direct, pixel=out.pixel, bounces=out.bounces,
+            direct=out.direct, pending=out.pending,
+            pixel=out.pixel, bounces=out.bounces,
             last_specular=out.last_specular,
             n_carried=out.n_carried[None],
             start_position=out.start_position[None],

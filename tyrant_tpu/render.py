@@ -57,6 +57,12 @@ class RenderState:
     origin: jnp.ndarray       # [N, 3]
     direction: jnp.ndarray    # [N, 3]
     direct: jnp.ndarray       # [N, 3] path throughput ("direct" in RayQueue)
+    # [N, 3] radiance this path has already earned (NEE/emission) but not
+    # yet flushed to accum; flushed in one pixel-sorted pass at termination.
+    # The reference scatters these immediately via atomicAdd
+    # (kernel.cu:622-625); deferring them makes the framebuffer write a
+    # sorted dense accumulation instead of a random scatter.
+    pending: jnp.ndarray
     pixel: jnp.ndarray        # [N] i32 local linear pixel index
     bounces: jnp.ndarray      # [N] i32
     last_specular: jnp.ndarray  # [N] bool
@@ -72,7 +78,7 @@ class RenderState:
 
     def tree_flatten(self):
         return ((self.accum, self.origin, self.direction, self.direct,
-                 self.pixel, self.bounces, self.last_specular,
+                 self.pending, self.pixel, self.bounces, self.last_specular,
                  self.n_carried, self.start_position, self.frame,
                  self.shadow_rays), None)
 
@@ -89,6 +95,7 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
         origin=jnp.zeros((n, 3), jnp.float32),
         direction=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1)),
         direct=jnp.zeros((n, 3), jnp.float32),
+        pending=jnp.zeros((n, 3), jnp.float32),
         pixel=jnp.zeros((n,), jnp.int32),
         bounces=jnp.zeros((n,), jnp.int32),
         last_specular=jnp.zeros((n,), bool),
@@ -113,18 +120,17 @@ def reset_accumulation(state: RenderState) -> RenderState:
 # --------------------------------------------------------------------------
 
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
-            local_height: int, row_offset, n_carried=0):
+            local_height: int, row_offset):
     n = cfg.num_rays
     w, h_global = cfg.width, cfg.height
     total_local = w * local_height
 
     gen_index = jnp.arange(n, dtype=jnp.int32)
-    # Fresh rays occupy slots >= n_carried; index pixels by the *fresh-ray*
-    # counter so the scan window is not shifted by the carried count
-    # (reference: x/y from start_position + index over primary rays only,
-    # kernel.cu:263).  Carried slots compute a wrapped dummy pixel whose
-    # value is discarded by the merge in render_step.
-    scan = (start_position + gen_index - n_carried) % total_local
+    # Fresh rays occupy the FRONT slots [0, generated); carried survivors
+    # live at the tail, so gen_index IS the fresh-ray counter (reference:
+    # x/y from start_position + index over primary rays, kernel.cu:263).
+    # Tail slots compute a dummy pixel discarded by the merge.
+    scan = (start_position + gen_index) % total_local
     # Pixel-visit order: the reference scans rows linearly (kernel.cu:263).
     # With 8x8-tile ordering consecutive rays share a screen tile, which
     # keeps ray packets coherent for the traversal kernels.  Any bijection
@@ -170,6 +176,7 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     direction = normalize(conv - origin)
     return dict(origin=origin, direction=direction,
                 direct=jnp.ones((n, 3), jnp.float32),
+                pending=jnp.zeros((n, 3), jnp.float32),
                 pixel=pixel.astype(jnp.int32),
                 bounces=jnp.zeros((n,), jnp.int32),
                 # RayQueue default: lastSpecular = true (variables.h:33)
@@ -446,13 +453,16 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     sky_params = sky_params or skymod.SkyParams(cfg.sky)
     local_height = cfg.height if local_height is None else local_height
     n = cfg.num_rays
+    from .ops.pallas.accum_kernel import CHUNK, accumulate_sorted, sentinel
 
-    # 1. raygen top-off (kernel.cu:250-296): slots < n_carried keep the
-    # carried survivors, the rest are fresh primaries
+    # 1. raygen top-off (kernel.cu:250-296): the TAIL slots
+    # [n - n_carried, n) keep the carried survivors (the compaction sort
+    # below naturally leaves them there), the front slots are fresh
+    # primaries
     gen = _raygen(cfg, camera, state.start_position, state.frame,
-                  local_height, row_offset, n_carried=state.n_carried)
+                  local_height, row_offset)
     slot = jnp.arange(n, dtype=jnp.int32)
-    keep = slot < state.n_carried
+    keep = slot >= (n - state.n_carried)
 
     def merge(car, new):
         m = keep[:, None] if new.ndim == 2 else keep
@@ -462,6 +472,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         origin=merge(state.origin, gen["origin"]),
         direction=merge(state.direction, gen["direction"]),
         direct=merge(state.direct, gen["direct"]),
+        pending=merge(state.pending, gen["pending"]),
         pixel=merge(state.pixel, gen["pixel"]),
         bounces=merge(state.bounces, gen["bounces"]),
         last_specular=merge(state.last_specular, gen["last_specular"]),
@@ -484,19 +495,22 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # 4. connect
     shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables)
 
-    # 5. accumulate (deterministic scatter-add replaces atomicAdd,
-    # kernel.cu:622-625 / 641-644)
-    updates = jnp.concatenate(
-        [color + shadow_contrib, terminated[:, None]], axis=1)
-    accum = state.accum.at[rays["pixel"]].add(updates)
+    # 5+6. ONE sort does both queue-compaction and accumulation ordering
+    # (replaces the reference's atomic write into ray_buffer_next +
+    # atomicAdd accumulation, kernel.cu:607-608 / 622-625 / 641-644):
+    #   * terminated rays sort FIRST, keyed by pixel -> their flushed
+    #     radiance comes out pixel-sorted, turning the framebuffer update
+    #     into a dense tiled accumulation (accum_kernel.py) instead of a
+    #     ~50 M-updates/s XLA scatter;
+    #   * survivors sort LAST, keyed by (spatial cell of the bounce origin,
+    #     direction octant) past the sentinel -> next step's ray packets
+    #     stay position- AND direction-coherent (the dense analog of the
+    #     reference's divergence-hiding work regrouping) and sit in the
+    #     tail slots the next top-off expects.
+    # A multi-operand lax.sort carries the payloads through the sort
+    # network: ~42 ms at 2M vs ~142 ms for argsort + per-array gathers.
+    pend = rays["pending"] + color + shadow_contrib
 
-    # 6. compact survivors to the front (replaces the atomic write into
-    # ray_buffer_next + buffer swap, kernel.cu:607-608 / main.cpp:169).
-    # Survivors are ordered by (screen tile, direction octant) so next
-    # step's ray packets stay position- AND direction-coherent — the dense
-    # analog of the reference's divergence-hiding work regrouping.
-    # spatial cell of the bounce origin (scene root box, 32^3 grid) beats
-    # screen-tile keys for secondary rays whose hit points have diverged
     root_lo = scene.bvh.node_packed[0, 0:3]
     root_hi = scene.bvh.node_packed[0, 3:6]
     span = jnp.maximum(root_hi - root_lo, 1e-3)
@@ -507,18 +521,43 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     nneg = next_rays["direction"] < 0
     octant = (nneg[:, 0].astype(jnp.int32) + 2 * nneg[:, 1].astype(jnp.int32)
               + 4 * nneg[:, 2].astype(jnp.int32))
-    key = jnp.where(survive, cell * 8 + octant, jnp.int32(2 ** 30))
-    order = jnp.argsort(key, stable=True)
+    p_local = cfg.width * local_height
+    sent = sentinel(p_local)
+    key = jnp.where(survive, sent + cell * 8 + octant, next_rays["pixel"])
+    # pixel (< 2^21) | bounces (<= 15) | lastSpecular packed in one column
+    packed = (next_rays["pixel"] << 5) | (next_rays["bounces"] << 1) \
+        | next_rays["last_specular"].astype(jnp.int32)
+    o, d, dr = next_rays["origin"], next_rays["direction"], next_rays["direct"]
+    (key_s, ox, oy, oz, dx, dy, dz, r0, r1, r2, p0, p1, p2,
+     packed_s) = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         dr[:, 0], dr[:, 1], dr[:, 2], pend[:, 0], pend[:, 1], pend[:, 2],
+         packed), num_keys=1)
     n_carried = jnp.sum(survive).astype(jnp.int32)
+
+    # 7. flush terminated rays' pending radiance (+1 completed-path count)
+    term_s = key_s < sent
+    upd_pix = jnp.minimum(key_s, sent)
+    upd_vals = jnp.where(
+        term_s[:, None],
+        jnp.stack([p0, p1, p2, jnp.ones_like(p0)], axis=1), 0.0)
+    use_kernel = cfg.use_accum_kernel == "on" or (
+        cfg.use_accum_kernel == "auto"
+        and jax.default_backend() not in ("cpu",))
+    if use_kernel and n % CHUNK == 0:
+        accum = accumulate_sorted(state.accum, upd_pix, upd_vals)
+    else:
+        accum = state.accum.at[jnp.where(term_s, upd_pix, 0)].add(upd_vals)
 
     return RenderState(
         accum=accum,
-        origin=next_rays["origin"][order],
-        direction=next_rays["direction"][order],
-        direct=next_rays["direct"][order],
-        pixel=next_rays["pixel"][order],
-        bounces=next_rays["bounces"][order],
-        last_specular=next_rays["last_specular"][order],
+        origin=jnp.stack([ox, oy, oz], axis=1),
+        direction=jnp.stack([dx, dy, dz], axis=1),
+        direct=jnp.stack([r0, r1, r2], axis=1),
+        pending=jnp.stack([p0, p1, p2], axis=1),
+        pixel=packed_s >> 5,
+        bounces=(packed_s >> 1) & 15,
+        last_specular=(packed_s & 1).astype(bool),
         n_carried=n_carried,
         start_position=start_next.astype(jnp.int32),
         frame=state.frame + 1,
