@@ -108,19 +108,16 @@ def main():
     node0 = np.asarray(scene.bvh.node_packed)[0]
     root_lo, root_hi = node0[0:3], node0[3:6]
 
-    n = (nc // 1024) * 1024
+    n = (min(nc, 48 * 1024) // 1024) * 1024
     o, d = o[:n], d[:n]
 
     for label, grid, dbits in [("8^3+oct (current)", 8, 3),
-                               ("16^3+oct", 16, 3),
-                               ("32^3+oct", 32, 3),
-                               ("32^3+quad6", 32, 6),
-                               ("64^3+oct", 64, 3),
-                               ("16^3 morton-ish+oct", -16, 3)]:
+                               ("oct-major+64^3 morton", -164, 3)]:
         if grid > 0:
             k = keys_for(o, d, root_lo, root_hi, grid, dbits)
         else:
-            g = -grid
+            oct_major = -grid >= 100
+            g = (-grid) % 100
             span = np.maximum(root_hi - root_lo, 1e-3)
             q = np.clip(((o - root_lo) / span * g).astype(np.int64), 0, g - 1)
             # interleave bits (morton) for locality
@@ -131,11 +128,15 @@ def main():
                 return x
             cell = part(q[:, 0]) | (part(q[:, 1]) << 1) | (part(q[:, 2]) << 2)
             neg = d < 0
-            k = cell * 8 + (neg[:, 0] * 1 + neg[:, 1] * 2 + neg[:, 2] * 4)
+            oct_ = neg[:, 0] * 1 + neg[:, 1] * 2 + neg[:, 2] * 4
+            if oct_major:
+                k = oct_ * (1 << 20) + cell
+            else:
+                k = cell * 8 + oct_
         order = np.argsort(k, kind="stable")
         oo, dd = o[order], d[order]
         row = [label]
-        for gs in (128, 256, 1024):
+        for gs in (128, 1024):
             groups = [np.arange(i, i + gs) for i in range(0, n, gs)]
             v = union_visits(scene, oo, dd, groups)
             # cost model: packet kernel time ~ sum of group visits / groups
@@ -150,9 +151,10 @@ def main():
                   cfg.height, 0)
     og = np.asarray(gen["origin"])[:n]
     dg = np.asarray(gen["direction"])[:n]
-    groups = [np.arange(i, i + 1024) for i in range(0, n, 1024)]
-    v = union_visits(scene, og, dg, groups)
-    print(f"coherent primaries 1024: {v.sum() / (n / 1024):7.0f}/1k")
+    for gs in (128, 1024):
+        groups = [np.arange(i, i + gs) for i in range(0, n, gs)]
+        v = union_visits(scene, og, dg, groups)
+        print(f"coherent primaries {gs}: {v.sum() / (n / 1024):7.0f}/1k")
 
 
 if __name__ == "__main__":

@@ -231,24 +231,32 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     o = rays["origin"] + d * t_safe[:, None]
 
     # --- surface data (kernel.cu:366-390) ---
+    # One [T+pad, 8] gather covers the whole triangle side (normal, refl,
+    # color); the sphere side is a select chain over the tiny sphere_table
+    # (a gather would cost the full ~12 ms/2M even on a 7-row table —
+    # scripts/gather_micro.py)
     sid = jnp.clip(ident, 0, scene.sphere_center.shape[0] - 1)
     is_sphere = hit & ~is_tri
-    sph_c = scene.sphere_center[sid]
-    sph_r = scene.sphere_radius[sid]
+    stbl = scene.sphere_table  # [S, 12]
+    srow = jnp.broadcast_to(stbl[0][None], (ident.shape[0], stbl.shape[1]))
+    for s in range(1, stbl.shape[0]):
+        srow = jnp.where((sid == s)[:, None], stbl[s][None], srow)
+    sph_c = srow[:, 0:3]
+    sph_r = srow[:, 3]
     normal_sphere = (o - sph_c) / sph_r[:, None]
 
-    tid = jnp.clip(ident, 0, scene.bvh.tri_packed.shape[0] - 1)
-    tri_row = scene.bvh.tri_packed[tid]
-    normal_tri = normalize(jnp.cross(tri_row[:, 3:6], tri_row[:, 6:9]))
+    tid = jnp.clip(ident, 0, scene.tri_shade.shape[0] - 1)
+    trow = scene.tri_shade[tid]  # [N, 8]
+    normal_tri = trow[:, 0:3]
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the
     # reference's hard-wired behaviour kernel.cu:380-384 / unused
     # Triangle::materialType loader.h:16)
-    refl = jnp.where(is_sphere, scene.sphere_refl[sid], scene.tri_refl[tid])
+    refl = jnp.where(is_sphere, srow[:, 10].astype(jnp.int32),
+                     trow[:, 3].astype(jnp.int32))
     refl = jnp.where(hit, refl, DIFF)
-    obj_color = jnp.where(is_sphere[:, None], scene.sphere_color[sid],
-                          scene.tri_color[tid])
+    obj_color = jnp.where(is_sphere[:, None], srow[:, 4:7], trow[:, 4:7])
 
     # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
     mul_mask = hit & (refl != REFR) & (refl != LIGHT)
@@ -259,7 +267,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     o = o + normal * eps                                   # kernel.cu:390
 
     # --- LIGHT (kernel.cu:393-401) ---
-    emission = scene.sphere_emission[sid]
+    emission = srow[:, 7:10]
     is_light = hit & (refl == LIGHT)
     last_spec_in = rays["last_specular"]
     color = jnp.where((is_light & last_spec_in)[:, None],

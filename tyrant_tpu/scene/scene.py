@@ -92,11 +92,22 @@ class SceneData:
     light_index: jnp.ndarray  # scalar i32: NEE area light (spheres[6] analog)
     tri_refl: jnp.ndarray     # [T+pad] i32 (leaf order)
     tri_color: jnp.ndarray    # [T+pad, 3] f32 (leaf order)
+    # Shade-time fetch tables.  A 2M-row gather costs ~11-18 ms on v5e
+    # regardless of row width (scripts/gather_micro.py), so everything shade
+    # needs per hit is packed into ONE row per geometry kind:
+    #   tri_shade  [T+pad, 8]: geometric normal.xyz (pre-normalised
+    #       cross(e1,e2), kernel.cu:380-383), refl, color.rgb, pad
+    #   sphere_table [S, 12]: center.xyz, radius, color.rgb, emission.rgb,
+    #       refl, pad — fetched by a select chain, not a gather (XLA lowers
+    #       tiny-table gathers at full gather cost)
+    tri_shade: jnp.ndarray
+    sphere_table: jnp.ndarray
 
     def tree_flatten(self):
         return ((self.bvh, self.sphere_center, self.sphere_radius,
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
-                 self.light_index, self.tri_refl, self.tri_color), None)
+                 self.light_index, self.tri_refl, self.tri_color,
+                 self.tri_shade, self.sphere_table), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -216,6 +227,25 @@ class Scene:
             tri_color = np.concatenate([color, np.ones((pad, 3), np.float32)])
         light_idx = int(np.nonzero(self.spheres.refl == LIGHT)[0][0]) \
             if (self.spheres.refl == LIGHT).any() else -1
+
+        tp = np.asarray(bvh_dev.tri_packed)
+        cross = np.cross(tp[:, 3:6], tp[:, 6:9])
+        norm = np.linalg.norm(cross, axis=1, keepdims=True)
+        normal = np.where(norm > 0, cross / np.maximum(norm, 1e-30),
+                          np.asarray([0.0, 0.0, 1.0], np.float32))
+        tri_shade = np.zeros((tp.shape[0], 8), np.float32)
+        tri_shade[:, 0:3] = normal
+        tri_shade[:, 3] = tri_refl.astype(np.float32)
+        tri_shade[:, 4:7] = tri_color
+
+        s = self.spheres
+        sphere_table = np.zeros((s.count, 12), np.float32)
+        sphere_table[:, 0:3] = s.center
+        sphere_table[:, 3] = s.radius
+        sphere_table[:, 4:7] = s.color
+        sphere_table[:, 7:10] = s.emission
+        sphere_table[:, 10] = s.refl.astype(np.float32)
+
         return SceneData(
             bvh=bvh_dev,
             sphere_center=jnp.asarray(self.spheres.center),
@@ -226,6 +256,8 @@ class Scene:
             light_index=jnp.asarray(light_idx, jnp.int32),
             tri_refl=jnp.asarray(tri_refl),
             tri_color=jnp.asarray(tri_color),
+            tri_shade=jnp.asarray(tri_shade),
+            sphere_table=jnp.asarray(sphere_table),
         )
 
 
