@@ -1,5 +1,10 @@
 """Pallas packet-traversal kernel vs the XLA cascade oracle (interpret mode
-on CPU; compiled-mode equivalence is exercised on real TPU by bench/driver)."""
+on CPU; compiled-mode equivalence is exercised on real TPU by bench/driver).
+
+Both kernel generations are covered: the mono 1024-ray packet (wave=False)
+and the wave kernel (8 independent 128-ray sublane packets, wave=True)."""
+
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,10 +33,11 @@ def _setup(n_quads=32, towers=3, seed=3, n_rays=2048):
     return dev, tables, jnp.asarray(o), jnp.asarray(d.astype(np.float32))
 
 
-def test_packet_closest_matches_cascade():
+@pytest.mark.parametrize("wave", [False, True])
+def test_packet_closest_matches_cascade(wave):
     dev, tables, o, d = _setup()
     t_ref, id_ref = closest_hit(o, d, dev)
-    t_pk, id_pk = closest_hit_packets(o, d, tables, interpret=True)
+    t_pk, id_pk = closest_hit_packets(o, d, tables, interpret=True, wave=wave)
     t_ref, id_ref = np.asarray(t_ref), np.asarray(id_ref)
     t_pk, id_pk = np.asarray(t_pk), np.asarray(id_pk)
     np.testing.assert_array_equal(id_ref >= 0, id_pk >= 0)
@@ -53,11 +59,13 @@ def test_packet_closest_with_t_init():
                                np.asarray(t_pk)[hits], rtol=1e-5)
 
 
-def test_packet_any_hit_matches_cascade():
+@pytest.mark.parametrize("wave", [False, True])
+def test_packet_any_hit_matches_cascade(wave):
     dev, tables, o, d = _setup(seed=5)
     maxd = jnp.full((o.shape[0],), 120.0, jnp.float32)
     occ_ref = np.asarray(any_hit(o, d, maxd, dev))
-    occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables, interpret=True))
+    occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables, interpret=True,
+                                        wave=wave))
     np.testing.assert_array_equal(occ_ref, occ_pk)
 
 
@@ -83,15 +91,33 @@ def test_tables_fit_predicate():
     assert not tables_fit_vmem(500_000)  # ~1M-tri scene -> HBM row DMA
 
 
-def test_packet_hbm_mode_matches():
-    """The HBM row-DMA variant must agree with the VMEM variant."""
+@pytest.mark.parametrize("wave", [False, True])
+def test_packet_hbm_mode_matches(wave):
+    """The HBM row-DMA variant must agree with the VMEM variant.
+    (t compared within FMA re-association tolerance: the wave kernel's
+    graph contracts differently from the mono kernel's.)"""
     dev, tables, o, d = _setup(seed=21)
     t_ref, id_ref = closest_hit_packets(o, d, tables, interpret=True)
     tables.fits = False  # force the HBM path
-    t_h, id_h = closest_hit_packets(o, d, tables, interpret=True)
+    t_h, id_h = closest_hit_packets(o, d, tables, interpret=True, wave=wave)
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_h))
-    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_h))
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_h),
+                               rtol=1e-6)
     maxd = jnp.full((o.shape[0],), 120.0, jnp.float32)
     occ_h = np.asarray(any_hit_packets(o, d, maxd, tables, interpret=True))
     occ_ref = np.asarray(any_hit(o, d, maxd, dev))
     np.testing.assert_array_equal(occ_h, occ_ref)
+
+
+def test_wave_treelet_dma_tail():
+    """Wave HBM mode with a tiny VMEM treelet: most visits take the DMA
+    tail path, and the result must still match the cascade exactly."""
+    dev, tables, o, d = _setup(seed=23)
+    t_ref, id_ref = closest_hit(o, d, dev)
+    tables.fits = False
+    t_h, id_h = closest_hit_packets(o, d, tables, interpret=True, wave=True,
+                                    treelet_rows=2)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_h))
+    hits = np.asarray(id_ref) >= 0
+    np.testing.assert_allclose(np.asarray(t_ref)[hits],
+                               np.asarray(t_h)[hits], rtol=1e-5)

@@ -60,6 +60,10 @@ STACK_DEPTH = 128      # cf. reference's 64-entry stack (bvh.h:124)
 ROW_WIDTH = 128
 # VMEM budget for the fat-row table; beyond this the caller falls back
 VMEM_TABLE_BUDGET = 10 * 1024 * 1024
+# HBM mode: rows are BFS-ordered so this VMEM-resident prefix holds the TOP
+# of the tree (the levels every ray crosses); only deep-tail visits DMA.
+# 16384 rows x 512 B = 8 MB of VMEM.
+TREELET_ROWS = 16384
 
 LEAF_WIDTH = 6  # must match ops.traverse.LEAF_WIDTH / BVHConfig
 _L_TAG, _R_TAG, _L_REF, _R_REF, _AXIS = 12, 13, 14, 15, 16
@@ -269,6 +273,253 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
+# --------------------------------------------------------------------------
+# wave kernel: 8 independent 128-ray subpackets per (8, 128) block
+# --------------------------------------------------------------------------
+#
+# The mono packet above unions box tests over 1024 rays: every union visit
+# runs full-width VPU ops, so an incoherent wavefront tests ~1700 nodes per
+# 1k rays x 1024 rays each = ~56x more ray-node tests than the per-ray
+# optimum (scripts/coherence_study.py).  Splitting the block into 8
+# SUBLANE-sized packets with independent stacks cuts the per-ray waste
+# ~4.5x: each sublane walks its own node, the VPU still runs full (8, 128)
+# ops, and the scalar core maintains 8 stacks.  Per-sublane descend/push
+# decisions are computed VECTORIZED as (8, 1) columns, staged through a
+# VMEM flags scratch, and read back as scalars (Mosaic cannot feed vector
+# reduces into addressing/control directly).
+
+_F_ANYLEAF_L, _F_ANYLEAF_R = 0, 1
+_F_ALIVE = 2
+_F_FIRST_REF, _F_FIRST_OK, _F_SECOND_REF, _F_SECOND_OK = 3, 4, 5, 6
+_F_OCC_ALL = 7
+
+
+def _wave_kernel(*refs, closest: bool, hbm: bool = False,
+                 n_top: int = TREELET_ROWS):
+    """Args: [top_ref when hbm,] rows_ref, 7 ray refs, 2 out refs,
+    stack_ref (SMEM [8, STACK_DEPTH] i32 — one stack per sublane), then
+    scratch: row8 (8,128) f32 landing buffer, flags (8,128) i32 staging,
+    [+ 8 DMA semaphores when ``hbm``].  Waves run under a fori_loop with a
+    dynamic sublane slice (16x smaller kernel body than unrolling — the
+    remote-compile tunnel chokes on megabyte MLIR).
+
+    HBM mode is a TWO-LEVEL treelet scheme: ``top_ref`` holds the BFS
+    prefix rows[:TREELET_ROWS] in VMEM (the upper levels, where ~75%+ of
+    visits land); only rows >= TREELET_ROWS are DMA'd from HBM, eight
+    in flight at a time (one per sublane stack)."""
+    if hbm:
+        (rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
+         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref, row8, flags,
+         sems) = refs
+    else:
+        (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
+         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref, row8, flags) = refs
+        top_ref, sems = None, None
+
+    def one_wave(k, carry):
+        s = pl.ds(8 * k, 8)
+        _wave_packet(rows_ref, top_ref, ox_ref[s, :], oy_ref[s, :],
+                     oz_ref[s, :], dxr_ref[s, :], dyr_ref[s, :],
+                     dzr_ref[s, :], t0_ref[s, :], tout_ref, hit_ref, s,
+                     stack_ref, closest, row8, flags, sems, n_top)
+        return carry
+
+    jax.lax.fori_loop(0, PACKETS_PER_BLOCK, one_wave, jnp.int32(0))
+
+
+def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
+                 hit_ref, out_slice, stack_ref, closest: bool, row8_ref,
+                 flags_ref, sems, n_top: int = TREELET_ROWS):
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    # per-subpacket traversal-order heuristic: the first ray of each sublane
+    # (vector compares, no scalar loads).  Kept as f32 0/1 — Mosaic cannot
+    # select between i1 vectors ("unsupported target bitwidth" trunci).
+    negx_v = (dx[:, 0:1] < 0).astype(jnp.float32)
+    negy_v = (dy[:, 0:1] < 0).astype(jnp.float32)
+    negz_v = (dz[:, 0:1] < 0).astype(jnp.float32)
+
+    tout_ref[out_slice, :] = t_init
+    if closest:
+        hit_ref[out_slice, :] = jnp.full(t_init.shape, -1, jnp.int32)
+    else:
+        hit_ref[out_slice, :] = jnp.zeros(t_init.shape, jnp.int32)
+
+    for s in range(8):
+        stack_ref[s, 0] = 0
+    flags_ref[:, _F_ALIVE:_F_ALIVE + 1] = jnp.ones((8, 1), jnp.int32)
+
+    def cond(sps):
+        alive = sps[0] >= 0
+        for s in range(1, 8):
+            alive = alive | (sps[s] >= 0)
+        return alive
+
+    def body(sps):
+        # --- pop one node per sublane; land its fat row in sublane s ---
+        if sems is not None:
+            # two-level treelet: VMEM prefix hit -> plain copy; deep tail ->
+            # async DMA.  All 8 DMAs start before any wait so their latency
+            # overlaps (and overlaps the VMEM copies).
+            rows_s, in_top = [], []
+            for s in range(8):
+                row_s = stack_ref[s, jnp.maximum(sps[s], 0)]
+                rows_s.append(row_s)
+                in_top.append(row_s < n_top)
+
+                @pl.when(in_top[s])
+                def _(s=s, row_s=row_s):
+                    row8_ref[pl.ds(s, 1), :] = top_ref[pl.ds(row_s, 1), :]
+
+                @pl.when(jnp.logical_not(in_top[s]))
+                def _(s=s, row_s=row_s):
+                    pltpu.make_async_copy(
+                        rows_ref.at[pl.ds(row_s, 1), :],
+                        row8_ref.at[pl.ds(s, 1), :], sems.at[s]).start()
+            for s in range(8):
+                @pl.when(jnp.logical_not(in_top[s]))
+                def _(s=s, row_s=rows_s[s]):
+                    pltpu.make_async_copy(
+                        rows_ref.at[pl.ds(row_s, 1), :],
+                        row8_ref.at[pl.ds(s, 1), :], sems.at[s]).wait()
+        else:
+            for s in range(8):
+                row_s = stack_ref[s, jnp.maximum(sps[s], 0)]
+                row8_ref[pl.ds(s, 1), :] = rows_ref[pl.ds(row_s, 1), :]
+
+        rowv8 = row8_ref[:]
+
+        def rv(i):
+            return rowv8[:, i:i + 1]
+
+        alive_v = flags_ref[:, _F_ALIVE:_F_ALIVE + 1] > 0
+        t_best = tout_ref[out_slice, :]
+        prune = t_best if closest else t_init
+        if not closest:
+            occ = hit_ref[out_slice, :]
+
+        def slab(base):
+            lox, loy, loz = rv(base + 0), rv(base + 1), rv(base + 2)
+            hix, hiy, hiz = rv(base + 3), rv(base + 4), rv(base + 5)
+            n_x = jnp.where(dx < 0, hix, lox)
+            f_x = jnp.where(dx < 0, lox, hix)
+            n_y = jnp.where(dy < 0, hiy, loy)
+            f_y = jnp.where(dy < 0, loy, hiy)
+            n_z = jnp.where(dz < 0, hiz, loz)
+            f_z = jnp.where(dz < 0, loz, hiz)
+            tmin = jnp.maximum(
+                jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
+                (n_z - oz) * inv_z)
+            tmax = jnp.minimum(
+                jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
+                (f_z - oz) * inv_z)
+            bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0) & alive_v
+            if not closest:
+                bh = bh & (occ == 0)
+            return bh
+
+        box_l = slab(0)
+        box_r = slab(6)
+        any_l_v = jnp.any(box_l, axis=1, keepdims=True)
+        any_r_v = jnp.any(box_r, axis=1, keepdims=True)
+
+        tag_l_v = rv(_L_TAG)
+        tag_r_v = rv(_R_TAG)
+        ref_l_v = rv(_L_REF)
+        ref_r_v = rv(_R_REF)
+
+        # --- vectorized per-sublane push planning (int/f32 selects only) ---
+        axis_v = rv(_AXIS)
+        neg_axis_v = jnp.where(axis_v == 0.0, negx_v,
+                               jnp.where(axis_v == 1.0, negy_v, negz_v))
+        near_is_r = neg_axis_v > 0.5
+        push_l_i = (any_l_v & (tag_l_v < 0)).astype(jnp.int32)
+        push_r_i = (any_r_v & (tag_r_v < 0)).astype(jnp.int32)
+        first_ref_v = jnp.where(near_is_r, ref_l_v, ref_r_v)   # far child
+        first_ok_v = jnp.where(near_is_r, push_l_i, push_r_i)
+        second_ref_v = jnp.where(near_is_r, ref_r_v, ref_l_v)  # near child
+        second_ok_v = jnp.where(near_is_r, push_r_i, push_l_i)
+        leaf_l_v = any_l_v & (tag_l_v > 0)
+        leaf_r_v = any_r_v & (tag_r_v > 0)
+
+        flags_ref[:, _F_ANYLEAF_L:_F_ANYLEAF_L + 1] = leaf_l_v.astype(jnp.int32)
+        flags_ref[:, _F_ANYLEAF_R:_F_ANYLEAF_R + 1] = leaf_r_v.astype(jnp.int32)
+        flags_ref[:, _F_FIRST_REF:_F_FIRST_REF + 1] = first_ref_v.astype(jnp.int32)
+        flags_ref[:, _F_FIRST_OK:_F_FIRST_OK + 1] = first_ok_v
+        flags_ref[:, _F_SECOND_REF:_F_SECOND_REF + 1] = second_ref_v.astype(jnp.int32)
+        flags_ref[:, _F_SECOND_OK:_F_SECOND_OK + 1] = second_ok_v
+
+        # --- leaf passes: vector-masked per sublane, gated by a scalar OR ---
+        def leaf_pass(tri_base, leaf_v, box_hit):
+            tag_v = rv(_L_TAG) if tri_base == _L_TRI else rv(_R_TAG)
+            ref_v = rv(_L_REF) if tri_base == _L_TRI else rv(_R_REF)
+            ref_i = ref_v.astype(jnp.int32)
+
+            def run():
+                t_best = tout_ref[out_slice, :]
+                hit = hit_ref[out_slice, :]
+                for j in range(LEAF_WIDTH):
+                    slot_ok = box_hit & leaf_v & (float(j) < tag_v)
+                    b = tri_base + 9 * j
+                    t = _mt_packet(
+                        ox, oy, oz, dx, dy, dz,
+                        rv(b + 0), rv(b + 1), rv(b + 2),
+                        rv(b + 3), rv(b + 4), rv(b + 5),
+                        rv(b + 6), rv(b + 7), rv(b + 8))
+                    if closest:
+                        ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
+                        t_best = jnp.where(ok, t, t_best)
+                        hit = jnp.where(ok, ref_i + j, hit)
+                    else:
+                        ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
+                        hit = jnp.where(ok, 1, hit)
+                if closest:
+                    tout_ref[out_slice, :] = t_best
+                hit_ref[out_slice, :] = hit
+            return run
+
+        leaf_l_any = flags_ref[0, _F_ANYLEAF_L]
+        leaf_r_any = flags_ref[0, _F_ANYLEAF_R]
+        for s in range(1, 8):
+            leaf_l_any = leaf_l_any | flags_ref[s, _F_ANYLEAF_L]
+            leaf_r_any = leaf_r_any | flags_ref[s, _F_ANYLEAF_R]
+        pl.when(leaf_l_any > 0)(leaf_pass(_L_TRI, leaf_l_v, box_l))
+        pl.when(leaf_r_any > 0)(leaf_pass(_R_TRI, leaf_r_v, box_r))
+
+        if not closest:
+            occ_all_v = jnp.all(hit_ref[out_slice, :] > 0, axis=1,
+                                keepdims=True)
+            flags_ref[:, _F_OCC_ALL:_F_OCC_ALL + 1] = occ_all_v.astype(jnp.int32)
+
+        # --- scalar stack maintenance per sublane ---
+        new_sps = []
+        for s in range(8):
+            sp_s = sps[s]
+            alive_s = (sp_s >= 0).astype(jnp.int32)
+            spn = sp_s - alive_s  # pop (no-op when already empty)
+            f_ok = flags_ref[s, _F_FIRST_OK] * alive_s
+            s_ok = flags_ref[s, _F_SECOND_OK] * alive_s
+            stack_ref[s, jnp.maximum(spn + 1, 0)] = flags_ref[s, _F_FIRST_REF]
+            spn = spn + f_ok
+            stack_ref[s, jnp.maximum(spn + 1, 0)] = flags_ref[s, _F_SECOND_REF]
+            spn = spn + s_ok
+            if not closest:
+                spn = jnp.where(flags_ref[s, _F_OCC_ALL] > 0,
+                                jnp.int32(-1), spn)
+            new_sps.append(spn)
+
+            @pl.when(spn < 0)
+            def _(s=s):
+                flags_ref[pl.ds(s, 1), _F_ALIVE:_F_ALIVE + 1] = \
+                    jnp.zeros((1, 1), jnp.int32)
+
+        return tuple(new_sps)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0),) * 8)
+
+
 def _pad_to_packets(x, n, fill):
     pad = (-n) % PACKET
     if pad:
@@ -276,9 +527,12 @@ def _pad_to_packets(x, n, fill):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("closest", "interpret", "hbm"))
+@functools.partial(jax.jit,
+                   static_argnames=("closest", "interpret", "hbm", "wave",
+                                    "treelet_rows"))
 def _run(rows, origin, direction, t_init, closest: bool,
-         interpret: bool = False, hbm: bool = False):
+         interpret: bool = False, hbm: bool = False, wave: bool = True,
+         treelet_rows: int | None = None):
     n = origin.shape[0]
     comps = [
         _pad_to_packets(origin[:, 0], n, 0.0),
@@ -305,22 +559,37 @@ def _run(rows, origin, direction, t_init, closest: bool,
     ray_spec = pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     sub = PACKET // 128
-    if hbm:
-        table_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    table_spec = (pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) if hbm
+                  else pl.BlockSpec(memory_space=pltpu.VMEM))
+    tables_in = [rows]
+    table_specs = [table_spec]
+    n_top = treelet_rows if treelet_rows is not None else TREELET_ROWS
+    if wave:
+        if hbm:
+            # BFS-ordered prefix = top of the tree, VMEM-resident treelet
+            tables_in.append(rows[:n_top])
+            table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch = [pltpu.SMEM((8, STACK_DEPTH), jnp.int32),
+                   pltpu.VMEM((8, 128), jnp.float32),
+                   pltpu.VMEM((8, 128), jnp.int32)]
+        if hbm:
+            scratch.append(pltpu.SemaphoreType.DMA((8,)))
+        kernel = functools.partial(_wave_kernel, closest=closest, hbm=hbm,
+                                   n_top=n_top)
+    elif hbm:
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                    pltpu.VMEM((sub, 128), jnp.float32),
                    pltpu.VMEM((1, 128), jnp.float32),
                    pltpu.SemaphoreType.DMA]
+        kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
     else:
-        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                    pltpu.VMEM((sub, 128), jnp.float32)]
-
-    kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
+        kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
     t_out, hit_out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec] + [ray_spec] * 7,
+        in_specs=table_specs + [ray_spec] * 7,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks * rows_per_block, 128),
@@ -329,7 +598,7 @@ def _run(rows, origin, direction, t_init, closest: bool,
                                  jnp.int32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(rows, *comps)
+    )(*tables_in, *comps)
     return t_out.reshape(-1)[:n], hit_out.reshape(-1)[:n]
 
 
@@ -370,25 +639,40 @@ class PacketTables:
 
         interior = np.nonzero(~is_leaf)[0]
         n_rows = len(interior)
+        # BFS (level-order) row numbering: row index increases with depth,
+        # so rows[:TREELET_ROWS] is exactly the top of the tree — the HBM
+        # kernel keeps that prefix VMEM-resident and only DMAs deep-tail
+        # visits.  The root stays row 0.
+        depth_n = np.zeros(nn, np.int32)
+        frontier = np.asarray([0] if not is_leaf[0] else [], np.int64)
+        dep = 0
+        while frontier.size:
+            dep += 1
+            kids = np.concatenate([frontier + 1, lane7[frontier]])
+            kids = kids[~is_leaf[kids]]
+            depth_n[kids] = dep
+            frontier = kids
+        order = np.argsort(depth_n[interior], kind="stable")
         row_of = np.full(nn, -1, np.int64)
-        row_of[interior] = np.arange(n_rows)
+        row_of[interior[order]] = np.arange(n_rows)
 
+        rr = row_of[interior]
         rows = np.zeros((n_rows, ROW_WIDTH), np.float32)
-        rows[:, _AXIS] = axis[interior].astype(np.float32)
+        rows[rr, _AXIS] = axis[interior].astype(np.float32)
         for side, child, tag_c, ref_c, tri_c in (
                 ("L", interior + 1, _L_TAG, _L_REF, _L_TRI),
                 ("R", lane7[interior], _R_TAG, _R_REF, _R_TRI)):
             base = 0 if side == "L" else 6
-            rows[:, base:base + 6] = node[child, 0:6]
+            rows[rr, base:base + 6] = node[child, 0:6]
             child_leaf = is_leaf[child]
-            rows[:, tag_c] = np.where(child_leaf, count[child],
-                                      -1).astype(np.float32)
-            rows[:, ref_c] = np.where(child_leaf, offset[child],
-                                      row_of[child]).astype(np.float32)
+            rows[rr, tag_c] = np.where(child_leaf, count[child],
+                                       -1).astype(np.float32)
+            rows[rr, ref_c] = np.where(child_leaf, offset[child],
+                                       row_of[child]).astype(np.float32)
             lp = np.where(child_leaf, lane7[child], 0)
             payload = leaf_packed[lp]
             payload[~child_leaf] = 0.0
-            rows[:, tri_c:tri_c + 9 * LEAF_WIDTH] = payload
+            rows[rr, tri_c:tri_c + 9 * LEAF_WIDTH] = payload
 
         self.rows = jnp.asarray(rows)
         self.fits = tables_fit_vmem(n_rows)
@@ -396,34 +680,30 @@ class PacketTables:
         # ints ride in f32 lanes, exact only below 2^24; deeper trees than
         # the SMEM stack would silently corrupt traversal.  Refuse instead.
         max_ref = int(offset.max()) + LEAF_WIDTH if is_leaf.any() else 0
-        child_l = row_of[interior + 1]
-        child_r = row_of[lane7[interior]]
-        depth, frontier = 1, np.asarray([0])
-        while frontier.size:
-            nxt = np.concatenate([child_l[frontier], child_r[frontier]])
-            nxt = nxt[nxt >= 0]
-            depth += 1 if nxt.size else 0
-            frontier = nxt
-        self.max_depth = depth
+        self.max_depth = int(depth_n.max()) + 2  # + leaf level + root
         self.supported = (max(n_rows, max_ref) < 2 ** 24
-                          and depth + 2 <= STACK_DEPTH)
+                          and self.max_depth + 2 <= STACK_DEPTH)
 
 
 def closest_hit_packets(origin, direction, tables: PacketTables,
-                        t_init=None, interpret: bool = False):
+                        t_init=None, interpret: bool = False,
+                        wave: bool = False, treelet_rows: int | None = None):
     """Packet closest-hit.  Same contract as ops.traverse.closest_hit."""
     n = origin.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
     return _run(tables.rows, origin, direction, t_init, closest=True,
-                interpret=interpret, hbm=not tables.fits)
+                interpret=interpret, hbm=not tables.fits, wave=wave,
+                treelet_rows=treelet_rows)
 
 
 def any_hit_packets(origin, direction, max_dist, tables: PacketTables,
-                    active=None, interpret: bool = False):
+                    active=None, interpret: bool = False, wave: bool = False,
+                    treelet_rows: int | None = None):
     """Packet any-hit.  Same contract as ops.traverse.any_hit."""
     if active is not None:
         max_dist = jnp.where(active, max_dist, 0.0)
     _, occ = _run(tables.rows, origin, direction, max_dist, closest=False,
-                  interpret=interpret, hbm=not tables.fits)
+                  interpret=interpret, hbm=not tables.fits, wave=wave,
+                  treelet_rows=treelet_rows)
     return occ > 0
