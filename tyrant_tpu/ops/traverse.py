@@ -13,7 +13,7 @@ Performance design (measured on v5e, see docs/PERFORMANCE.md):
     bitcast into lanes) — the same cache-line layout as the reference's
     ``static_assert(sizeof(BVHNode)==32)`` (bvh.h:68) — instead of five
     separate gathers.
-  * Leaf triangles are packed four-per-row ([L, 36]) so a leaf visit
+  * Leaf triangles are packed LEAF_WIDTH-per-row ([L, 9*LEAF_WIDTH]) so a leaf visit
     gathers ONE row; leaf work runs under ``lax.cond`` so iterations where
     no ray in the batch sits at a leaf skip the gather entirely.
   * Rays are processed in 16k chunks via ``lax.map`` so each chunk's

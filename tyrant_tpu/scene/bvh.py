@@ -11,7 +11,8 @@ leaf primitives are contiguous (bvh.cpp:18-24).
 Deliberate deviations (documented per SURVEY.md §7):
   * The reference makes an arbitrarily large leaf when the centroid bounds
     are degenerate (bvh.cpp:101-109).  We split such ranges at the median
-    instead so every leaf holds <= 4 primitives — the fixed-width leaf test
+    instead so every leaf holds <= ``BVHConfig.max_prims_per_leaf``
+    primitives (6; the reference uses 4) — the fixed-width leaf test
     is what lets the TPU traversal intersect exactly LEAF_WIDTH padded
     triangle slots per leaf visit with no data-dependent loop.
   * ``PartitionAlgorithm::Middle`` is unimplemented in the reference
