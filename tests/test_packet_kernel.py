@@ -121,3 +121,16 @@ def test_wave_treelet_dma_tail():
     hits = np.asarray(id_ref) >= 0
     np.testing.assert_allclose(np.asarray(t_ref)[hits],
                                np.asarray(t_h)[hits], rtol=1e-5)
+
+
+def test_wave_multi_block():
+    """Wave mode with more rays than one grid block (catches block-size
+    accounting bugs: every wave of every block must be traversed)."""
+    dev, tables, o, d = _setup(seed=29, n_rays=2 * 4096 + 1500)
+    t_ref, id_ref = closest_hit(o, d, dev)
+    t_pk, id_pk = closest_hit_packets(o, d, tables, interpret=True, wave=True)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_pk))
+    hits = np.asarray(id_ref) >= 0
+    assert hits.mean() > 0.2
+    np.testing.assert_allclose(np.asarray(t_ref)[hits],
+                               np.asarray(t_pk)[hits], rtol=1e-5)

@@ -294,52 +294,61 @@ _F_FIRST_REF, _F_FIRST_OK, _F_SECOND_REF, _F_SECOND_OK = 3, 4, 5, 6
 _F_OCC_ALL = 7
 
 
+WAVE_PACKETS_PER_BLOCK = 4  # unrolled waves per grid step
+
+
 def _wave_kernel(*refs, closest: bool, hbm: bool = False,
                  n_top: int = TREELET_ROWS):
-    """Args: [top_ref when hbm,] rows_ref, 7 ray refs, 2 out refs,
-    stack_ref (SMEM [8, STACK_DEPTH] i32 — one stack per sublane), then
-    scratch: row8 (8,128) f32 landing buffer, flags (8,128) i32 staging,
-    [+ 8 DMA semaphores when ``hbm``].  Waves run under a fori_loop with a
-    dynamic sublane slice (16x smaller kernel body than unrolling — the
-    remote-compile tunnel chokes on megabyte MLIR).
+    """Args: rows_ref [, top_ref when hbm], 7 ray refs, 2 out refs, then
+    scratch: 8 SMEM (STACK_DEPTH,) i32 stacks (one per sublane), 8 VMEM
+    (1,128) f32 row buffers, [+ 8 DMA semaphores when ``hbm``].
+
+    Every memory-access pattern here is one the mono kernel already proves
+    on this chip (docs/PERFORMANCE.md catalogues the Mosaic patterns that
+    fault at runtime): 1-D SMEM stacks, dynamic-sublane vector loads from
+    input tables, full-ref scratch stores, scalar loads from input tables /
+    DMA-landed buffers, and full vector->scalar reduces.  The (8,128)
+    working tensor is assembled by concatenating the 8 row buffers.
 
     HBM mode is a TWO-LEVEL treelet scheme: ``top_ref`` holds the BFS
-    prefix rows[:TREELET_ROWS] in VMEM (the upper levels, where ~75%+ of
-    visits land); only rows >= TREELET_ROWS are DMA'd from HBM, eight
-    in flight at a time (one per sublane stack)."""
+    prefix rows[:n_top] in VMEM (the upper levels, where most visits
+    land); only deeper rows are DMA'd from HBM, up to eight in flight."""
     if hbm:
         (rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
-         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref, row8, flags,
-         sems) = refs
+         dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:11]
+        rest = refs[11:]
+        stacks, bufs, sems = rest[0:8], rest[8:16], rest[16]
     else:
         (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
-         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref, row8, flags) = refs
-        top_ref, sems = None, None
+         dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:10]
+        rest = refs[10:]
+        stacks, bufs, sems = rest[0:8], rest[8:16], None
+        top_ref = None
 
-    def one_wave(k, carry):
-        s = pl.ds(8 * k, 8)
+    for k in range(WAVE_PACKETS_PER_BLOCK):
+        s = slice(8 * k, 8 * (k + 1))
         _wave_packet(rows_ref, top_ref, ox_ref[s, :], oy_ref[s, :],
                      oz_ref[s, :], dxr_ref[s, :], dyr_ref[s, :],
                      dzr_ref[s, :], t0_ref[s, :], tout_ref, hit_ref, s,
-                     stack_ref, closest, row8, flags, sems, n_top)
-        return carry
-
-    jax.lax.fori_loop(0, PACKETS_PER_BLOCK, one_wave, jnp.int32(0))
+                     stacks, bufs, sems, closest, n_top, 8 * k, dxr_ref,
+                     dyr_ref, dzr_ref)
 
 
-def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
-                 hit_ref, out_slice, stack_ref, closest: bool, row8_ref,
-                 flags_ref, sems, n_top: int = TREELET_ROWS):
+def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
+                 tout_ref, hit_ref, out_slice, stacks, bufs, sems,
+                 closest: bool, n_top: int, row0: int,
+                 dxr_ref, dyr_ref, dzr_ref):
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
 
-    # per-subpacket traversal-order heuristic: the first ray of each sublane
-    # (vector compares, no scalar loads).  Kept as f32 0/1 — Mosaic cannot
-    # select between i1 vectors ("unsupported target bitwidth" trunci).
-    negx_v = (dx[:, 0:1] < 0).astype(jnp.float32)
-    negy_v = (dy[:, 0:1] < 0).astype(jnp.float32)
-    negz_v = (dz[:, 0:1] < 0).astype(jnp.float32)
+    # per-subpacket traversal-order heuristic: sign of the first ray of
+    # each sublane (scalar input loads, like the mono kernel's dx0)
+    negs = []
+    for s in range(8):
+        negs.append(((dxr_ref[row0 + s, 0] < 0).astype(jnp.int32),
+                     (dyr_ref[row0 + s, 0] < 0).astype(jnp.int32),
+                     (dzr_ref[row0 + s, 0] < 0).astype(jnp.int32)))
 
     tout_ref[out_slice, :] = t_init
     if closest:
@@ -348,8 +357,7 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
         hit_ref[out_slice, :] = jnp.zeros(t_init.shape, jnp.int32)
 
     for s in range(8):
-        stack_ref[s, 0] = 0
-    flags_ref[:, _F_ALIVE:_F_ALIVE + 1] = jnp.ones((8, 1), jnp.int32)
+        stacks[s][0] = 0
 
     def cond(sps):
         alive = sps[0] >= 0
@@ -358,43 +366,43 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
         return alive
 
     def body(sps):
-        # --- pop one node per sublane; land its fat row in sublane s ---
+        # --- pop one node per sublane; land its fat row in buffer s ---
+        rows_s = []
+        for s in range(8):
+            row_s = stacks[s][jnp.maximum(sps[s], 0)]
+            rows_s.append(row_s)
+            if sems is None:
+                bufs[s][:] = rows_ref[pl.ds(row_s, 1), :]
+            else:
+                @pl.when(row_s < n_top)
+                def _(s=s, row_s=row_s):
+                    bufs[s][:] = top_ref[pl.ds(row_s, 1), :]
+
+                @pl.when(row_s >= n_top)
+                def _(s=s, row_s=row_s):
+                    pltpu.make_async_copy(rows_ref.at[pl.ds(row_s, 1), :],
+                                          bufs[s], sems.at[s]).start()
         if sems is not None:
-            # two-level treelet: VMEM prefix hit -> plain copy; deep tail ->
-            # async DMA.  All 8 DMAs start before any wait so their latency
-            # overlaps (and overlaps the VMEM copies).
-            rows_s, in_top = [], []
             for s in range(8):
-                row_s = stack_ref[s, jnp.maximum(sps[s], 0)]
-                rows_s.append(row_s)
-                in_top.append(row_s < n_top)
-
-                @pl.when(in_top[s])
-                def _(s=s, row_s=row_s):
-                    row8_ref[pl.ds(s, 1), :] = top_ref[pl.ds(row_s, 1), :]
-
-                @pl.when(jnp.logical_not(in_top[s]))
-                def _(s=s, row_s=row_s):
-                    pltpu.make_async_copy(
-                        rows_ref.at[pl.ds(row_s, 1), :],
-                        row8_ref.at[pl.ds(s, 1), :], sems.at[s]).start()
-            for s in range(8):
-                @pl.when(jnp.logical_not(in_top[s]))
+                @pl.when(rows_s[s] >= n_top)
                 def _(s=s, row_s=rows_s[s]):
-                    pltpu.make_async_copy(
-                        rows_ref.at[pl.ds(row_s, 1), :],
-                        row8_ref.at[pl.ds(s, 1), :], sems.at[s]).wait()
-        else:
-            for s in range(8):
-                row_s = stack_ref[s, jnp.maximum(sps[s], 0)]
-                row8_ref[pl.ds(s, 1), :] = rows_ref[pl.ds(row_s, 1), :]
+                    pltpu.make_async_copy(rows_ref.at[pl.ds(row_s, 1), :],
+                                          bufs[s], sems.at[s]).wait()
 
-        rowv8 = row8_ref[:]
+        # scalar node fields.  VMEM mode reads the input table (the mono
+        # kernel's proven pattern); HBM mode reads the DMA-landed buffer
+        # for deep rows and the top table for treelet rows.
+        def rd(s, lane):
+            if sems is None:
+                return rows_ref[rows_s[s], lane]
+            v_top = top_ref[jnp.minimum(rows_s[s], n_top - 1), lane]
+            return jnp.where(rows_s[s] < n_top, v_top, bufs[s][0, lane])
+
+        R = jnp.concatenate([bufs[s][:] for s in range(8)], axis=0)
 
         def rv(i):
-            return rowv8[:, i:i + 1]
+            return R[:, i:i + 1]
 
-        alive_v = flags_ref[:, _F_ALIVE:_F_ALIVE + 1] > 0
         t_best = tout_ref[out_slice, :]
         prune = t_best if closest else t_init
         if not closest:
@@ -415,44 +423,19 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
             tmax = jnp.minimum(
                 jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
                 (f_z - oz) * inv_z)
-            bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0) & alive_v
+            bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
             if not closest:
                 bh = bh & (occ == 0)
             return bh
 
         box_l = slab(0)
         box_r = slab(6)
-        any_l_v = jnp.any(box_l, axis=1, keepdims=True)
-        any_r_v = jnp.any(box_r, axis=1, keepdims=True)
 
-        tag_l_v = rv(_L_TAG)
-        tag_r_v = rv(_R_TAG)
-        ref_l_v = rv(_L_REF)
-        ref_r_v = rv(_R_REF)
-
-        # --- vectorized per-sublane push planning (int/f32 selects only) ---
-        axis_v = rv(_AXIS)
-        neg_axis_v = jnp.where(axis_v == 0.0, negx_v,
-                               jnp.where(axis_v == 1.0, negy_v, negz_v))
-        near_is_r = neg_axis_v > 0.5
-        push_l_i = (any_l_v & (tag_l_v < 0)).astype(jnp.int32)
-        push_r_i = (any_r_v & (tag_r_v < 0)).astype(jnp.int32)
-        first_ref_v = jnp.where(near_is_r, ref_l_v, ref_r_v)   # far child
-        first_ok_v = jnp.where(near_is_r, push_l_i, push_r_i)
-        second_ref_v = jnp.where(near_is_r, ref_r_v, ref_l_v)  # near child
-        second_ok_v = jnp.where(near_is_r, push_r_i, push_l_i)
-        leaf_l_v = any_l_v & (tag_l_v > 0)
-        leaf_r_v = any_r_v & (tag_r_v > 0)
-
-        flags_ref[:, _F_ANYLEAF_L:_F_ANYLEAF_L + 1] = leaf_l_v.astype(jnp.int32)
-        flags_ref[:, _F_ANYLEAF_R:_F_ANYLEAF_R + 1] = leaf_r_v.astype(jnp.int32)
-        flags_ref[:, _F_FIRST_REF:_F_FIRST_REF + 1] = first_ref_v.astype(jnp.int32)
-        flags_ref[:, _F_FIRST_OK:_F_FIRST_OK + 1] = first_ok_v
-        flags_ref[:, _F_SECOND_REF:_F_SECOND_REF + 1] = second_ref_v.astype(jnp.int32)
-        flags_ref[:, _F_SECOND_OK:_F_SECOND_OK + 1] = second_ok_v
-
-        # --- leaf passes: vector-masked per sublane, gated by a scalar OR ---
-        def leaf_pass(tri_base, leaf_v, box_hit):
+        # --- leaf passes: vector-masked per sublane, gated by scalar ORs.
+        # A sublane whose stack already drained retests its stale top node;
+        # the strict accept rules make that idempotent, so no alive mask is
+        # threaded into the vector side.
+        def leaf_pass(tri_base, box_hit):
             tag_v = rv(_L_TAG) if tri_base == _L_TRI else rv(_R_TAG)
             ref_v = rv(_L_REF) if tri_base == _L_TRI else rv(_R_REF)
             ref_i = ref_v.astype(jnp.int32)
@@ -461,7 +444,7 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
                 t_best = tout_ref[out_slice, :]
                 hit = hit_ref[out_slice, :]
                 for j in range(LEAF_WIDTH):
-                    slot_ok = box_hit & leaf_v & (float(j) < tag_v)
+                    slot_ok = box_hit & (float(j) < tag_v)
                     b = tri_base + 9 * j
                     t = _mt_packet(
                         ox, oy, oz, dx, dy, dz,
@@ -480,41 +463,52 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init, tout_ref,
                 hit_ref[out_slice, :] = hit
             return run
 
-        leaf_l_any = flags_ref[0, _F_ANYLEAF_L]
-        leaf_r_any = flags_ref[0, _F_ANYLEAF_R]
+        # per-sublane any() as full reduces over (1,128) slices (the mono
+        # kernel's proven vector->scalar reduce), consumed by scalar control
+        any_l = [jnp.any(box_l[s:s + 1, :]) for s in range(8)]
+        any_r = [jnp.any(box_r[s:s + 1, :]) for s in range(8)]
+        tag_l = [rd(s, _L_TAG).astype(jnp.int32) for s in range(8)]
+        tag_r = [rd(s, _R_TAG).astype(jnp.int32) for s in range(8)]
+
+        leaf_l_any = any_l[0] & (tag_l[0] > 0)
+        leaf_r_any = any_r[0] & (tag_r[0] > 0)
         for s in range(1, 8):
-            leaf_l_any = leaf_l_any | flags_ref[s, _F_ANYLEAF_L]
-            leaf_r_any = leaf_r_any | flags_ref[s, _F_ANYLEAF_R]
-        pl.when(leaf_l_any > 0)(leaf_pass(_L_TRI, leaf_l_v, box_l))
-        pl.when(leaf_r_any > 0)(leaf_pass(_R_TRI, leaf_r_v, box_r))
+            leaf_l_any = leaf_l_any | (any_l[s] & (tag_l[s] > 0))
+            leaf_r_any = leaf_r_any | (any_r[s] & (tag_r[s] > 0))
+        pl.when(leaf_l_any)(leaf_pass(_L_TRI, box_l))
+        pl.when(leaf_r_any)(leaf_pass(_R_TRI, box_r))
 
         if not closest:
-            occ_all_v = jnp.all(hit_ref[out_slice, :] > 0, axis=1,
-                                keepdims=True)
-            flags_ref[:, _F_OCC_ALL:_F_OCC_ALL + 1] = occ_all_v.astype(jnp.int32)
+            occ_now = hit_ref[out_slice, :]
 
         # --- scalar stack maintenance per sublane ---
         new_sps = []
         for s in range(8):
             sp_s = sps[s]
             alive_s = (sp_s >= 0).astype(jnp.int32)
+            axis = rd(s, _AXIS).astype(jnp.int32)
+            negx, negy, negz = negs[s]
+            neg_axis = jnp.where(axis == 0, negx,
+                                 jnp.where(axis == 1, negy, negz))
+            ref_l = rd(s, _L_REF).astype(jnp.int32)
+            ref_r = rd(s, _R_REF).astype(jnp.int32)
+            push_l = (any_l[s] & (tag_l[s] < 0)).astype(jnp.int32) * alive_s
+            push_r = (any_r[s] & (tag_r[s] < 0)).astype(jnp.int32) * alive_s
+            near_is_r = neg_axis == 1
+            first_ref = jnp.where(near_is_r, ref_l, ref_r)   # far child
+            first_ok = jnp.where(near_is_r, push_l, push_r)
+            second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near child
+            second_ok = jnp.where(near_is_r, push_r, push_l)
             spn = sp_s - alive_s  # pop (no-op when already empty)
-            f_ok = flags_ref[s, _F_FIRST_OK] * alive_s
-            s_ok = flags_ref[s, _F_SECOND_OK] * alive_s
-            stack_ref[s, jnp.maximum(spn + 1, 0)] = flags_ref[s, _F_FIRST_REF]
-            spn = spn + f_ok
-            stack_ref[s, jnp.maximum(spn + 1, 0)] = flags_ref[s, _F_SECOND_REF]
-            spn = spn + s_ok
+            stacks[s][jnp.maximum(spn + 1, 0)] = first_ref
+            spn = spn + first_ok
+            stacks[s][jnp.maximum(spn + 1, 0)] = second_ref
+            spn = spn + second_ok
             if not closest:
-                spn = jnp.where(flags_ref[s, _F_OCC_ALL] > 0,
+                # early exit once every ray of the subpacket is occluded
+                spn = jnp.where(jnp.all(occ_now[s:s + 1, :] > 0),
                                 jnp.int32(-1), spn)
             new_sps.append(spn)
-
-            @pl.when(spn < 0)
-            def _(s=s):
-                flags_ref[pl.ds(s, 1), _F_ALIVE:_F_ALIVE + 1] = \
-                    jnp.zeros((1, 1), jnp.int32)
-
         return tuple(new_sps)
 
     jax.lax.while_loop(cond, body, (jnp.int32(0),) * 8)
@@ -544,7 +538,8 @@ def _run(rows, origin, direction, t_init, closest: bool,
         _pad_to_packets(t_init, n, 0.0 if not closest else VERY_FAR),
     ]
     # round packets up to a whole number of blocks
-    block_rays = PACKET * PACKETS_PER_BLOCK
+    ppb = WAVE_PACKETS_PER_BLOCK if wave else PACKETS_PER_BLOCK
+    block_rays = PACKET * ppb
     npad = comps[0].shape[0]
     if npad % block_rays:
         extra = block_rays - npad % block_rays
@@ -553,7 +548,7 @@ def _run(rows, origin, direction, t_init, closest: bool,
             for c in comps]
         npad += extra
     n_blocks = npad // block_rays
-    rows_per_block = (PACKET // 128) * PACKETS_PER_BLOCK
+    rows_per_block = (PACKET // 128) * ppb
     comps = [c.reshape(n_blocks * rows_per_block, 128) for c in comps]
 
     ray_spec = pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
@@ -569,9 +564,8 @@ def _run(rows, origin, direction, t_init, closest: bool,
             # BFS-ordered prefix = top of the tree, VMEM-resident treelet
             tables_in.append(rows[:n_top])
             table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch = [pltpu.SMEM((8, STACK_DEPTH), jnp.int32),
-                   pltpu.VMEM((8, 128), jnp.float32),
-                   pltpu.VMEM((8, 128), jnp.int32)]
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)] * 8 \
+            + [pltpu.VMEM((1, 128), jnp.float32)] * 8
         if hbm:
             scratch.append(pltpu.SemaphoreType.DMA((8,)))
         kernel = functools.partial(_wave_kernel, closest=closest, hbm=hbm,
