@@ -59,10 +59,19 @@ def build_workloads(scene_name, n_rays, path):
     sync(r.state.accum)
     st = r.state
     from tyrant_tpu.render import _raygen
+    import jax.numpy as jnp
     gen = _raygen(cfg, cam.to_device(cfg), st.start_position, st.frame,
                   cfg.height, 0)
+    # the wavefront a real step traces = fresh top-off in the front slots,
+    # carried survivors at the tail (render_step's merge); the front slots
+    # of the RAW state hold terminated rays' stale directions, which would
+    # overstate incoherence
+    keep = (jnp.arange(cfg.num_rays) >= (cfg.num_rays - st.n_carried))[:, None]
+    mix_o = jnp.where(keep, st.origin, gen["origin"])
+    mix_d = jnp.where(keep, st.direction, gen["direction"])
+    print(f"carried {int(st.n_carried)} / {cfg.num_rays}", file=sys.stderr)
     np.savez(path,
-             mix_o=np.asarray(st.origin), mix_d=np.asarray(st.direction),
+             mix_o=np.asarray(mix_o), mix_d=np.asarray(mix_d),
              pri_o=np.asarray(gen["origin"]),
              pri_d=np.asarray(gen["direction"]))
     print(f"saved workloads to {path}", file=sys.stderr)
@@ -102,17 +111,22 @@ def main():
     for label in ("pri", "mix"):
         o = jnp.asarray(data[f"{label}_o"][:N])
         d = jnp.asarray(data[f"{label}_d"][:N])
-        f = jax.jit(lambda oo, dd: closest_hit_packets(oo, dd, tables))
-        t, (tt, hh) = timeit(f, o, d)
-        mrays = N / t / 1e3
-        hitfrac = float(jnp.mean((hh >= 0).astype(jnp.float32)))
-        print(f"closest {label}: {t:7.1f} ms  {mrays:6.1f} Mrays/s  "
-              f"hit={hitfrac:.2f}")
-        if args.anyhit:
-            maxd = jnp.where(tt < 1e19, tt, 100.0)
-            fa = jax.jit(lambda oo, dd, m: any_hit_packets(oo, dd, m, tables))
-            t, _ = timeit(fa, o, d, maxd)
-            print(f"anyhit  {label}: {t:7.1f} ms  {N / t / 1e3:6.1f} Mrays/s")
+        for wave in (False, True):
+            tag = "wave" if wave else "mono"
+            f = jax.jit(lambda oo, dd: closest_hit_packets(oo, dd, tables,
+                                                           wave=wave))
+            t, (tt, hh) = timeit(f, o, d)
+            mrays = N / t / 1e3
+            hitfrac = float(jnp.mean((hh >= 0).astype(jnp.float32)))
+            print(f"closest {label} {tag}: {t:7.1f} ms  {mrays:6.1f} Mrays/s"
+                  f"  hit={hitfrac:.2f}")
+            if args.anyhit:
+                maxd = jnp.where(tt < 1e19, tt, 100.0)
+                fa = jax.jit(lambda oo, dd, m: any_hit_packets(
+                    oo, dd, m, tables, wave=wave))
+                t, _ = timeit(fa, o, d, maxd)
+                print(f"anyhit  {label} {tag}: {t:7.1f} ms  "
+                      f"{N / t / 1e3:6.1f} Mrays/s")
 
 
 if __name__ == "__main__":

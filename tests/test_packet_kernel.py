@@ -109,13 +109,14 @@ def test_packet_hbm_mode_matches(wave):
     np.testing.assert_array_equal(occ_h, occ_ref)
 
 
-def test_wave_treelet_dma_tail():
-    """Wave HBM mode with a tiny VMEM treelet: most visits take the DMA
+@pytest.mark.parametrize("wave", [False, True])
+def test_treelet_dma_tail(wave):
+    """HBM mode with a tiny VMEM treelet: most visits take the DMA
     tail path, and the result must still match the cascade exactly."""
     dev, tables, o, d = _setup(seed=23)
     t_ref, id_ref = closest_hit(o, d, dev)
     tables.fits = False
-    t_h, id_h = closest_hit_packets(o, d, tables, interpret=True, wave=True,
+    t_h, id_h = closest_hit_packets(o, d, tables, interpret=True, wave=wave,
                                     treelet_rows=2)
     np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_h))
     hits = np.asarray(id_ref) >= 0

@@ -91,6 +91,10 @@ class RenderConfig:
     # "auto" (on TPU), "on", "off" (XLA scatter-add — the CPU/test path).
     # ~13x faster than the scatter at the 2M queue size (accum_kernel.py).
     use_accum_kernel: str = "auto"
+    # Packet-kernel generation: "mono" (one 1024-ray packet per block) or
+    # "wave" (8 independent 128-ray sublane packets — cuts union-visit
+    # waste on incoherent bounce wavefronts, traverse_kernel.py).
+    packet_kernel_mode: str = "mono"
 
     @property
     def num_pixels(self) -> int:

@@ -98,13 +98,24 @@ def _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
     return jnp.where(valid, t, 0.0)
 
 
-def _traverse_kernel(rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
-                     dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref,
-                     *scratch, closest: bool, hbm: bool = False):
+def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
+                     n_top: int = TREELET_ROWS):
     """PACKETS_PER_BLOCK packets per grid step.  rows_ref: [I, 128] f32
-    fat-row table (VMEM, or HBM when ``hbm`` — rows are then DMA'd into a
-    one-row scratch per visit, lifting the VMEM size cap entirely);
-    rays/outputs: [K*8, 128] blocks; stack_ref: SMEM [STACK_DEPTH] i32."""
+    fat-row table (VMEM; in ``hbm`` mode the full table lives in HBM with
+    its BFS prefix rows[:n_top] — the top of the tree — replicated in a
+    VMEM ``top_ref``: treelet visits are plain VMEM copies, only deep-tail
+    visits DMA); rays/outputs: [K*8, 128] blocks; stack_ref: SMEM
+    [STACK_DEPTH] i32."""
+    if hbm:
+        (rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
+         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref) = refs[:12]
+        scratch = refs[12:]
+        hbm_scratch = (scratch[1], scratch[2], top_ref, n_top)
+    else:
+        (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
+         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref) = refs[:11]
+        scratch = refs[11:]
+        hbm_scratch = None
     for k in range(PACKETS_PER_BLOCK):
         sub = PACKET // 128
         s = slice(sub * k, sub * (k + 1))
@@ -114,8 +125,7 @@ def _traverse_kernel(rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
                          dxr_ref[sub * k, 0], dyr_ref[sub * k, 0],
                          dzr_ref[sub * k, 0],
                          tout_ref, hit_ref, s, stack_ref, closest,
-                         scratch[0],
-                         scratch[1:] if hbm else None)
+                         scratch[0], hbm_scratch)
 
 
 def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
@@ -150,17 +160,30 @@ def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
         sp = sp - 1
 
         if hbm_scratch is not None:
-            # fetch the fat row from HBM into a one-row VMEM scratch; all
-            # subsequent reads are static-index loads from the scratch
-            row_buf, sem = hbm_scratch
-            dma = pltpu.make_async_copy(
-                rows_ref.at[pl.ds(row, 1), :], row_buf, sem)
-            dma.start()
-            dma.wait()
+            # two-level treelet: the BFS top of the tree is a VMEM copy,
+            # only deep-tail rows DMA from HBM.  Scalar reads come from the
+            # top TABLE or the DMA-landed buffer — never from a
+            # vector-written scratch (that store->scalar-load staging
+            # faults at runtime, docs/PERFORMANCE.md crash list).
+            row_buf, sem, top_ref, n_top = hbm_scratch
+            in_top = row < n_top
+
+            @pl.when(in_top)
+            def _():
+                row_buf[:] = top_ref[pl.ds(row, 1), :]
+
+            @pl.when(jnp.logical_not(in_top))
+            def _():
+                dma = pltpu.make_async_copy(
+                    rows_ref.at[pl.ds(row, 1), :], row_buf, sem)
+                dma.start()
+                dma.wait()
+
             rowv = row_buf[0:1, :]
 
             def rd(i):
-                return row_buf[0, i]
+                v_top = top_ref[jnp.minimum(row, n_top - 1), i]
+                return jnp.where(in_top, v_top, row_buf[0, i])
         else:
             rowv = rows_ref[pl.ds(row, 1), :]
 
@@ -330,25 +353,21 @@ def _wave_kernel(*refs, closest: bool, hbm: bool = False,
         _wave_packet(rows_ref, top_ref, ox_ref[s, :], oy_ref[s, :],
                      oz_ref[s, :], dxr_ref[s, :], dyr_ref[s, :],
                      dzr_ref[s, :], t0_ref[s, :], tout_ref, hit_ref, s,
-                     stacks, bufs, sems, closest, n_top, 8 * k, dxr_ref,
-                     dyr_ref, dzr_ref)
+                     stacks, bufs, sems, closest, n_top)
 
 
 def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                  tout_ref, hit_ref, out_slice, stacks, bufs, sems,
-                 closest: bool, n_top: int, row0: int,
-                 dxr_ref, dyr_ref, dzr_ref):
+                 closest: bool, n_top: int):
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
 
-    # per-subpacket traversal-order heuristic: sign of the first ray of
-    # each sublane (scalar input loads, like the mono kernel's dx0)
-    negs = []
-    for s in range(8):
-        negs.append(((dxr_ref[row0 + s, 0] < 0).astype(jnp.int32),
-                     (dyr_ref[row0 + s, 0] < 0).astype(jnp.int32),
-                     (dzr_ref[row0 + s, 0] < 0).astype(jnp.int32)))
+    # traversal-order heuristic: the sign of each sublane's first ray,
+    # in the vector domain (loop-invariant)
+    negx_v = (dx[:, 0:1] < 0).astype(jnp.int32)
+    negy_v = (dy[:, 0:1] < 0).astype(jnp.int32)
+    negz_v = (dz[:, 0:1] < 0).astype(jnp.int32)
 
     tout_ref[out_slice, :] = t_init
     if closest:
@@ -463,20 +482,27 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                 hit_ref[out_slice, :] = hit
             return run
 
-        # per-sublane any() as full reduces over (1,128) slices (the mono
-        # kernel's proven vector->scalar reduce), consumed by scalar control
-        any_l = [jnp.any(box_l[s:s + 1, :]) for s in range(8)]
-        any_r = [jnp.any(box_r[s:s + 1, :]) for s in range(8)]
-        tag_l = [rd(s, _L_TAG).astype(jnp.int32) for s in range(8)]
-        tag_r = [rd(s, _R_TAG).astype(jnp.int32) for s in range(8)]
+        # --- per-sublane descend/push planning.  Constraint (learned the
+        # hard way — three worker crashes): only `jnp.any`-style reduces of
+        # vector values feeding scalar control are safe on this chip;
+        # SUM-reduce -> scalar -> addressing faults at scale, as do (8,1)
+        # axis-reduces (this also explains round 1's "majority vote" crash,
+        # docs/PERFORMANCE.md).  So each per-sublane flag is its own
+        # any-reduce over a (1,128) slice, with the tag test merged into
+        # the mask so no scalar tag loads are needed.
+        tag_l_v = rv(_L_TAG)
+        tag_r_v = rv(_R_TAG)
+        pushable_l = box_l & (tag_l_v < 0)
+        pushable_r = box_r & (tag_r_v < 0)
+        leafy_l = box_l & (tag_l_v > 0)
+        leafy_r = box_r & (tag_r_v > 0)
+        axis_v = rv(_AXIS)
+        neg_axis_v = jnp.where(axis_v == 0.0, negx_v,
+                               jnp.where(axis_v == 1.0, negy_v, negz_v))
+        near_r_m = jnp.broadcast_to(neg_axis_v == 1, box_l.shape)
 
-        leaf_l_any = any_l[0] & (tag_l[0] > 0)
-        leaf_r_any = any_r[0] & (tag_r[0] > 0)
-        for s in range(1, 8):
-            leaf_l_any = leaf_l_any | (any_l[s] & (tag_l[s] > 0))
-            leaf_r_any = leaf_r_any | (any_r[s] & (tag_r[s] > 0))
-        pl.when(leaf_l_any)(leaf_pass(_L_TRI, box_l))
-        pl.when(leaf_r_any)(leaf_pass(_R_TRI, box_r))
+        pl.when(jnp.any(leafy_l))(leaf_pass(_L_TRI, box_l))
+        pl.when(jnp.any(leafy_r))(leaf_pass(_R_TRI, box_r))
 
         if not closest:
             occ_now = hit_ref[out_slice, :]
@@ -486,15 +512,13 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
         for s in range(8):
             sp_s = sps[s]
             alive_s = (sp_s >= 0).astype(jnp.int32)
-            axis = rd(s, _AXIS).astype(jnp.int32)
-            negx, negy, negz = negs[s]
-            neg_axis = jnp.where(axis == 0, negx,
-                                 jnp.where(axis == 1, negy, negz))
             ref_l = rd(s, _L_REF).astype(jnp.int32)
             ref_r = rd(s, _R_REF).astype(jnp.int32)
-            push_l = (any_l[s] & (tag_l[s] < 0)).astype(jnp.int32) * alive_s
-            push_r = (any_r[s] & (tag_r[s] < 0)).astype(jnp.int32) * alive_s
-            near_is_r = neg_axis == 1
+            push_l = jnp.any(pushable_l[s:s + 1, :]).astype(jnp.int32) \
+                * alive_s
+            push_r = jnp.any(pushable_r[s:s + 1, :]).astype(jnp.int32) \
+                * alive_s
+            near_is_r = jnp.any(near_r_m[s:s + 1, :])
             first_ref = jnp.where(near_is_r, ref_l, ref_r)   # far child
             first_ok = jnp.where(near_is_r, push_l, push_r)
             second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near child
@@ -506,8 +530,8 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
             spn = spn + second_ok
             if not closest:
                 # early exit once every ray of the subpacket is occluded
-                spn = jnp.where(jnp.all(occ_now[s:s + 1, :] > 0),
-                                jnp.int32(-1), spn)
+                spn = jnp.where(jnp.any(occ_now[s:s + 1, :] == 0), spn,
+                                jnp.int32(-1))
             new_sps.append(spn)
         return tuple(new_sps)
 
@@ -571,11 +595,14 @@ def _run(rows, origin, direction, t_init, closest: bool,
         kernel = functools.partial(_wave_kernel, closest=closest, hbm=hbm,
                                    n_top=n_top)
     elif hbm:
+        tables_in.append(rows[:n_top])
+        table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                    pltpu.VMEM((sub, 128), jnp.float32),
                    pltpu.VMEM((1, 128), jnp.float32),
                    pltpu.SemaphoreType.DMA]
-        kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
+        kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm,
+                                   n_top=n_top)
     else:
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                    pltpu.VMEM((sub, 128), jnp.float32)]

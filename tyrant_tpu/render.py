@@ -187,7 +187,8 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
 # extend — kernel.cu:331-343 / intersect_scene kernel.cu:125-142
 # --------------------------------------------------------------------------
 
-def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None):
+def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
+                     wave=False):
     """Spheres first, then BVH seeded with the sphere distance (the BVH only
     wins if strictly closer by > epsilon, bvh.h:134).  Returns
     (t, identifier, is_triangle).
@@ -202,7 +203,7 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None):
     if packet_tables is not None:
         from .ops.pallas.traverse_kernel import closest_hit_packets
         t, tri_id = closest_hit_packets(origin, direction, packet_tables,
-                                        t_init=t_sph)
+                                        t_init=t_sph, wave=wave)
     else:
         neg = direction < 0
         key = (neg[:, 0].astype(jnp.int32) + 2 * neg[:, 1].astype(jnp.int32)
@@ -426,13 +427,13 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 # connect — kernel.cu:630-646 / intersect_scene_simple kernel.cu:162-174
 # --------------------------------------------------------------------------
 
-def _connect(scene: SceneData, shadow, packet_tables=None):
+def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
     o, sdir = shadow["origin"], shadow["direction"]
     maxd = jnp.where(shadow["valid"], shadow["max_dist"], 0.0)
     if packet_tables is not None:
         from .ops.pallas.traverse_kernel import any_hit_packets
         occluded = any_hit_packets(o, sdir, maxd, packet_tables,
-                                   active=shadow["valid"])
+                                   active=shadow["valid"], wave=wave)
     else:
         occluded = any_hit(o, sdir, maxd, scene.bvh, active=shadow["valid"])
     # sphere any-hit: (t + eps) < closestAllowed (kernel.cu:168-172)
@@ -492,8 +493,10 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     start_next = (state.start_position + generated) % total_local
 
     # 2. extend
+    wave = cfg.packet_kernel_mode == "wave"
     t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
-                                        scene, packet_tables=packet_tables)
+                                        scene, packet_tables=packet_tables,
+                                        wave=wave)
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(
@@ -501,7 +504,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         row_offset=row_offset)
 
     # 4. connect
-    shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables)
+    shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables,
+                              wave=wave)
 
     # 5+6. ONE sort does both queue-compaction and accumulation ordering
     # (replaces the reference's atomic write into ray_buffer_next +
