@@ -25,6 +25,7 @@ Baseline: the reference's derived total-ray throughput ~100 Mrays/s
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -96,25 +97,46 @@ def bench_scene(scene, seconds_per_pose: float):
     return d, cfg
 
 
-def main():
+def _load_dragon():
     import os
 
     from tyrant_tpu.scene.scene import Scene
 
-    t0 = time.time()
     if os.path.exists(DRAGON):
-        dragon = Scene.load(DRAGON)
-    else:
-        from tyrant_tpu.scene.procgen import benchmark_scene
-        v0, v1, v2 = benchmark_scene(65_536)
-        dragon = Scene.from_triangles(v0, v1, v2)
+        return Scene.load(DRAGON)
+    from tyrant_tpu.scene.procgen import benchmark_scene
+    v0, v1, v2 = benchmark_scene(65_536)
+    return Scene.from_triangles(v0, v1, v2)
+
+
+def run_equivalence_gate() -> str:
+    """Run the gate in a SUBPROCESS: a hard native abort (axon-tunnel
+    instability can SIGABRT the client without a Python traceback) then
+    costs only the gate, never the timing numbers."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--equivalence-only"],
+            capture_output=True, text=True, timeout=900)
+        for line in reversed(out.stdout.splitlines()):
+            if line.startswith("EQUIVALENCE::"):
+                return line.split("::", 1)[1]
+        return (f"error: gate subprocess exit {out.returncode}: "
+                + out.stderr.strip().splitlines()[-1][:160]
+                if out.stderr.strip() else
+                f"error: gate subprocess exit {out.returncode}")
+    except Exception as e:
+        return f"error: {type(e).__name__}: {e}"[:200]
+
+
+def main():
+    t0 = time.time()
+    dragon = _load_dragon()
 
     print(f"# equivalence gate (compiled packet vs XLA cascade)...",
           file=sys.stderr)
-    try:
-        equivalence = check_equivalence(dragon)
-    except Exception as e:  # the gate must never sink the bench
-        equivalence = f"error: {type(e).__name__}: {e}"[:200]
+    equivalence = run_equivalence_gate()
     print(f"# equivalence: {equivalence}", file=sys.stderr)
 
     print(f"# dragon scene: {dragon.stats} ({time.time() - t0:.1f}s)",
@@ -168,4 +190,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--equivalence-only" in sys.argv:
+        try:
+            print("EQUIVALENCE::" + check_equivalence(_load_dragon()))
+        except Exception as e:
+            print("EQUIVALENCE::" + f"error: {type(e).__name__}: {e}"[:200])
+    else:
+        main()
