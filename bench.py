@@ -130,7 +130,30 @@ def run_equivalence_gate() -> str:
         return f"error: {type(e).__name__}: {e}"[:200]
 
 
+def _terrain_scene():
+    from tyrant_tpu.scene.procgen import benchmark_scene
+    from tyrant_tpu.scene.scene import Scene
+    try:
+        from tyrant_tpu.native import bvh_native  # noqa: F401  (probe)
+        n_tris = 1_048_576
+    except Exception:
+        n_tris = 65_536
+    v0, v1, v2 = benchmark_scene(n_tris)
+    return Scene.from_triangles(v0, v1, v2)
+
+
 def main():
+    # phase flags (dev use; the driver runs the full bench):
+    #   --scene dragon|terrain  bench one scene, print its dict as JSON
+    if "--scene" in sys.argv:
+        which = sys.argv[sys.argv.index("--scene") + 1]
+        scene = _load_dragon() if which == "dragon" else _terrain_scene()
+        print(f"# {which} scene: {scene.stats}", file=sys.stderr)
+        d, cfg = bench_scene(scene, seconds_per_pose=6.0)
+        print(json.dumps({"scene": which, **{k: v for k, v in d.items()
+                                             if k != "poses"}}))
+        return
+
     t0 = time.time()
     dragon = _load_dragon()
 
@@ -148,14 +171,7 @@ def main():
     # Falls back to 64k tris (numpy builder) if the native builder is
     # unavailable — flagged in the detail block either way.
     t0 = time.time()
-    from tyrant_tpu.scene.procgen import benchmark_scene
-    try:
-        from tyrant_tpu.native import bvh_native  # noqa: F401  (probe)
-        n_tris = 1_048_576
-    except Exception:
-        n_tris = 65_536
-    v0, v1, v2 = benchmark_scene(n_tris)
-    terrain = Scene.from_triangles(v0, v1, v2)
+    terrain = _terrain_scene()
     print(f"# terrain scene: {terrain.stats} ({time.time() - t0:.1f}s build)",
           file=sys.stderr)
     try:
