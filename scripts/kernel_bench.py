@@ -83,6 +83,8 @@ def main():
     ap.add_argument("--scene", default="dragon")
     ap.add_argument("--regen", action="store_true")
     ap.add_argument("--anyhit", action="store_true")
+    ap.add_argument("--mono", action="store_true",
+                    help="skip the wave variants")
     args = ap.parse_args()
 
     path = f"/tmp/kernel_bench_{args.scene}_{args.rays}.npz"
@@ -111,7 +113,7 @@ def main():
     for label in ("pri", "mix"):
         o = jnp.asarray(data[f"{label}_o"][:N])
         d = jnp.asarray(data[f"{label}_d"][:N])
-        for wave in (False, True):
+        for wave in ((False,) if args.mono else (False, True)):
             tag = "wave" if wave else "mono"
             f = jax.jit(lambda oo, dd: closest_hit_packets(oo, dd, tables,
                                                            wave=wave))

@@ -104,6 +104,45 @@ def main():
                       jnp.zeros((P,), jnp.float32), pix, upd[:, 0])
         print(f"scatter-add random [N->P,1]: {t:.1f} ms")
 
+        # --- compaction-sort alternatives (round 2): 14-operand multisort
+        # vs (key, idx) sort + one packed-matrix gather ---
+        cols13 = [payload3[:, i % 3] + i for i in range(13)]
+
+        def multisort14(k, cols):
+            return jax.lax.sort((k, *cols), num_keys=1)
+
+        t, _ = timeit(jax.jit(multisort14), keys32, cols13)
+        print(f"lax.sort key + 13 operands: {t:.1f} ms")
+
+        def sort2_gather(k, cols):
+            idx = jnp.arange(k.shape[0], dtype=jnp.int32)
+            _, idx_s = jax.lax.sort((k, idx), num_keys=1)
+            mat = jnp.stack(cols, axis=1)
+            return mat[idx_s]
+
+        t, _ = timeit(jax.jit(sort2_gather), keys32, cols13)
+        print(f"sort(key,idx) + [N,13] gather: {t:.1f} ms")
+
+        # --- raygen + sky costs at N ---
+        from tyrant_tpu import sky as skymod
+        from tyrant_tpu.camera import Camera
+        from tyrant_tpu.config import RenderConfig as _RC
+        from tyrant_tpu.render import _raygen
+        _cfg = _RC(width=1920, height=1080, num_rays=N)
+        _cam = Camera().to_device(_cfg)
+        t, _ = timeit(jax.jit(lambda s, f: _raygen(_cfg, _cam, s, f,
+                                                   _cfg.height, 0)),
+                      jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.uint32))
+        print(f"_raygen {N}: {t:.1f} ms")
+        dirs = payload3 / jnp.linalg.norm(payload3, axis=1, keepdims=True)
+        sp = skymod.SkyParams(_cfg.sky)
+        sund = skymod.sun_direction_from_position(jnp.asarray([0.05, 0.3]))
+        t, _ = timeit(jax.jit(
+            lambda dd: skymod.sky_and_sunsky(dd, sund, sp)), dirs)
+        print(f"sky_and_sunsky {N}: {t:.1f} ms")
+        t, _ = timeit(jax.jit(lambda dd: skymod.sun(dd, sund, sp)), dirs)
+        print(f"sun {N}: {t:.1f} ms")
+
     if args.micro_only:
         return
 

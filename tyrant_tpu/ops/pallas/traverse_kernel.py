@@ -98,202 +98,246 @@ def _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
     return jnp.where(valid, t, 0.0)
 
 
+# Packets advanced per while-loop iteration.  Measured on v5e (dragon, 2M
+# rays): K=4 is a 30% REGRESSION over K=1 — the group's while loop runs to
+# the max of K packet depths while every iteration pays K packets of VPU
+# work, and that tail waste beats the latency-hiding win.  Keep 1.
+INTERLEAVE = 1
+
+
 def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
                      n_top: int = TREELET_ROWS):
-    """PACKETS_PER_BLOCK packets per grid step.  rows_ref: [I, 128] f32
-    fat-row table (VMEM; in ``hbm`` mode the full table lives in HBM with
-    its BFS prefix rows[:n_top] — the top of the tree — replicated in a
-    VMEM ``top_ref``: treelet visits are plain VMEM copies, only deep-tail
-    visits DMA); rays/outputs: [K*8, 128] blocks; stack_ref: SMEM
-    [STACK_DEPTH] i32."""
+    """PACKETS_PER_BLOCK packets per grid step, traversed in groups of
+    INTERLEAVE: each group shares ONE while loop advancing 4 independent
+    1024-ray packets per iteration (4 private SMEM stacks, 4 row
+    scratches).  A single packet's visit is a long dependent chain
+    (pop -> row fetch -> broadcast -> slab -> any-reduce -> push); running
+    four such chains per iteration lets Mosaic fill each chain's latency
+    bubbles with another packet's work.  Each packet's own DFS order is
+    unchanged, so results are bit-identical to one-packet-at-a-time.
+
+    rows_ref: [I, 128] f32 fat-row table (VMEM; in ``hbm`` mode the full
+    table lives in HBM with its BFS prefix rows[:n_top] — the top of the
+    tree — replicated in a VMEM ``top_ref``: treelet visits are plain VMEM
+    copies, only deep-tail visits DMA, INTERLEAVE in flight)."""
     if hbm:
         (rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
-         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref) = refs[:12]
-        scratch = refs[12:]
-        hbm_scratch = (scratch[1], scratch[2], top_ref, n_top)
+         dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:11]
+        rest = refs[11:]
+        stacks = rest[0:INTERLEAVE]
+        row8s = rest[INTERLEAVE:2 * INTERLEAVE]
+        row_bufs = rest[2 * INTERLEAVE:3 * INTERLEAVE]
+        sems = rest[3 * INTERLEAVE]
     else:
         (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
-         dzr_ref, t0_ref, tout_ref, hit_ref, stack_ref) = refs[:11]
-        scratch = refs[11:]
-        hbm_scratch = None
-    for k in range(PACKETS_PER_BLOCK):
-        sub = PACKET // 128
-        s = slice(sub * k, sub * (k + 1))
-        _traverse_packet(rows_ref, ox_ref[s, :], oy_ref[s, :], oz_ref[s, :],
-                         dxr_ref[s, :], dyr_ref[s, :], dzr_ref[s, :],
-                         t0_ref[s, :],
-                         dxr_ref[sub * k, 0], dyr_ref[sub * k, 0],
-                         dzr_ref[sub * k, 0],
-                         tout_ref, hit_ref, s, stack_ref, closest,
-                         scratch[0], hbm_scratch)
+         dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:10]
+        rest = refs[10:]
+        stacks = rest[0:INTERLEAVE]
+        row8s = rest[INTERLEAVE:2 * INTERLEAVE]
+        row_bufs, sems, top_ref = None, None, None
+
+    sub = PACKET // 128
+    for g in range(PACKETS_PER_BLOCK // INTERLEAVE):
+        packs = []
+        for i in range(INTERLEAVE):
+            k = g * INTERLEAVE + i
+            s = slice(sub * k, sub * (k + 1))
+            packs.append((s, dxr_ref[sub * k, 0], dyr_ref[sub * k, 0],
+                          dzr_ref[sub * k, 0]))
+        _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref,
+                        dxr_ref, dyr_ref, dzr_ref, t0_ref, tout_ref,
+                        hit_ref, packs, stacks, row8s, row_bufs, sems,
+                        closest, n_top)
 
 
-def _traverse_packet(rows_ref, ox, oy, oz, dx, dy, dz, t_init,
-                     dx0, dy0, dz0, tout_ref, hit_ref, out_slice, stack_ref,
-                     closest: bool, row8_ref=None, hbm_scratch=None):
-    inv_x = 1.0 / dx
-    inv_y = 1.0 / dy
-    inv_z = 1.0 / dz
-
-    # packet traversal-order heuristic: first ray's direction signs (scalar
-    # loads; order only affects pruning efficiency, never correctness)
-    negx = (dx0 < 0).astype(jnp.int32)
-    negy = (dy0 < 0).astype(jnp.int32)
-    negz = (dz0 < 0).astype(jnp.int32)
-
-    # accumulators live in the OUTPUT refs so the leaf blocks can run under
-    # pl.when (scalar predication): visits whose children are interior skip
-    # all triangle loads and tests
-    tout_ref[out_slice, :] = t_init
-    if closest:
-        hit_ref[out_slice, :] = jnp.full(t_init.shape, -1, jnp.int32)
-    else:
-        hit_ref[out_slice, :] = jnp.zeros(t_init.shape, jnp.int32)
-
-    stack_ref[0] = 0  # push the root fat-row
-
-    def cond(sp):
-        return sp >= 0
-
-    def body(sp):
-        row = stack_ref[sp]
-        sp = sp - 1
-
-        if hbm_scratch is not None:
-            # two-level treelet: the BFS top of the tree is a VMEM copy,
-            # only deep-tail rows DMA from HBM.  Scalar reads come from the
-            # top TABLE or the DMA-landed buffer — never from a
-            # vector-written scratch (that store->scalar-load staging
-            # faults at runtime, docs/PERFORMANCE.md crash list).
-            row_buf, sem, top_ref, n_top = hbm_scratch
-            in_top = row < n_top
-
-            @pl.when(in_top)
-            def _():
-                row_buf[:] = top_ref[pl.ds(row, 1), :]
-
-            @pl.when(jnp.logical_not(in_top))
-            def _():
-                dma = pltpu.make_async_copy(
-                    rows_ref.at[pl.ds(row, 1), :], row_buf, sem)
-                dma.start()
-                dma.wait()
-
-            rowv = row_buf[0:1, :]
-
-            def rd(i):
-                v_top = top_ref[jnp.minimum(row, n_top - 1), i]
-                return jnp.where(in_top, v_top, row_buf[0, i])
+def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
+                    dyr_ref, dzr_ref, t0_ref, tout_ref, hit_ref, packs,
+                    stacks, row8s, row_bufs, sems, closest: bool,
+                    n_top: int):
+    K = len(packs)
+    ctxs = []
+    for i, (s, dx0, dy0, dz0) in enumerate(packs):
+        ox, oy, oz = ox_ref[s, :], oy_ref[s, :], oz_ref[s, :]
+        dx, dy, dz = dxr_ref[s, :], dyr_ref[s, :], dzr_ref[s, :]
+        t_init = t0_ref[s, :]
+        rays = (ox, oy, oz, dx, dy, dz, 1.0 / dx, 1.0 / dy, 1.0 / dz)
+        # packet traversal-order heuristic: first ray's direction signs
+        negs = ((dx0 < 0).astype(jnp.int32), (dy0 < 0).astype(jnp.int32),
+                (dz0 < 0).astype(jnp.int32))
+        tout_ref[s, :] = t_init
+        if closest:
+            hit_ref[s, :] = jnp.full(t_init.shape, -1, jnp.int32)
         else:
-            rowv = rows_ref[pl.ds(row, 1), :]
+            hit_ref[s, :] = jnp.zeros(t_init.shape, jnp.int32)
+        stacks[i][0] = 0
+        ctxs.append((s, rays, t_init, negs))
 
-            def rd(i):
-                return rows_ref[row, i]
+    def cond(sps):
+        alive = sps[0] >= 0
+        for i in range(1, K):
+            alive = alive | (sps[i] >= 0)
+        return alive
 
-        # vector copy of the row replicated across sublanes: box/triangle
-        # floats become lane slices (all one-dim broadcasts, which Mosaic
-        # supports) instead of ~80 serialized scalar loads; the scalar unit
-        # only reads the 5 control fields.  The ref round-trip stops XLA
-        # from folding the two broadcasts into one (unsupported) both-dims
-        # broadcast.
-        sub = ox.shape[0]
-        row8_ref[:] = jnp.broadcast_to(rowv, (sub, 128))
-        rowv8 = row8_ref[:]
+    def body(sps):
+        rows, alives = [], []
+        for i in range(K):
+            alive = (sps[i] >= 0).astype(jnp.int32)
+            row = stacks[i][jnp.maximum(sps[i], 0)]
+            rows.append(row)
+            alives.append(alive)
+            if row_bufs is None:
+                rowv = rows_ref[pl.ds(row, 1), :]
+                row8s[i][:] = jnp.broadcast_to(rowv, (8, 128))
+            else:
+                # two-level treelet: BFS top of the tree is a VMEM copy,
+                # only deep-tail rows DMA from HBM (K DMAs overlap)
+                in_top = row < n_top
 
-        def rv(i):
-            return rowv8[:, i:i + 1]
+                @pl.when(in_top)
+                def _(i=i, row=row):
+                    row_bufs[i][:] = top_ref[pl.ds(row, 1), :]
 
-        axis = rd(_AXIS).astype(jnp.int32)
-        neg_axis = jnp.where(axis == 0, negx,
-                             jnp.where(axis == 1, negy, negz))
-        t_best = tout_ref[out_slice, :]
-        prune = t_best if closest else t_init
+                @pl.when(jnp.logical_not(in_top))
+                def _(i=i, row=row):
+                    pltpu.make_async_copy(rows_ref.at[pl.ds(row, 1), :],
+                                          row_bufs[i], sems.at[i]).start()
+        if row_bufs is not None:
+            for i in range(K):
+                @pl.when(rows[i] >= n_top)
+                def _(i=i, row=rows[i]):
+                    pltpu.make_async_copy(rows_ref.at[pl.ds(row, 1), :],
+                                          row_bufs[i], sems.at[i]).wait()
+            for i in range(K):
+                row8s[i][:] = jnp.broadcast_to(row_bufs[i][0:1, :], (8, 128))
+
+        new_sps = []
+        for i in range(K):
+            s, rays, t_init, negs = ctxs[i]
+            row = rows[i]
+            rowv8 = row8s[i][:]
+
+            if row_bufs is None:
+                def rd(lane, row=row):
+                    return rows_ref[row, lane]
+            else:
+                # scalar reads from the top TABLE or the DMA-landed buffer
+                # — never from a vector-written scratch (that staging
+                # faults at runtime, docs/PERFORMANCE.md crash list)
+                def rd(lane, row=row, i=i):
+                    v_top = top_ref[jnp.minimum(row, n_top - 1), lane]
+                    return jnp.where(row < n_top, v_top,
+                                     row_bufs[i][0, lane])
+
+            sp = sps[i] - alives[i]  # pop (no-op when already empty)
+            new_sps.append(_visit(rd, rowv8, rays, t_init, tout_ref,
+                                  hit_ref, s, stacks[i], sp,
+                                  alives[i], closest, negs))
+        return tuple(new_sps)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0),) * K)
+
+
+def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
+           sp, alive, closest: bool, negs):
+    """One node visit for one packet: ordered slab tests, scalar-predicated
+    leaf work, far-then-near pushes.  ``sp`` is the stack top AFTER the
+    pop; ``alive`` (i32 0/1) gates all side effects so a drained packet
+    can idle-retest its stale top node (idempotent under the strict accept
+    rules) while siblings in the interleave group finish."""
+    ox, oy, oz, dx, dy, dz, inv_x, inv_y, inv_z = rays
+    negx, negy, negz = negs
+
+    def rv(i):
+        return rowv8[:, i:i + 1]
+
+    axis = rd(_AXIS).astype(jnp.int32)
+    neg_axis = jnp.where(axis == 0, negx,
+                         jnp.where(axis == 1, negy, negz))
+    t_best = tout_ref[out_slice, :]
+    prune = t_best if closest else t_init
+    if not closest:
+        occ = hit_ref[out_slice, :]
+
+    def slab(base):
+        lox, loy, loz = rv(base + 0), rv(base + 1), rv(base + 2)
+        hix, hiy, hiz = rv(base + 3), rv(base + 4), rv(base + 5)
+        n_x = jnp.where(dx < 0, hix, lox)
+        f_x = jnp.where(dx < 0, lox, hix)
+        n_y = jnp.where(dy < 0, hiy, loy)
+        f_y = jnp.where(dy < 0, loy, hiy)
+        n_z = jnp.where(dz < 0, hiz, loz)
+        f_z = jnp.where(dz < 0, loz, hiz)
+        tmin = jnp.maximum(
+            jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
+            (n_z - oz) * inv_z)
+        tmax = jnp.minimum(
+            jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
+            (f_z - oz) * inv_z)
+        bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
         if not closest:
-            occ = hit_ref[out_slice, :]
+            bh = bh & (occ == 0)
+        return bh
 
-        def slab(base):
-            lox = rv(base + 0)
-            loy = rv(base + 1)
-            loz = rv(base + 2)
-            hix = rv(base + 3)
-            hiy = rv(base + 4)
-            hiz = rv(base + 5)
-            n_x = jnp.where(dx < 0, hix, lox)
-            f_x = jnp.where(dx < 0, lox, hix)
-            n_y = jnp.where(dy < 0, hiy, loy)
-            f_y = jnp.where(dy < 0, loy, hiy)
-            n_z = jnp.where(dz < 0, hiz, loz)
-            f_z = jnp.where(dz < 0, loz, hiz)
-            tmin = jnp.maximum(
-                jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
-                (n_z - oz) * inv_z)
-            tmax = jnp.minimum(
-                jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
-                (f_z - oz) * inv_z)
-            bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
-            if not closest:
-                bh = bh & (occ == 0)
-            return bh
+    box_l = slab(0)
+    box_r = slab(6)
+    any_l = jnp.any(box_l)
+    any_r = jnp.any(box_r)
 
-        box_l = slab(0)
-        box_r = slab(6)
-        any_l = jnp.any(box_l)
-        any_r = jnp.any(box_r)
+    tag_l = rd(_L_TAG).astype(jnp.int32)
+    tag_r = rd(_R_TAG).astype(jnp.int32)
+    ref_l = rd(_L_REF).astype(jnp.int32)
+    ref_r = rd(_R_REF).astype(jnp.int32)
+    alive_b = alive > 0
 
-        tag_l = rd(_L_TAG).astype(jnp.int32)
-        tag_r = rd(_R_TAG).astype(jnp.int32)
-        ref_l = rd(_L_REF).astype(jnp.int32)
-        ref_r = rd(_R_REF).astype(jnp.int32)
-
-        # --- leaf children under scalar predication ---
-        def leaf_child(tri_base, tag, ref, box_hit):
-            def run():
-                t_best = tout_ref[out_slice, :]
-                hit = hit_ref[out_slice, :]
-                for j in range(LEAF_WIDTH):
-                    slot_ok = box_hit & (j < tag)
-                    b = tri_base + 9 * j
-                    t = _mt_packet(
-                        ox, oy, oz, dx, dy, dz,
-                        rv(b + 0), rv(b + 1), rv(b + 2),
-                        rv(b + 3), rv(b + 4), rv(b + 5),
-                        rv(b + 6), rv(b + 7), rv(b + 8))
-                    if closest:
-                        # accept rule bvh.h:134
-                        ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
-                        t_best = jnp.where(ok, t, t_best)
-                        hit = jnp.where(ok, ref + j, hit)
-                    else:
-                        # accept rule bvh.h:229 vs max dist in t_init
-                        ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
-                        hit = jnp.where(ok, 1, hit)
+    # --- leaf children under scalar predication ---
+    def leaf_child(tri_base, tag, ref, box_hit):
+        def run():
+            t_best = tout_ref[out_slice, :]
+            hit = hit_ref[out_slice, :]
+            for j in range(LEAF_WIDTH):
+                slot_ok = box_hit & (j < tag)
+                b = tri_base + 9 * j
+                t = _mt_packet(
+                    ox, oy, oz, dx, dy, dz,
+                    rv(b + 0), rv(b + 1), rv(b + 2),
+                    rv(b + 3), rv(b + 4), rv(b + 5),
+                    rv(b + 6), rv(b + 7), rv(b + 8))
                 if closest:
-                    tout_ref[out_slice, :] = t_best
-                hit_ref[out_slice, :] = hit
-            return run
+                    # accept rule bvh.h:134
+                    ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
+                    t_best = jnp.where(ok, t, t_best)
+                    hit = jnp.where(ok, ref + j, hit)
+                else:
+                    # accept rule bvh.h:229 vs max dist in t_init
+                    ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
+                    hit = jnp.where(ok, 1, hit)
+            if closest:
+                tout_ref[out_slice, :] = t_best
+            hit_ref[out_slice, :] = hit
+        return run
 
-        pl.when(any_l & (tag_l > 0))(leaf_child(_L_TRI, tag_l, ref_l, box_l))
-        pl.when(any_r & (tag_r > 0))(leaf_child(_R_TRI, tag_r, ref_r, box_r))
+    pl.when(any_l & (tag_l > 0) & alive_b)(
+        leaf_child(_L_TRI, tag_l, ref_l, box_l))
+    pl.when(any_r & (tag_r > 0) & alive_b)(
+        leaf_child(_R_TRI, tag_r, ref_r, box_r))
 
-        # --- interior children: push far then near (near popped first);
-        # dead writes above sp are harmless when predicated off ---
-        push_l = any_l & (tag_l < 0)
-        push_r = any_r & (tag_r < 0)
-        near_is_r = neg_axis == 1
-        first_ref = jnp.where(near_is_r, ref_l, ref_r)   # far
-        first_ok = jnp.where(near_is_r, push_l, push_r)
-        second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near
-        second_ok = jnp.where(near_is_r, push_r, push_l)
-        stack_ref[sp + 1] = first_ref
-        sp = sp + first_ok.astype(jnp.int32)
-        stack_ref[sp + 1] = second_ref
-        sp = sp + second_ok.astype(jnp.int32)
-        if not closest:
-            # early exit once every ray is occluded
-            sp = jnp.where(jnp.all(hit_ref[out_slice, :] > 0), -1, sp)
-        return sp
-
-    jax.lax.while_loop(cond, body, jnp.int32(0))
+    # --- interior children: push far then near (near popped first);
+    # dead writes above sp are harmless when predicated off ---
+    push_l = any_l & (tag_l < 0) & alive_b
+    push_r = any_r & (tag_r < 0) & alive_b
+    near_is_r = neg_axis == 1
+    first_ref = jnp.where(near_is_r, ref_l, ref_r)   # far
+    first_ok = jnp.where(near_is_r, push_l, push_r)
+    second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near
+    second_ok = jnp.where(near_is_r, push_r, push_l)
+    stack_ref[jnp.maximum(sp + 1, 0)] = first_ref
+    sp = sp + first_ok.astype(jnp.int32)
+    stack_ref[jnp.maximum(sp + 1, 0)] = second_ref
+    sp = sp + second_ok.astype(jnp.int32)
+    if not closest:
+        # early exit once every ray is occluded
+        sp = jnp.where(jnp.all(hit_ref[out_slice, :] > 0), -1, sp)
+    return sp
 
 
 # --------------------------------------------------------------------------
@@ -597,15 +641,15 @@ def _run(rows, origin, direction, t_init, closest: bool,
     elif hbm:
         tables_in.append(rows[:n_top])
         table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                   pltpu.VMEM((sub, 128), jnp.float32),
-                   pltpu.VMEM((1, 128), jnp.float32),
-                   pltpu.SemaphoreType.DMA]
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)] * INTERLEAVE \
+            + [pltpu.VMEM((sub, 128), jnp.float32)] * INTERLEAVE \
+            + [pltpu.VMEM((1, 128), jnp.float32)] * INTERLEAVE \
+            + [pltpu.SemaphoreType.DMA((INTERLEAVE,))]
         kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm,
                                    n_top=n_top)
     else:
-        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                   pltpu.VMEM((sub, 128), jnp.float32)]
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)] * INTERLEAVE \
+            + [pltpu.VMEM((sub, 128), jnp.float32)] * INTERLEAVE
         kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
     t_out, hit_out = pl.pallas_call(
         kernel,
