@@ -6,10 +6,11 @@ ceiling.  Tests packing strategies: one wide row per table, one-hot matmul
 for the tiny sphere table.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "..")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
