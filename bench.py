@@ -142,9 +142,36 @@ def _terrain_scene():
     return Scene.from_triangles(v0, v1, v2)
 
 
+def _wait_for_tpu(budget_s: float = 600.0) -> None:
+    """The tunneled TPU worker flaps after kernel faults / terminal
+    restarts (outages of 15-60 min were observed).  Probe in a subprocess
+    (a probe against a dead worker HANGS rather than erroring) and give the
+    worker a chance to come back before starting the timed run."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "jnp.sum(jnp.ones((8,128))).block_until_ready()")
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=45,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("# warning: TPU probe still failing; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print("# TPU worker unavailable; retrying...", file=sys.stderr)
+        time.sleep(20)
+
+
 def main():
     # phase flags (dev use; the driver runs the full bench):
     #   --scene dragon|terrain  bench one scene, print its dict as JSON
+    _wait_for_tpu()
     if "--scene" in sys.argv:
         which = sys.argv[sys.argv.index("--scene") + 1]
         scene = _load_dragon() if which == "dragon" else _terrain_scene()
