@@ -34,9 +34,15 @@ DRAGON = "/root/reference/PathTracer/Data/dragon.ply"
 
 
 def check_equivalence(scene, n_rays: int = 65_536) -> str:
-    """Compiled packet kernels vs the XLA cascade on random rays (dragon).
-    Returns "ok" or a mismatch description.  Ids must agree exactly; hit
-    distances within Möller-Trumbore re-association tolerance."""
+    """Compiled packet kernel vs the XLA cascade, in BOTH table modes:
+    "vmem" (fat rows resident) and "hbm" (rows in HBM behind a small forced
+    VMEM treelet — the per-visit-DMA code path the 1M-tri metric-of-record
+    scene actually compiles, previously certified only in interpret mode).
+    Rays are half box-random (bounce-mix-shaped: incoherent origins AND
+    directions) and half aimed into the mesh (hit-heavy, leaf-dominated —
+    the regime where kernels historically diverged at runtime).  Ids must
+    agree exactly; hit distances within Möller-Trumbore re-association
+    tolerance.  Returns "ok" or per-mode mismatch descriptions."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -56,27 +62,45 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
     o = (lo + (hi - lo) * r.uniform(-0.2, 1.2, (n_rays, 3))).astype(np.float32)
     d = r.normal(size=(n_rays, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
+    half = n_rays // 2
+    tgt = (lo + (hi - lo) * r.uniform(0.2, 0.8, (half, 3)))
+    d2 = (tgt - o[half:]).astype(np.float32)
+    d[half:] = d2 / np.linalg.norm(d2, axis=1, keepdims=True)
     o, d = jnp.asarray(o), jnp.asarray(d)
 
     t_ref, id_ref = closest_hit(o, d, dev)
-    t_pk, id_pk = closest_hit_packets(o, d, tables)
-    id_ref, id_pk = np.asarray(id_ref), np.asarray(id_pk)
-    t_ref, t_pk = np.asarray(t_ref), np.asarray(t_pk)
-    if (id_ref != id_pk).any():
-        n_bad = int((id_ref != id_pk).sum())
-        return f"closest-id mismatch on {n_bad}/{n_rays} rays"
+    t_ref, id_ref = np.asarray(t_ref), np.asarray(id_ref)
     hits = id_ref >= 0
-    if hits.any() and not np.allclose(t_ref[hits], t_pk[hits], rtol=1e-4):
-        return "closest-t mismatch"
-
     maxd = jnp.asarray(np.where(hits, t_ref * 0.999,
                                 (hi - lo).max()).astype(np.float32))
     occ_ref = np.asarray(any_hit(o, d, maxd, dev))
-    occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables))
-    if (occ_ref != occ_pk).any():
-        n_bad = int((occ_ref != occ_pk).sum())
-        return f"anyhit mismatch on {n_bad}/{n_rays} rays"
-    return "ok"
+
+    msgs = []
+    for mode in ("vmem", "hbm"):
+        if mode == "hbm":
+            tables.fits = False  # force the HBM row path on this scene
+            tr = 256  # tiny treelet: most visits exercise the DMA path
+        else:
+            tr = None
+        t_pk, id_pk = closest_hit_packets(o, d, tables, treelet_rows=tr)
+        t_pk, id_pk = np.asarray(t_pk), np.asarray(id_pk)
+        if (id_ref != id_pk).any():
+            n_bad = int((id_ref != id_pk).sum())
+            msgs.append(f"{mode}:closest-id mismatch on {n_bad}/{n_rays}")
+            continue
+        if hits.any() and not np.allclose(t_ref[hits], t_pk[hits],
+                                          rtol=1e-4):
+            msgs.append(f"{mode}:closest-t mismatch")
+            continue
+        occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables,
+                                            treelet_rows=tr))
+        if (occ_ref != occ_pk).any():
+            n_bad = int((occ_ref != occ_pk).sum())
+            msgs.append(f"{mode}:anyhit mismatch on {n_bad}/{n_rays}")
+            continue
+        msgs.append(f"{mode}:ok")
+    out = ";".join(msgs)
+    return "ok" if all(m.endswith(":ok") for m in msgs) else out
 
 
 def bench_scene(scene, seconds_per_pose: float):
@@ -191,6 +215,7 @@ def main():
 
     print(f"# dragon scene: {dragon.stats} ({time.time() - t0:.1f}s)",
           file=sys.stderr)
+    dragon_tris = dragon.stats.get("triangles", 0)
     d_dragon, _ = bench_scene(dragon, seconds_per_pose=6.0)
     del dragon
 
@@ -211,7 +236,7 @@ def main():
         d_terr = d_dragon
         cfg = RenderConfig(num_rays=2 * 1_048_576)
         metric = "total_ray_throughput_1080p_bundled_mesh"
-        tri_count = 37986
+        tri_count = dragon_tris
 
     value = d_terr["total_mrays_per_s"]
     print(json.dumps({

@@ -58,3 +58,19 @@ def test_missing_scene_degrades(tmp_path, capsys):
     sc = Scene.load(str(tmp_path / "nope.ply"))
     assert sc.bvh is None
     assert sc.stats["nodes"] == 0
+
+
+def test_wave_mode_is_defused():
+    """packet_kernel_mode='wave' crashed the TPU worker at the default 2M
+    bounce-mix wavefront (docs/PERFORMANCE.md round-2 A/B); no public
+    config value may take the chip down (VERDICT r2 item 7)."""
+    import pytest
+
+    from tyrant_tpu.config import RenderConfig
+
+    with pytest.raises(ValueError, match="wave-unsafe"):
+        RenderConfig(packet_kernel_mode="wave")
+    with pytest.raises(ValueError, match="packet_kernel_mode"):
+        RenderConfig(packet_kernel_mode="nonsense")
+    RenderConfig(packet_kernel_mode="wave-unsafe")  # explicit opt-in works
+    RenderConfig(packet_kernel_mode="mono")

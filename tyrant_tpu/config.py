@@ -92,9 +92,24 @@ class RenderConfig:
     # ~13x faster than the scatter at the 2M queue size (accum_kernel.py).
     use_accum_kernel: str = "auto"
     # Packet-kernel generation: "mono" (one 1024-ray packet per block) or
-    # "wave" (8 independent 128-ray sublane packets — cuts union-visit
-    # waste on incoherent bounce wavefronts, traverse_kernel.py).
+    # "wave-unsafe" (8 independent 128-ray sublane packets).  The wave
+    # kernel measured ~1.3x SLOWER than mono where it runs and CRASHES the
+    # TPU worker (15-60 min outage) on bounce-mix wavefronts at the default
+    # 2M size (docs/PERFORMANCE.md round-2 A/B) — hence the -unsafe suffix:
+    # it exists for small kernel experiments only.
     packet_kernel_mode: str = "mono"
+
+    def __post_init__(self):
+        if self.packet_kernel_mode == "wave":
+            raise ValueError(
+                "packet_kernel_mode='wave' is disabled: it crashes the TPU "
+                "worker at the default 2M bounce-mix wavefront and is slower "
+                "than 'mono' everywhere it runs (docs/PERFORMANCE.md). Use "
+                "'mono', or 'wave-unsafe' to opt in for small experiments.")
+        if self.packet_kernel_mode not in ("mono", "wave-unsafe"):
+            raise ValueError(
+                f"unknown packet_kernel_mode {self.packet_kernel_mode!r}; "
+                f"expected 'mono' or 'wave-unsafe'")
 
     @property
     def num_pixels(self) -> int:

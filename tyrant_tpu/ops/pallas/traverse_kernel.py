@@ -154,8 +154,14 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                     dyr_ref, dzr_ref, t0_ref, tout_ref, hit_ref, packs,
                     stacks, row8s, row_bufs, sems, closest: bool,
                     n_top: int):
+    """Per-packet hit state (``t_best``/``hit``) is REGISTER-CARRIED through
+    the while loop (round-3 item: the previous design round-tripped both
+    through the output refs every visit — one (8,128) load per slab prune
+    plus load+store pairs in every leaf pass).  The refs are written once,
+    after the loop."""
     K = len(packs)
     ctxs = []
+    init = []
     for i, (s, dx0, dy0, dz0) in enumerate(packs):
         ox, oy, oz = ox_ref[s, :], oy_ref[s, :], oz_ref[s, :]
         dx, dy, dz = dxr_ref[s, :], dyr_ref[s, :], dzr_ref[s, :]
@@ -164,25 +170,32 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
         # packet traversal-order heuristic: first ray's direction signs
         negs = ((dx0 < 0).astype(jnp.int32), (dy0 < 0).astype(jnp.int32),
                 (dz0 < 0).astype(jnp.int32))
-        tout_ref[s, :] = t_init
         if closest:
-            hit_ref[s, :] = jnp.full(t_init.shape, -1, jnp.int32)
+            hit0 = jnp.full(t_init.shape, -1, jnp.int32)
         else:
-            hit_ref[s, :] = jnp.zeros(t_init.shape, jnp.int32)
+            hit0 = jnp.zeros(t_init.shape, jnp.int32)
         stacks[i][0] = 0
         ctxs.append((s, rays, t_init, negs))
+        # anyhit never updates t_best: carry a scalar dummy in its slot
+        init += [jnp.int32(0), t_init if closest else jnp.int32(0), hit0]
 
-    def cond(sps):
-        alive = sps[0] >= 0
+    def cond(carry):
+        alive = carry[0] >= 0
         for i in range(1, K):
-            alive = alive | (sps[i] >= 0)
+            alive = alive | (carry[3 * i] >= 0)
         return alive
 
-    def body(sps):
+    n_rows = rows_ref.shape[0]
+
+    def body(carry):
+        sps = [carry[3 * i] for i in range(K)]
         rows, alives = [], []
         for i in range(K):
             alive = (sps[i] >= 0).astype(jnp.int32)
-            row = stacks[i][jnp.maximum(sps[i], 0)]
+            # clamp: a drained packet (sp=-1) idling in an interleave group
+            # must never address outside the table (ADVICE r2: an OOB row
+            # is a worker-killing DMA in HBM mode)
+            row = jnp.clip(stacks[i][jnp.maximum(sps[i], 0)], 0, n_rows - 1)
             rows.append(row)
             alives.append(alive)
             if row_bufs is None:
@@ -210,7 +223,7 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
             for i in range(K):
                 row8s[i][:] = jnp.broadcast_to(row_bufs[i][0:1, :], (8, 128))
 
-        new_sps = []
+        out = []
         for i in range(K):
             s, rays, t_init, negs = ctxs[i]
             row = rows[i]
@@ -229,21 +242,27 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                                      row_bufs[i][0, lane])
 
             sp = sps[i] - alives[i]  # pop (no-op when already empty)
-            new_sps.append(_visit(rd, rowv8, rays, t_init, tout_ref,
-                                  hit_ref, s, stacks[i], sp,
-                                  alives[i], closest, negs))
-        return tuple(new_sps)
+            out += list(_visit(rd, rowv8, rays, t_init,
+                               carry[3 * i + 1], carry[3 * i + 2],
+                               stacks[i], sp, alives[i], closest, negs))
+        return tuple(out)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0),) * K)
+    final = jax.lax.while_loop(cond, body, tuple(init))
+    for i in range(K):
+        s, _, t_init, _ = ctxs[i]
+        tout_ref[s, :] = final[3 * i + 1] if closest else t_init
+        hit_ref[s, :] = final[3 * i + 2]
 
 
-def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
+def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
            sp, alive, closest: bool, negs):
     """One node visit for one packet: ordered slab tests, scalar-predicated
-    leaf work, far-then-near pushes.  ``sp`` is the stack top AFTER the
-    pop; ``alive`` (i32 0/1) gates all side effects so a drained packet
-    can idle-retest its stale top node (idempotent under the strict accept
-    rules) while siblings in the interleave group finish."""
+    leaf work via value-returning ``lax.cond`` (register-carried
+    ``t_best``/``hit``), far-then-near pushes.  ``sp`` is the stack top
+    AFTER the pop; ``alive`` (i32 0/1) gates all side effects so a drained
+    packet can idle-retest its stale top node (idempotent under the strict
+    accept rules) while siblings in the interleave group finish.
+    Returns (sp, t_best, hit)."""
     ox, oy, oz, dx, dy, dz, inv_x, inv_y, inv_z = rays
     negx, negy, negz = negs
 
@@ -253,10 +272,7 @@ def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
     axis = rd(_AXIS).astype(jnp.int32)
     neg_axis = jnp.where(axis == 0, negx,
                          jnp.where(axis == 1, negy, negz))
-    t_best = tout_ref[out_slice, :]
     prune = t_best if closest else t_init
-    if not closest:
-        occ = hit_ref[out_slice, :]
 
     def slab(base):
         lox, loy, loz = rv(base + 0), rv(base + 1), rv(base + 2)
@@ -275,7 +291,12 @@ def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
             (f_z - oz) * inv_z)
         bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
         if not closest:
-            bh = bh & (occ == 0)
+            # done rays drop out of the union; so do rays that can never
+            # accept a hit (maxd <= 2eps, e.g. INVALID shadow slots whose
+            # max distance was zeroed): an origin inside the box gives
+            # tmin < 0 < prune, so without this term every invalid slot
+            # still forced full-depth descends on its packet
+            bh = bh & (hit == 0) & (t_init > 2.0 * EPSILON)
         return bh
 
     box_l = slab(0)
@@ -289,11 +310,10 @@ def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
     ref_r = rd(_R_REF).astype(jnp.int32)
     alive_b = alive > 0
 
-    # --- leaf children under scalar predication ---
+    # --- leaf children: lax.cond value returns keep t_best/hit in
+    # registers (no ref round-trips per leaf pass) ---
     def leaf_child(tri_base, tag, ref, box_hit):
-        def run():
-            t_best = tout_ref[out_slice, :]
-            hit = hit_ref[out_slice, :]
+        def run(tb, h):
             for j in range(LEAF_WIDTH):
                 slot_ok = box_hit & (j < tag)
                 b = tri_base + 9 * j
@@ -304,22 +324,24 @@ def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
                     rv(b + 6), rv(b + 7), rv(b + 8))
                 if closest:
                     # accept rule bvh.h:134
-                    ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
-                    t_best = jnp.where(ok, t, t_best)
-                    hit = jnp.where(ok, ref + j, hit)
+                    ok = slot_ok & (t > EPSILON) & ((tb - t) > EPSILON)
+                    tb = jnp.where(ok, t, tb)
+                    h = jnp.where(ok, ref + j, h)
                 else:
                     # accept rule bvh.h:229 vs max dist in t_init
                     ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
-                    hit = jnp.where(ok, 1, hit)
-            if closest:
-                tout_ref[out_slice, :] = t_best
-            hit_ref[out_slice, :] = hit
+                    h = jnp.where(ok, 1, h)
+            return tb, h
         return run
 
-    pl.when(any_l & (tag_l > 0) & alive_b)(
-        leaf_child(_L_TRI, tag_l, ref_l, box_l))
-    pl.when(any_r & (tag_r > 0) & alive_b)(
-        leaf_child(_R_TRI, tag_r, ref_r, box_r))
+    t_best, hit = jax.lax.cond(
+        any_l & (tag_l > 0) & alive_b,
+        leaf_child(_L_TRI, tag_l, ref_l, box_l),
+        lambda tb, h: (tb, h), t_best, hit)
+    t_best, hit = jax.lax.cond(
+        any_r & (tag_r > 0) & alive_b,
+        leaf_child(_R_TRI, tag_r, ref_r, box_r),
+        lambda tb, h: (tb, h), t_best, hit)
 
     # --- interior children: push far then near (near popped first);
     # dead writes above sp are harmless when predicated off ---
@@ -330,14 +352,20 @@ def _visit(rd, rowv8, rays, t_init, tout_ref, hit_ref, out_slice, stack_ref,
     first_ok = jnp.where(near_is_r, push_l, push_r)
     second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near
     second_ok = jnp.where(near_is_r, push_r, push_l)
+    # a dead lane's unconditional store at stacks[0] must keep pointing at
+    # the root ROW, never a stale leaf's triangle offset (ADVICE r2 high:
+    # that offset is only bounded by 2^24 and the next idle fetch of it
+    # would be an out-of-table read / OOB DMA)
+    first_ref = jnp.where(alive_b, first_ref, 0)
+    second_ref = jnp.where(alive_b, second_ref, 0)
     stack_ref[jnp.maximum(sp + 1, 0)] = first_ref
     sp = sp + first_ok.astype(jnp.int32)
     stack_ref[jnp.maximum(sp + 1, 0)] = second_ref
     sp = sp + second_ok.astype(jnp.int32)
     if not closest:
         # early exit once every ray is occluded
-        sp = jnp.where(jnp.all(hit_ref[out_slice, :] > 0), -1, sp)
-    return sp
+        sp = jnp.where(jnp.all(hit > 0), -1, sp)
+    return sp, t_best, hit
 
 
 # --------------------------------------------------------------------------
@@ -428,11 +456,15 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
             alive = alive | (sps[s] >= 0)
         return alive
 
+    n_rows = rows_ref.shape[0]
+
     def body(sps):
         # --- pop one node per sublane; land its fat row in buffer s ---
+        # clamp: a drained sublane idles while siblings finish; its row must
+        # stay inside the table (OOB DMA = worker crash, ADVICE r2 high)
         rows_s = []
         for s in range(8):
-            row_s = stacks[s][jnp.maximum(sps[s], 0)]
+            row_s = jnp.clip(stacks[s][jnp.maximum(sps[s], 0)], 0, n_rows - 1)
             rows_s.append(row_s)
             if sems is None:
                 bufs[s][:] = rows_ref[pl.ds(row_s, 1), :]
@@ -488,7 +520,9 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                 (f_z - oz) * inv_z)
             bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
             if not closest:
-                bh = bh & (occ == 0)
+                # see _visit: drop done rays AND never-acceptable rays
+                # (maxd <= 2eps) from the union
+                bh = bh & (occ == 0) & (t_init > 2.0 * EPSILON)
             return bh
 
         box_l = slab(0)
@@ -567,6 +601,11 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
             first_ok = jnp.where(near_is_r, push_l, push_r)
             second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near child
             second_ok = jnp.where(near_is_r, push_r, push_l)
+            # dead sublane: keep stacks[s][0] pointing at the root row, not
+            # a stale child ref that may be a leaf's triangle offset
+            # (ADVICE r2 high — OOB row fetch / DMA on the next idle pop)
+            first_ref = jnp.where(alive_s > 0, first_ref, 0)
+            second_ref = jnp.where(alive_s > 0, second_ref, 0)
             spn = sp_s - alive_s  # pop (no-op when already empty)
             stacks[s][jnp.maximum(spn + 1, 0)] = first_ref
             spn = spn + first_ok
@@ -593,7 +632,7 @@ def _pad_to_packets(x, n, fill):
                    static_argnames=("closest", "interpret", "hbm", "wave",
                                     "treelet_rows"))
 def _run(rows, origin, direction, t_init, closest: bool,
-         interpret: bool = False, hbm: bool = False, wave: bool = True,
+         interpret: bool = False, hbm: bool = False, wave: bool = False,
          treelet_rows: int | None = None):
     n = origin.shape[0]
     comps = [

@@ -202,8 +202,12 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
                                       scene.sphere_center, scene.sphere_radius)
     if packet_tables is not None:
         from .ops.pallas.traverse_kernel import closest_hit_packets
+        # interpret-mode on CPU so the packet path (incl. inside shard_map
+        # on the virtual test mesh) is exercised by CI, not just on TPU
+        interp = jax.default_backend() == "cpu"
         t, tri_id = closest_hit_packets(origin, direction, packet_tables,
-                                        t_init=t_sph, wave=wave)
+                                        t_init=t_sph, wave=wave,
+                                        interpret=interp)
     else:
         neg = direction < 0
         key = (neg[:, 0].astype(jnp.int32) + 2 * neg[:, 1].astype(jnp.int32)
@@ -284,8 +288,17 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     seed, sun_sample = cone_sample(jnp.broadcast_to(sun_dir, (n, 3)),
                                    sun_extent, seed)
     sun_cos = dot(normal, sun_sample)
-    seed, pick = rng.random_float(seed)
-    choose_sun = pick < 0.5  # 50/50 sun vs area light (kernel.cu:414/550)
+    # 50/50 sun vs area-light NEE (kernel.cu:414/550).  The reference flips
+    # a coin per ray; here the choice is a DETERMINISTIC parity split: even
+    # slots take one strategy, odd slots the other, swapping every frame so
+    # each pixel alternates strategies across accumulation regardless of
+    # how slots map to pixels (same 2x weights, same expectation, slightly
+    # lower variance — strategy alternation is antithetic).  Determinism is
+    # what makes the connect pass fast: the shadow wavefront splits into
+    # two STATIC half-slices that are each PURE (all sun rays, sharing one
+    # direction, or all light-sphere rays, with tight max distances), so
+    # shadow packets are coherent by construction (_connect).
+    choose_sun = ((slot & 1) == 0) ^ ((frame & 1) == 1)
 
     li = jnp.maximum(scene.light_index, 0)
     light_c = scene.sphere_center[li]
@@ -430,10 +443,32 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
     o, sdir = shadow["origin"], shadow["direction"]
     maxd = jnp.where(shadow["valid"], shadow["max_dist"], 0.0)
+    n = o.shape[0]
     if packet_tables is not None:
-        from .ops.pallas.traverse_kernel import any_hit_packets
-        occluded = any_hit_packets(o, sdir, maxd, packet_tables,
-                                   active=shadow["valid"], wave=wave)
+        from .ops.pallas.traverse_kernel import PACKET, any_hit_packets
+        interp = jax.default_backend() == "cpu"
+        if n % (2 * PACKET) == 0:
+            # _shade's deterministic NEE parity split makes each half-slice
+            # PURE: one half is all sun rays (every ray within the 1.5° sun
+            # cone — packets share one direction, so union-of-visits ≈ a
+            # single ray's visits), the other all light-sphere rays (tight
+            # max-distance pruning).  Tracing the halves separately keeps
+            # shadow packets coherent by construction instead of unioning
+            # the sun and light traversals in every packet — the TPU analog
+            # of the reference's per-ray divergence hiding in connect
+            # (kernel.cu:630-646).  Which half is which swaps with frame
+            # parity, but both halves run the identical kernel, so no
+            # branch is needed.
+            occ_e = any_hit_packets(o[0::2], sdir[0::2], maxd[0::2],
+                                    packet_tables, wave=wave,
+                                    interpret=interp)
+            occ_o = any_hit_packets(o[1::2], sdir[1::2], maxd[1::2],
+                                    packet_tables, wave=wave,
+                                    interpret=interp)
+            occluded = jnp.stack([occ_e, occ_o], axis=1).reshape(n)
+        else:
+            occluded = any_hit_packets(o, sdir, maxd, packet_tables,
+                                       wave=wave, interpret=interp)
     else:
         occluded = any_hit(o, sdir, maxd, scene.bvh, active=shadow["valid"])
     # sphere any-hit: (t + eps) < closestAllowed (kernel.cu:168-172)
@@ -493,7 +528,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     start_next = (state.start_position + generated) % total_local
 
     # 2. extend
-    wave = cfg.packet_kernel_mode == "wave"
+    wave = cfg.packet_kernel_mode == "wave-unsafe"
     t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
                                         scene, packet_tables=packet_tables,
                                         wave=wave)

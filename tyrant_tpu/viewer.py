@@ -113,14 +113,20 @@ class HttpViewer:
                     self._png = _to_png_bytes(img)
             pending = img_dev
             img_dev.block_until_ready()
-            dt = (time.perf_counter() - t0) * 1e3 / self.steps_per_frame
+            # dt is the FULL frame time (all steps_per_frame wavefront
+            # steps + display fetch) so ms/frame, fps and the histogram all
+            # describe displayed frames (ADVICE r2: dividing by
+            # steps_per_frame overstated the frame rate)
+            dt = (time.perf_counter() - t0) * 1e3
             frame_ms = 0.9 * frame_ms + 0.1 * dt if frame_ms else dt
             with self._lock:
                 self._times.append(round(dt, 2))
                 if len(self._times) > 120:  # reference plots ~a second of
                     self._times.pop(0)      # frames (main.cpp:178-190)
+                spf = (f"  ({self.steps_per_frame} steps/frame)"
+                       if self.steps_per_frame > 1 else "")
                 self._stats = (f"{frame_ms:.1f} ms/frame  "
-                               f"{1e3 / max(frame_ms, 1e-6):.1f} fps\n"
+                               f"{1e3 / max(frame_ms, 1e-6):.1f} fps{spf}\n"
                                f"pos {np.round(self.camera.position, 1)}")
 
     def serve(self):
