@@ -30,7 +30,10 @@ def fly_path(cam, i):
     cam.look(2.0, 0.4 * np.sin(i * 0.15))
 
 
-def measure(renderer, camera, n_frames, steps_per_frame, move):
+def measure(renderer, camera, n_frames, steps_per_frame, move,
+            preview_scale=1, fetch=True):
+    import jax.numpy as jnp
+
     from tyrant_tpu.ops.tonemap import to_uint8
     times = []
     pending = None
@@ -39,13 +42,20 @@ def measure(renderer, camera, n_frames, steps_per_frame, move):
         if move:
             fly_path(camera, i)
         renderer.step(camera, steps_per_frame)
-        img_dev = to_uint8(renderer.image())  # async on device
-        if pending is not None:
-            np.asarray(pending)  # fetch previous frame (overlaps steps)
-        pending = img_dev
-        img_dev.block_until_ready()
+        if fetch:
+            img_dev = to_uint8(renderer.image())  # async on device
+            if preview_scale > 1:
+                img_dev = img_dev[::preview_scale, ::preview_scale]
+            if pending is not None:
+                np.asarray(pending)  # fetch previous frame (overlaps steps)
+            pending = img_dev
+            img_dev.block_until_ready()
+        else:
+            # render-only cadence: hard sync, no display transfer
+            float(jnp.sum(renderer.state.accum[:4, 3]))
         times.append(time.perf_counter() - t0)
-    np.asarray(pending)
+    if pending is not None:
+        np.asarray(pending)
     ms = np.asarray(times[2:]) * 1e3  # skip compile/reset warmup frames
     return float(ms.mean()), float(np.median(ms)), float(ms.min())
 
@@ -56,6 +66,8 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--steps-per-frame", type=int, default=1)
     ap.add_argument("--scene", default="dragon")
+    ap.add_argument("--preview-scale", type=int, default=1,
+                    help="fetch the framebuffer downsampled by this factor")
     args = ap.parse_args()
 
     from tyrant_tpu.config import RenderConfig
@@ -76,18 +88,22 @@ def main():
     from tyrant_tpu.bench.harness import _camera_for_pose
     cam = _camera_for_pose(0)
     # warm both compiled paths (step + tonemap fetch)
-    measure(r, cam, 3, args.steps_per_frame, move=False)
+    measure(r, cam, 3, args.steps_per_frame, move=False,
+            preview_scale=args.preview_scale)
 
-    mean_s, med_s, min_s = measure(r, cam, args.frames,
-                                   args.steps_per_frame, move=False)
-    cam2 = _camera_for_pose(0)
-    mean_f, med_f, min_f = measure(r, cam2, args.frames,
-                                   args.steps_per_frame, move=True)
+    ps = args.preview_scale
+    mean_r, med_r, _ = measure(r, _camera_for_pose(0), args.frames,
+                               args.steps_per_frame, move=True, fetch=False)
+    mean_f, med_f, min_f = measure(r, _camera_for_pose(0), args.frames,
+                                   args.steps_per_frame, move=True,
+                                   preview_scale=ps)
     print(f"scene={args.scene} 1080p wavefront={args.rays} "
-          f"steps/frame={args.steps_per_frame} frames={args.frames}")
-    print(f"static   : {mean_s:6.1f} ms/frame  {1e3 / mean_s:5.1f} FPS "
-          f"(median {med_s:.1f}, best {min_s:.1f})")
-    print(f"fly-through (accum reset every frame): "
+          f"steps/frame={args.steps_per_frame} frames={args.frames} "
+          f"preview_scale={ps}")
+    print(f"fly-through render-only (no display fetch): "
+          f"{mean_r:6.1f} ms/frame  {1e3 / mean_r:5.1f} FPS "
+          f"(median {med_r:.1f})")
+    print(f"fly-through + pipelined display fetch: "
           f"{mean_f:6.1f} ms/frame  {1e3 / mean_f:5.1f} FPS "
           f"(median {med_f:.1f}, best {min_f:.1f})")
 

@@ -85,6 +85,8 @@ def main():
     ap.add_argument("--anyhit", action="store_true")
     ap.add_argument("--mono", action="store_true",
                     help="skip the wave variants")
+    ap.add_argument("--treelet", type=int, default=None,
+                    help="override TREELET_ROWS (HBM scenes)")
     args = ap.parse_args()
 
     path = f"/tmp/kernel_bench_{args.scene}_{args.rays}.npz"
@@ -115,8 +117,8 @@ def main():
         d = jnp.asarray(data[f"{label}_d"][:N])
         for wave in ((False,) if args.mono else (False, True)):
             tag = "wave" if wave else "mono"
-            f = jax.jit(lambda oo, dd: closest_hit_packets(oo, dd, tables,
-                                                           wave=wave))
+            f = jax.jit(lambda oo, dd: closest_hit_packets(
+                oo, dd, tables, wave=wave, treelet_rows=args.treelet))
             t, (tt, hh) = timeit(f, o, d)
             mrays = N / t / 1e3
             hitfrac = float(jnp.mean((hh >= 0).astype(jnp.float32)))
@@ -125,7 +127,8 @@ def main():
             if args.anyhit:
                 maxd = jnp.where(tt < 1e19, tt, 100.0)
                 fa = jax.jit(lambda oo, dd, m: any_hit_packets(
-                    oo, dd, m, tables, wave=wave))
+                    oo, dd, m, tables, wave=wave,
+                    treelet_rows=args.treelet))
                 t, _ = timeit(fa, o, d, maxd)
                 print(f"anyhit  {label} {tag}: {t:7.1f} ms  "
                       f"{N / t / 1e3:6.1f} Mrays/s")

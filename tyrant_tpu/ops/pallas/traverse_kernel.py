@@ -42,6 +42,7 @@ except for floating-point association differences in Möller-Trumbore.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +50,29 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Diagnostic ablations for cost-model measurement (scripts/kernel_bench.py
+# A/Bs; docs/PERFORMANCE.md round-3 log).  Traversal control flow (pushes,
+# visit counts) is preserved; only the indicated work is dropped, so the
+# timing delta isolates that component.  RESULTS ARE WRONG under ablation —
+# never set in production.
+#   TYRANT_ABLATE=noleaf  -> skip all leaf Möller-Trumbore work
+#   TYRANT_ABLATE=leaf2   -> test only 2 of LEAF_WIDTH slots per leaf
+_ABLATE = os.environ.get("TYRANT_ABLATE", "")
+
 from ...config import EPSILON, VERY_FAR
 from ...scene.bvh import META_AXIS_SHIFT, META_COUNT_MASK, META_OFFSET_SHIFT
 
-PACKET = 1024          # rays per packet (8 sublanes x 128 lanes)
+# rays per packet (sublanes x 128 lanes).  Default 8 sublanes = 1024 rays;
+# overridable for A/B studies (scripts/kernel_bench.py) — a bigger packet
+# amortizes the per-visit scalar/sync latency and the per-packet while-loop
+# overhead over more rays at the price of wider union-of-visits.
+PACKET = int(os.environ.get("TYRANT_PACKET", "1024"))
+assert PACKET % 128 == 0
+_SUB = PACKET // 128
 # packets per grid step: amortizes the per-grid-step overhead (the fat-row
 # table DMA) over many packets
-PACKETS_PER_BLOCK = 16
+PACKETS_PER_BLOCK = int(os.environ.get("TYRANT_PPB",
+                                       str(max(1, 16384 // PACKET))))
 STACK_DEPTH = 128      # cf. reference's 64-entry stack (bvh.h:124)
 ROW_WIDTH = 128
 # VMEM budget for the fat-row table; beyond this the caller falls back
@@ -102,7 +119,8 @@ def _mt_packet(ox, oy, oz, dx, dy, dz, v0x, v0y, v0z, e1x, e1y, e1z,
 # rays): K=4 is a 30% REGRESSION over K=1 — the group's while loop runs to
 # the max of K packet depths while every iteration pays K packets of VPU
 # work, and that tail waste beats the latency-hiding win.  Keep 1.
-INTERLEAVE = 1
+# (env-overridable for A/B re-tests of that result)
+INTERLEAVE = int(os.environ.get("TYRANT_INTERLEAVE", "1"))
 
 
 def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
@@ -166,14 +184,19 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
         ox, oy, oz = ox_ref[s, :], oy_ref[s, :], oz_ref[s, :]
         dx, dy, dz = dxr_ref[s, :], dyr_ref[s, :], dzr_ref[s, :]
         t_init = t0_ref[s, :]
-        rays = (ox, oy, oz, dx, dy, dz, 1.0 / dx, 1.0 / dy, 1.0 / dz)
+        inv_x, inv_y, inv_z = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        # per-axis sign masks, hoisted out of the visit loop (pure
+        # hoisting — no numeric change)
+        negm = (dx < 0, dy < 0, dz < 0)
+        rays = (ox, oy, oz, dx, dy, dz, inv_x, inv_y, inv_z, negm)
         # packet traversal-order heuristic: first ray's direction signs
         negs = ((dx0 < 0).astype(jnp.int32), (dy0 < 0).astype(jnp.int32),
                 (dz0 < 0).astype(jnp.int32))
-        if closest:
-            hit0 = jnp.full(t_init.shape, -1, jnp.int32)
-        else:
-            hit0 = jnp.zeros(t_init.shape, jnp.int32)
+        # derived from t_init (not a literal) so the leaf lax.cond branches
+        # agree on varying manual axes under shard_map check_vma in
+        # interpret mode (same fix as ops/traverse.py carries)
+        izero = (t_init * 0.0).astype(jnp.int32)
+        hit0 = izero - 1 if closest else izero
         stacks[i][0] = 0
         ctxs.append((s, rays, t_init, negs))
         # anyhit never updates t_best: carry a scalar dummy in its slot
@@ -200,7 +223,7 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
             alives.append(alive)
             if row_bufs is None:
                 rowv = rows_ref[pl.ds(row, 1), :]
-                row8s[i][:] = jnp.broadcast_to(rowv, (8, 128))
+                row8s[i][:] = jnp.broadcast_to(rowv, (_SUB, 128))
             else:
                 # two-level treelet: BFS top of the tree is a VMEM copy,
                 # only deep-tail rows DMA from HBM (K DMAs overlap)
@@ -221,7 +244,8 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                     pltpu.make_async_copy(rows_ref.at[pl.ds(row, 1), :],
                                           row_bufs[i], sems.at[i]).wait()
             for i in range(K):
-                row8s[i][:] = jnp.broadcast_to(row_bufs[i][0:1, :], (8, 128))
+                row8s[i][:] = jnp.broadcast_to(row_bufs[i][0:1, :],
+                                               (_SUB, 128))
 
         out = []
         for i in range(K):
@@ -263,7 +287,8 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
     packet can idle-retest its stale top node (idempotent under the strict
     accept rules) while siblings in the interleave group finish.
     Returns (sp, t_best, hit)."""
-    ox, oy, oz, dx, dy, dz, inv_x, inv_y, inv_z = rays
+    (ox, oy, oz, dx, dy, dz, inv_x, inv_y, inv_z, negm) = rays
+    negm_x, negm_y, negm_z = negm
     negx, negy, negz = negs
 
     def rv(i):
@@ -277,12 +302,16 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
     def slab(base):
         lox, loy, loz = rv(base + 0), rv(base + 1), rv(base + 2)
         hix, hiy, hiz = rv(base + 3), rv(base + 4), rv(base + 5)
-        n_x = jnp.where(dx < 0, hix, lox)
-        f_x = jnp.where(dx < 0, lox, hix)
-        n_y = jnp.where(dy < 0, hiy, loy)
-        f_y = jnp.where(dy < 0, loy, hiy)
-        n_z = jnp.where(dz < 0, hiz, loz)
-        f_z = jnp.where(dz < 0, loz, hiz)
+        n_x = jnp.where(negm_x, hix, lox)
+        f_x = jnp.where(negm_x, lox, hix)
+        n_y = jnp.where(negm_y, hiy, loy)
+        f_y = jnp.where(negm_y, loy, hiy)
+        n_z = jnp.where(negm_z, hiz, loz)
+        f_z = jnp.where(negm_z, loz, hiz)
+        # NB keep (b - o) * inv association: the XLA oracle computes the
+        # same expression, and the equivalence gate requires exact id
+        # agreement (an FMA-form rewrite here measurably changes boundary
+        # visits)
         tmin = jnp.maximum(
             jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
             (n_z - oz) * inv_z)
@@ -312,9 +341,11 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
 
     # --- leaf children: lax.cond value returns keep t_best/hit in
     # registers (no ref round-trips per leaf pass) ---
+    n_slots = {"noleaf": 0, "leaf2": 2}.get(_ABLATE, LEAF_WIDTH)
+
     def leaf_child(tri_base, tag, ref, box_hit):
         def run(tb, h):
-            for j in range(LEAF_WIDTH):
+            for j in range(n_slots):
                 slot_ok = box_hit & (j < tag)
                 b = tri_base + 9 * j
                 t = _mt_packet(
@@ -363,8 +394,11 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
     stack_ref[jnp.maximum(sp + 1, 0)] = second_ref
     sp = sp + second_ok.astype(jnp.int32)
     if not closest:
-        # early exit once every ray is occluded
-        sp = jnp.where(jnp.all(hit > 0), -1, sp)
+        # early exit once every ray is either occluded or can never accept
+        # a hit (dead slots would otherwise keep hit == 0 forever and the
+        # exit would never fire on partially-valid shadow packets)
+        done = (hit > 0) | (t_init <= 2.0 * EPSILON)
+        sp = jnp.where(jnp.all(done), -1, sp)
     return sp, t_best, hit
 
 
@@ -612,9 +646,11 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
             stacks[s][jnp.maximum(spn + 1, 0)] = second_ref
             spn = spn + second_ok
             if not closest:
-                # early exit once every ray of the subpacket is occluded
-                spn = jnp.where(jnp.any(occ_now[s:s + 1, :] == 0), spn,
-                                jnp.int32(-1))
+                # early exit once every subpacket ray is occluded or dead
+                # (dead = maxd <= 2eps, can never accept a hit)
+                live = (occ_now[s:s + 1, :] == 0) \
+                    & (t_init[s:s + 1, :] > 2.0 * EPSILON)
+                spn = jnp.where(jnp.any(live), spn, jnp.int32(-1))
             new_sps.append(spn)
         return tuple(new_sps)
 
@@ -645,6 +681,8 @@ def _run(rows, origin, direction, t_init, closest: bool,
         _pad_to_packets(t_init, n, 0.0 if not closest else VERY_FAR),
     ]
     # round packets up to a whole number of blocks
+    if wave:
+        assert PACKET == 1024, "wave kernel assumes 1024-ray packets"
     ppb = WAVE_PACKETS_PER_BLOCK if wave else PACKETS_PER_BLOCK
     block_rays = PACKET * ppb
     npad = comps[0].shape[0]
@@ -690,16 +728,25 @@ def _run(rows, origin, direction, t_init, closest: bool,
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)] * INTERLEAVE \
             + [pltpu.VMEM((sub, 128), jnp.float32)] * INTERLEAVE
         kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
+    def _sds(shape, dtype):
+        # under shard_map with check_vma, pallas outputs must declare their
+        # varying manual axes; inherit them from the (sharded) ray inputs
+        try:
+            vma = jax.typeof(origin).vma
+            if vma:
+                return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+        except (AttributeError, TypeError):
+            pass
+        return jax.ShapeDtypeStruct(shape, dtype)
+
     t_out, hit_out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=table_specs + [ray_spec] * 7,
         out_specs=[ray_spec, ray_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks * rows_per_block, 128),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks * rows_per_block, 128),
-                                 jnp.int32)],
+            _sds((n_blocks * rows_per_block, 128), jnp.float32),
+            _sds((n_blocks * rows_per_block, 128), jnp.int32)],
         scratch_shapes=scratch,
         interpret=interpret,
     )(*tables_in, *comps)

@@ -283,8 +283,13 @@ def _chunk_closest(origin, direction, t_init, bvh: BVHDevice):
                                       (t_best, hit_id))
         return nxt, t_best, hit_id
 
-    state = (jnp.zeros((n,), jnp.int32), t_init,
-             jnp.full((n,), -1, jnp.int32))
+    # carries derive from the (possibly shard_map-varying) inputs rather
+    # than literals, so the lax.cond branches agree on varying manual axes
+    # under shard_map's check_vma (a literal-seeded carry makes the
+    # pass-through branch device-invariant while the leaf branch is
+    # varying: "varying manual axes do not match" at this cond)
+    zero = (origin[:, 0] * 0.0).astype(jnp.int32)
+    state = (zero, t_init, zero - 1)
     _, t, hit_id = jax.lax.while_loop(cond, body, state)
     return t, hit_id
 
@@ -310,7 +315,7 @@ def _chunk_any(origin, direction, max_dist, node0, bvh: BVHDevice):
         nxt = jnp.where(occ, -1, nxt)  # first hit terminates (bvh.h:231)
         return nxt, occ
 
-    state = (node0, jnp.zeros((n,), bool))
+    state = (node0, node0 < -1)  # all-False occ, derived (see _chunk_closest)
     _, occ = jax.lax.while_loop(cond, body, state)
     return occ
 
@@ -340,7 +345,7 @@ def closest_hit(origin, direction, bvh: BVHDevice, t_init=None):
     """
     n = origin.shape[0]
     if t_init is None:
-        t_init = jnp.full((n,), VERY_FAR, jnp.float32)
+        t_init = origin[:, 0] * 0.0 + VERY_FAR  # derived, not a literal
     return _map_chunks(lambda o, d, t: _chunk_closest(o, d, t, bvh),
                        (origin, direction, t_init), n)
 
@@ -357,7 +362,7 @@ def any_hit(origin, direction, max_dist, bvh: BVHDevice, active=None):
     """
     n = origin.shape[0]
     if active is None:
-        node0 = jnp.zeros((n,), jnp.int32)
+        node0 = (origin[:, 0] * 0.0).astype(jnp.int32)  # derived literal 0
     else:
         node0 = jnp.where(active, 0, -1).astype(jnp.int32)
     return _map_chunks(lambda o, d, m, s: _chunk_any(o, d, m, s, bvh),

@@ -289,16 +289,18 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                                    sun_extent, seed)
     sun_cos = dot(normal, sun_sample)
     # 50/50 sun vs area-light NEE (kernel.cu:414/550).  The reference flips
-    # a coin per ray; here the choice is a DETERMINISTIC parity split: even
-    # slots take one strategy, odd slots the other, swapping every frame so
-    # each pixel alternates strategies across accumulation regardless of
-    # how slots map to pixels (same 2x weights, same expectation, slightly
-    # lower variance — strategy alternation is antithetic).  Determinism is
-    # what makes the connect pass fast: the shadow wavefront splits into
-    # two STATIC half-slices that are each PURE (all sun rays, sharing one
-    # direction, or all light-sphere rays, with tight max distances), so
-    # shadow packets are coherent by construction (_connect).
-    choose_sun = ((slot & 1) == 0) ^ ((frame & 1) == 1)
+    # a coin per ray; here the choice is DETERMINISTIC and constant over
+    # 1024-slot blocks (one traversal packet), alternating block parity
+    # every frame so each pixel still alternates strategies across
+    # accumulation (same 2x weights, same expectation, slightly lower
+    # variance — strategy alternation is antithetic).  Packet-constant
+    # choice makes every shadow packet PURE — all sun rays (one shared
+    # direction) or all light-sphere rays (tight max distances) — IN
+    # PLACE, so connect traverses single-strategy unions with the original
+    # packet origin footprint.  (A finer every-other-slot split was
+    # measured WORSE: slicing halves doubles each packet's origin spread,
+    # which costs more than strategy purity wins — scripts/connect_bench.)
+    choose_sun = (((slot >> 10) & 1) == 0) ^ ((frame & 1) == 1)
 
     li = jnp.maximum(scene.light_index, 0)
     light_c = scene.sphere_center[li]
@@ -443,32 +445,17 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
     o, sdir = shadow["origin"], shadow["direction"]
     maxd = jnp.where(shadow["valid"], shadow["max_dist"], 0.0)
-    n = o.shape[0]
     if packet_tables is not None:
-        from .ops.pallas.traverse_kernel import PACKET, any_hit_packets
+        from .ops.pallas.traverse_kernel import any_hit_packets
         interp = jax.default_backend() == "cpu"
-        if n % (2 * PACKET) == 0:
-            # _shade's deterministic NEE parity split makes each half-slice
-            # PURE: one half is all sun rays (every ray within the 1.5° sun
-            # cone — packets share one direction, so union-of-visits ≈ a
-            # single ray's visits), the other all light-sphere rays (tight
-            # max-distance pruning).  Tracing the halves separately keeps
-            # shadow packets coherent by construction instead of unioning
-            # the sun and light traversals in every packet — the TPU analog
-            # of the reference's per-ray divergence hiding in connect
-            # (kernel.cu:630-646).  Which half is which swaps with frame
-            # parity, but both halves run the identical kernel, so no
-            # branch is needed.
-            occ_e = any_hit_packets(o[0::2], sdir[0::2], maxd[0::2],
-                                    packet_tables, wave=wave,
-                                    interpret=interp)
-            occ_o = any_hit_packets(o[1::2], sdir[1::2], maxd[1::2],
-                                    packet_tables, wave=wave,
-                                    interpret=interp)
-            occluded = jnp.stack([occ_e, occ_o], axis=1).reshape(n)
-        else:
-            occluded = any_hit_packets(o, sdir, maxd, packet_tables,
-                                       wave=wave, interpret=interp)
+        # every 1024-slot packet is PURE (all-sun or all-light) because
+        # _shade's NEE choice is constant per 1024-slot block, so each
+        # packet traverses a single-strategy union — the TPU analog of the
+        # reference's per-ray divergence hiding in connect
+        # (kernel.cu:630-646).  Invalid slots (maxd zeroed) drop out of
+        # the union inside the kernel (traverse_kernel._visit).
+        occluded = any_hit_packets(o, sdir, maxd, packet_tables,
+                                   wave=wave, interpret=interp)
     else:
         occluded = any_hit(o, sdir, maxd, scene.bvh, active=shadow["valid"])
     # sphere any-hit: (t + eps) < closestAllowed (kernel.cu:168-172)

@@ -82,11 +82,18 @@ loop();
 
 class HttpViewer:
     def __init__(self, renderer, camera, port: int = 8760,
-                 steps_per_frame: int = 1):
+                 steps_per_frame: int = 1, preview_scale: int = 1):
+        """``preview_scale``: fetch the framebuffer downsampled by this
+        factor (device-side strided slice).  The full-res 1080p u8 buffer
+        is ~6.2 MB and costs ~200 ms over a tunneled/remote TPU link
+        (scripts/interactive_fps.py measurement) — a 2x preview cuts the
+        display fetch ~3x while the full-res accumulation keeps
+        converging on device."""
         self.renderer = renderer
         self.camera = camera
         self.port = port
         self.steps_per_frame = steps_per_frame
+        self.preview_scale = max(1, int(preview_scale))
         self._png = b""
         self._stats = "starting"
         self._times: list[float] = []
@@ -107,6 +114,9 @@ class HttpViewer:
             t0 = time.perf_counter()
             self.renderer.step(self.camera, self.steps_per_frame)
             img_dev = to_uint8(self.renderer.image())  # async on device
+            if self.preview_scale > 1:
+                s = self.preview_scale
+                img_dev = img_dev[::s, ::s]
             if pending is not None:
                 img = np.asarray(pending)  # ready buffer: transfer only
                 with self._lock:
@@ -240,6 +250,10 @@ def main(argv=None):
     _add_common(ap)
     ap.add_argument("--port", type=int, default=8760)
     ap.add_argument("--terminal", action="store_true")
+    ap.add_argument("--steps-per-frame", type=int, default=1)
+    ap.add_argument("--preview-scale", type=int, default=1,
+                    help="downsample the display fetch (2 = 540p preview; "
+                         "cuts the ~200 ms tunneled 1080p fetch ~3x)")
     args = ap.parse_args(argv)
     # viewer defaults: smaller interactive resolution unless overridden
     cfg, scene, cam = _build(args)
@@ -247,7 +261,9 @@ def main(argv=None):
     if args.terminal:
         TerminalViewer(r, cam).show()
     else:
-        HttpViewer(r, cam, port=args.port).serve()
+        HttpViewer(r, cam, port=args.port,
+                   steps_per_frame=args.steps_per_frame,
+                   preview_scale=args.preview_scale).serve()
 
 
 if __name__ == "__main__":
