@@ -124,6 +124,21 @@ def test_treelet_dma_tail(wave):
                                np.asarray(t_h)[hits], rtol=1e-5)
 
 
+def test_treelet_anyhit_with_invalid_slots():
+    """HBM any-hit with a tiny treelet and a mix of valid/invalid (maxd=0)
+    shadow slots: exercises the sibling-pair prefetch together with the
+    dead-slot union pruning and the early-exit guard that must never leave
+    a prefetch DMA dangling at loop exit."""
+    dev, tables, o, d = _setup(seed=31)
+    n = o.shape[0]
+    maxd = jnp.where(jnp.asarray(np.arange(n) % 3 == 0), 0.0, 120.0)
+    occ_ref = np.asarray(any_hit(o, d, maxd, dev))
+    tables.fits = False
+    occ_h = np.asarray(any_hit_packets(o, d, maxd, tables, interpret=True,
+                                       treelet_rows=2))
+    np.testing.assert_array_equal(occ_ref, occ_h)
+
+
 def test_wave_multi_block():
     """Wave mode with more rays than one grid block (catches block-size
     accounting bugs: every wave of every block must be traversed)."""

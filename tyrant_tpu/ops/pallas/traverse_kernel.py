@@ -146,6 +146,9 @@ def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
         row8s = rest[INTERLEAVE:2 * INTERLEAVE]
         row_bufs = rest[2 * INTERLEAVE:3 * INTERLEAVE]
         sems = rest[3 * INTERLEAVE]
+        pair_buf, pair_sem = (rest[3 * INTERLEAVE + 1],
+                              rest[3 * INTERLEAVE + 2]) \
+            if INTERLEAVE == 1 else (None, None)
     else:
         (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
          dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:10]
@@ -153,6 +156,7 @@ def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
         stacks = rest[0:INTERLEAVE]
         row8s = rest[INTERLEAVE:2 * INTERLEAVE]
         row_bufs, sems, top_ref = None, None, None
+        pair_buf, pair_sem = None, None
 
     sub = PACKET // 128
     for g in range(PACKETS_PER_BLOCK // INTERLEAVE):
@@ -165,19 +169,28 @@ def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
         _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref,
                         dxr_ref, dyr_ref, dzr_ref, t0_ref, tout_ref,
                         hit_ref, packs, stacks, row8s, row_bufs, sems,
-                        closest, n_top)
+                        closest, n_top, pair_buf, pair_sem)
 
 
 def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                     dyr_ref, dzr_ref, t0_ref, tout_ref, hit_ref, packs,
                     stacks, row8s, row_bufs, sems, closest: bool,
-                    n_top: int):
+                    n_top: int, pair_buf=None, pair_sem=None):
     """Per-packet hit state (``t_best``/``hit``) is REGISTER-CARRIED through
     the while loop (round-3 item: the previous design round-tripped both
     through the output refs every visit — one (8,128) load per slab prune
     plus load+store pairs in every leaf pass).  The refs are written once,
-    after the loop."""
+    after the loop.
+
+    HBM mode adds SIBLING-PAIR PREFETCH (round-3, terrain lever): during a
+    deep visit, the 2-row block holding the node's interior children
+    (adjacent by PacketTables' BFS pair numbering) is DMA'd in the
+    background; whenever anything was pushed, the next pop lands in that
+    pair, so the ~per-visit HBM DMA latency hides behind the previous
+    visit's VPU/sync work.  Backtrack pops (nothing pushed) fall back to
+    the serial per-row DMA."""
     K = len(packs)
+    pair = pair_buf is not None
     ctxs = []
     init = []
     for i, (s, dx0, dy0, dz0) in enumerate(packs):
@@ -201,6 +214,8 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
         ctxs.append((s, rays, t_init, negs))
         # anyhit never updates t_best: carry a scalar dummy in its slot
         init += [jnp.int32(0), t_init if closest else jnp.int32(0), hit0]
+    if pair:
+        init.append(jnp.int32(-1))  # pair_base: -1 = no prefetch in flight
 
     def cond(carry):
         alive = carry[0] >= 0
@@ -212,7 +227,16 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
 
     def body(carry):
         sps = [carry[3 * i] for i in range(K)]
-        rows, alives = [], []
+        pair_base = carry[3 * K] if pair else None
+        if pair:
+            # resolve the in-flight sibling-pair DMA before touching the
+            # buffer (started at the end of the previous iteration)
+            @pl.when(pair_base >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    rows_ref.at[pl.ds(jnp.maximum(pair_base, 0), 2), :],
+                    pair_buf, pair_sem.at[0]).wait()
+        rows, alives, p_hits = [], [], []
         for i in range(K):
             alive = (sps[i] >= 0).astype(jnp.int32)
             # clamp: a drained packet (sp=-1) idling in an interleave group
@@ -226,26 +250,42 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                 row8s[i][:] = jnp.broadcast_to(rowv, (_SUB, 128))
             else:
                 # two-level treelet: BFS top of the tree is a VMEM copy,
-                # only deep-tail rows DMA from HBM (K DMAs overlap)
+                # only deep-tail rows DMA from HBM (K DMAs overlap) — and
+                # with pair prefetch, a deep row already sitting in the
+                # prefetched sibling pair skips the DMA entirely
                 in_top = row < n_top
+                if pair:
+                    p_hit = ((pair_base >= 0) & (row >= pair_base)
+                             & (row < pair_base + 2))
+                else:
+                    p_hit = jnp.bool_(False)
+                p_hits.append(p_hit)
 
                 @pl.when(in_top)
                 def _(i=i, row=row):
                     row_bufs[i][:] = top_ref[pl.ds(row, 1), :]
 
-                @pl.when(jnp.logical_not(in_top))
+                @pl.when(jnp.logical_not(in_top) & jnp.logical_not(p_hit))
                 def _(i=i, row=row):
                     pltpu.make_async_copy(rows_ref.at[pl.ds(row, 1), :],
                                           row_bufs[i], sems.at[i]).start()
         if row_bufs is not None:
             for i in range(K):
-                @pl.when(rows[i] >= n_top)
+                @pl.when((rows[i] >= n_top) & jnp.logical_not(p_hits[i]))
                 def _(i=i, row=rows[i]):
                     pltpu.make_async_copy(rows_ref.at[pl.ds(row, 1), :],
                                           row_bufs[i], sems.at[i]).wait()
             for i in range(K):
-                row8s[i][:] = jnp.broadcast_to(row_bufs[i][0:1, :],
-                                               (_SUB, 128))
+                @pl.when(jnp.logical_not(p_hits[i]))
+                def _(i=i):
+                    row8s[i][:] = jnp.broadcast_to(row_bufs[i][0:1, :],
+                                                   (_SUB, 128))
+                if pair:
+                    @pl.when(p_hits[i] & (rows[i] >= n_top))
+                    def _(i=i, row=rows[i]):
+                        off = jnp.clip(row - pair_base, 0, 1)
+                        row8s[i][:] = jnp.broadcast_to(
+                            pair_buf[pl.ds(off, 1), :], (_SUB, 128))
 
         out = []
         for i in range(K):
@@ -257,18 +297,34 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                 def rd(lane, row=row):
                     return rows_ref[row, lane]
             else:
-                # scalar reads from the top TABLE or the DMA-landed buffer
-                # — never from a vector-written scratch (that staging
-                # faults at runtime, docs/PERFORMANCE.md crash list)
+                # scalar reads from the top TABLE or a DMA-LANDED buffer
+                # (pair_buf / row_bufs) — never from a vector-written
+                # scratch (that staging faults at runtime,
+                # docs/PERFORMANCE.md crash list)
                 def rd(lane, row=row, i=i):
                     v_top = top_ref[jnp.minimum(row, n_top - 1), lane]
-                    return jnp.where(row < n_top, v_top,
-                                     row_bufs[i][0, lane])
+                    v_deep = row_bufs[i][0, lane]
+                    if pair:
+                        v_pair = pair_buf[
+                            jnp.clip(row - jnp.maximum(pair_base, 0), 0, 1),
+                            lane]
+                        v_deep = jnp.where(p_hits[i], v_pair, v_deep)
+                    return jnp.where(row < n_top, v_top, v_deep)
 
             sp = sps[i] - alives[i]  # pop (no-op when already empty)
             out += list(_visit(rd, rowv8, rays, t_init,
                                carry[3 * i + 1], carry[3 * i + 2],
-                               stacks[i], sp, alives[i], closest, negs))
+                               stacks[i], sp, alives[i], closest, negs,
+                               pair_info=(n_top, n_rows) if pair else None))
+        if pair:
+            pair_next = out.pop()  # appended by _visit for K == 1
+
+            @pl.when(pair_next >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    rows_ref.at[pl.ds(jnp.maximum(pair_next, 0), 2), :],
+                    pair_buf, pair_sem.at[0]).start()
+            out.append(pair_next)
         return tuple(out)
 
     final = jax.lax.while_loop(cond, body, tuple(init))
@@ -279,7 +335,7 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
 
 
 def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
-           sp, alive, closest: bool, negs):
+           sp, alive, closest: bool, negs, pair_info=None):
     """One node visit for one packet: ordered slab tests, scalar-predicated
     leaf work via value-returning ``lax.cond`` (register-carried
     ``t_best``/``hit``), far-then-near pushes.  ``sp`` is the stack top
@@ -399,6 +455,19 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
         # exit would never fire on partially-valid shadow packets)
         done = (hit > 0) | (t_init <= 2.0 * EPSILON)
         sp = jnp.where(jnp.all(done), -1, sp)
+    if pair_info is not None:
+        # sibling-pair prefetch target: whenever anything was pushed, the
+        # next pop is one of this node's interior children, which occupy
+        # the adjacent rows [base, base+1] (PacketTables pair numbering);
+        # only deep pairs (>= treelet) need the DMA
+        n_top_, n_rows_ = pair_info
+        base = jnp.minimum(jnp.where(tag_l < 0, ref_l, ref_r), n_rows_ - 2)
+        pushed = first_ok | second_ok
+        # (sp >= 0) guard: the anyhit early exit may end the loop right
+        # after a push — a prefetch started then would never be waited
+        pair_next = jnp.where(pushed & (base >= n_top_) & (sp >= 0),
+                              base, -1)
+        return sp, t_best, hit, pair_next
     return sp, t_best, hit
 
 
@@ -722,6 +791,10 @@ def _run(rows, origin, direction, t_init, closest: bool,
             + [pltpu.VMEM((sub, 128), jnp.float32)] * INTERLEAVE \
             + [pltpu.VMEM((1, 128), jnp.float32)] * INTERLEAVE \
             + [pltpu.SemaphoreType.DMA((INTERLEAVE,))]
+        if INTERLEAVE == 1:
+            # sibling-pair prefetch buffer + its semaphore
+            scratch += [pltpu.VMEM((2, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((1,))]
         kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm,
                                    n_top=n_top)
     else:
@@ -790,22 +863,32 @@ class PacketTables:
 
         interior = np.nonzero(~is_leaf)[0]
         n_rows = len(interior)
-        # BFS (level-order) row numbering: row index increases with depth,
-        # so rows[:TREELET_ROWS] is exactly the top of the tree — the HBM
-        # kernel keeps that prefix VMEM-resident and only DMAs deep-tail
-        # visits.  The root stays row 0.
-        depth_n = np.zeros(nn, np.int32)
+        # BFS (level-order) row numbering with SIBLING-PAIR ADJACENCY:
+        # children of one parent are enqueued together (left then right),
+        # so (a) rows[:TREELET_ROWS] is exactly the top of the tree — the
+        # HBM kernel keeps that prefix VMEM-resident — and (b) a node's two
+        # interior children always occupy ADJACENT rows, which lets the
+        # kernel DMA the child PAIR as one 2-row fetch during the parent's
+        # visit (sibling-pair prefetch; the next pop is one of the pair
+        # whenever anything was pushed).  The root stays row 0.
+        levels = []
         frontier = np.asarray([0] if not is_leaf[0] else [], np.int64)
         dep = 0
         while frontier.size:
+            levels.append(frontier)
             dep += 1
-            kids = np.concatenate([frontier + 1, lane7[frontier]])
-            kids = kids[~is_leaf[kids]]
-            depth_n[kids] = dep
-            frontier = kids
-        order = np.argsort(depth_n[interior], kind="stable")
+            # interleave (left, right) per parent to keep siblings adjacent
+            kids = np.stack([frontier + 1, lane7[frontier]],
+                            axis=1).reshape(-1)
+            frontier = kids[~is_leaf[kids]]
+        order_seq = np.concatenate(levels) if levels else \
+            np.zeros((0,), np.int64)
         row_of = np.full(nn, -1, np.int64)
-        row_of[interior[order]] = np.arange(n_rows)
+        row_of[order_seq] = np.arange(n_rows)
+        # pair-adjacency invariant consumed by the prefetch path
+        both_int = ~is_leaf[interior + 1] & ~is_leaf[lane7[interior]]
+        assert (row_of[lane7[interior[both_int]]]
+                == row_of[interior[both_int] + 1] + 1).all()
 
         rr = row_of[interior]
         rows = np.zeros((n_rows, ROW_WIDTH), np.float32)
@@ -831,7 +914,7 @@ class PacketTables:
         # ints ride in f32 lanes, exact only below 2^24; deeper trees than
         # the SMEM stack would silently corrupt traversal.  Refuse instead.
         max_ref = int(offset.max()) + LEAF_WIDTH if is_leaf.any() else 0
-        self.max_depth = int(depth_n.max()) + 2  # + leaf level + root
+        self.max_depth = dep + 1  # interior levels + leaf level + root
         self.supported = (max(n_rows, max_ref) < 2 ** 24
                           and self.max_depth + 2 <= STACK_DEPTH)
 
