@@ -58,6 +58,12 @@ from jax.experimental.pallas import tpu as pltpu
 #   TYRANT_ABLATE=noleaf  -> skip all leaf Möller-Trumbore work
 #   TYRANT_ABLATE=leaf2   -> test only 2 of LEAF_WIDTH slots per leaf
 _ABLATE = os.environ.get("TYRANT_ABLATE", "")
+# ONE vector->scalar reduce per visit instead of two: descend/leaf gating
+# uses any(box_l | box_r) for both children, trading dead-sibling visits
+# (x1.27-1.39 visit count, host sim) for one fewer ~150-cycle sync on the
+# critical path.  Results are bit-identical (a dead visit's slab masks
+# reject every accept).  A/B knob; measured on chip before promotion.
+_ONE_REDUCE = os.environ.get("TYRANT_ONE_REDUCE", "0") == "1"
 
 from ...config import EPSILON, VERY_FAR
 from ...scene.bvh import META_AXIS_SHIFT, META_COUNT_MASK, META_OFFSET_SHIFT
@@ -386,8 +392,11 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
 
     box_l = slab(0)
     box_r = slab(6)
-    any_l = jnp.any(box_l)
-    any_r = jnp.any(box_r)
+    if _ONE_REDUCE:
+        any_l = any_r = jnp.any(box_l | box_r)
+    else:
+        any_l = jnp.any(box_l)
+        any_r = jnp.any(box_r)
 
     tag_l = rd(_L_TAG).astype(jnp.int32)
     tag_r = rd(_R_TAG).astype(jnp.int32)

@@ -557,7 +557,13 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
               + 4 * nneg[:, 2].astype(jnp.int32))
     p_local = cfg.width * local_height
     sent = sentinel(p_local)
-    key = jnp.where(survive, sent + cell * 8 + octant, next_rays["pixel"])
+    # octant-MAJOR survivor key: all rays of one direction octant group
+    # together, sub-ordered by origin cell.  Host-simulated union visits on
+    # the carried tail: 238/packet with the round-2 cell-major key vs
+    # 167/packet octant-major (-30%) — direction agreement narrows the
+    # union more than origin locality does (docs/PERFORMANCE.md round 3).
+    key = jnp.where(survive, sent + octant * (_KEY_GRID ** 3) + cell,
+                    next_rays["pixel"])
     # pixel (< 2^21) | bounces (<= 15) | lastSpecular packed in one column
     packed = (next_rays["pixel"] << 5) | (next_rays["bounces"] << 1) \
         | next_rays["last_specular"].astype(jnp.int32)
