@@ -76,13 +76,16 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
     occ_ref = np.asarray(any_hit(o, d, maxd, dev))
 
     msgs = []
-    for mode in ("vmem", "hbm"):
-        if mode == "hbm":
+    for mode in ("vmem", "hbm", "vmem-wave", "hbm-wave"):
+        wave = mode.endswith("-wave")
+        if mode.startswith("hbm"):
             tables.fits = False  # force the HBM row path on this scene
             tr = 256  # tiny treelet: most visits exercise the DMA path
         else:
+            tables.fits = True
             tr = None
-        t_pk, id_pk = closest_hit_packets(o, d, tables, treelet_rows=tr)
+        t_pk, id_pk = closest_hit_packets(o, d, tables, treelet_rows=tr,
+                                          wave=wave)
         t_pk, id_pk = np.asarray(t_pk), np.asarray(id_pk)
         if (id_ref != id_pk).any():
             n_bad = int((id_ref != id_pk).sum())
@@ -93,7 +96,7 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
             msgs.append(f"{mode}:closest-t mismatch")
             continue
         occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables,
-                                            treelet_rows=tr))
+                                            treelet_rows=tr, wave=wave))
         if (occ_ref != occ_pk).any():
             n_bad = int((occ_ref != occ_pk).sum())
             msgs.append(f"{mode}:anyhit mismatch on {n_bad}/{n_rays}")

@@ -57,6 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 # never set in production.
 #   TYRANT_ABLATE=noleaf  -> skip all leaf Möller-Trumbore work
 #   TYRANT_ABLATE=leaf2   -> test only 2 of LEAF_WIDTH slots per leaf
+#   TYRANT_ABLATE=xreduce -> ADD two dummy any-reduces per visit (control
+#                            flow unchanged): the time delta over baseline
+#                            divided by 2x visits measures the per-sync
+#                            cost directly
 _ABLATE = os.environ.get("TYRANT_ABLATE", "")
 # ONE vector->scalar reduce per visit instead of two: descend/leaf gating
 # uses any(box_l | box_r) for both children, trading dead-sibling visits
@@ -85,8 +89,12 @@ ROW_WIDTH = 128
 VMEM_TABLE_BUDGET = 10 * 1024 * 1024
 # HBM mode: rows are BFS-ordered so this VMEM-resident prefix holds the TOP
 # of the tree (the levels every ray crosses); only deep-tail visits DMA.
-# 16384 rows x 512 B = 8 MB of VMEM.
-TREELET_ROWS = 16384
+# Bigger is faster (32768 measured ~5% over 16384 on the 1M-tri terrain)
+# but v5e's scoped-vmem limit is 16.0 MB for the whole kernel: 32768 rows
+# x 512 B = 16.78 MB alone OOMs inside the full render-step jit (it
+# happened to fit in a standalone kernel benchmark).  24576 rows
+# (12.6 MB) keeps ~3.4 MB of headroom for the ray blocks and scratch.
+TREELET_ROWS = 24576
 
 LEAF_WIDTH = 6  # must match ops.traverse.LEAF_WIDTH / BVHConfig
 _L_TAG, _R_TAG, _L_REF, _R_REF, _AXIS = 12, 13, 14, 15, 16
@@ -458,6 +466,12 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
     sp = sp + first_ok.astype(jnp.int32)
     stack_ref[jnp.maximum(sp + 1, 0)] = second_ref
     sp = sp + second_ok.astype(jnp.int32)
+    if _ABLATE == "xreduce":
+        # two extra vector->scalar reduces that can never change sp
+        # (sp >= -1 always; the max argument is <= -2); defeats DCE
+        e1 = jnp.any(box_l ^ box_r).astype(jnp.int32)
+        e2 = jnp.any(box_l & box_r).astype(jnp.int32)
+        sp = jnp.maximum(sp, e1 + e2 - 4)
     if not closest:
         # early exit once every ray is either occluded or can never accept
         # a hit (dead slots would otherwise keep hit == 0 forever and the
@@ -534,43 +548,57 @@ def _wave_kernel(*refs, closest: bool, hbm: bool = False,
 
     for k in range(WAVE_PACKETS_PER_BLOCK):
         s = slice(8 * k, 8 * (k + 1))
+        # per-sublane traversal-order heuristic: each sublane's FIRST ray's
+        # direction signs, loaded once as scalars (static indices) and
+        # passed into the loop — replaces 8 per-iteration vector->scalar
+        # any-reduces over broadcast sign columns
+        sub_negs = tuple(
+            ((dxr_ref[8 * k + j, 0] < 0).astype(jnp.int32),
+             (dyr_ref[8 * k + j, 0] < 0).astype(jnp.int32),
+             (dzr_ref[8 * k + j, 0] < 0).astype(jnp.int32))
+            for j in range(8))
         _wave_packet(rows_ref, top_ref, ox_ref[s, :], oy_ref[s, :],
                      oz_ref[s, :], dxr_ref[s, :], dyr_ref[s, :],
                      dzr_ref[s, :], t0_ref[s, :], tout_ref, hit_ref, s,
-                     stacks, bufs, sems, closest, n_top)
+                     stacks, bufs, sems, closest, n_top, sub_negs)
 
 
 def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                  tout_ref, hit_ref, out_slice, stacks, bufs, sems,
-                 closest: bool, n_top: int):
+                 closest: bool, n_top: int, sub_negs=None):
+    """Round-3 rewrite: ``t_best``/``hit`` are REGISTER-CARRIED through the
+    while loop (the round-2 version round-tripped both through the output
+    refs every iteration and in every leaf pass — same change as the mono
+    kernel's _visit), and the near-child traversal order is decided in the
+    SCALAR domain from per-sublane direction signs (``sub_negs``, 8x3
+    scalars hoisted by the caller) instead of 8 per-iteration
+    vector->scalar any-reduces over broadcast sign columns."""
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
 
-    # traversal-order heuristic: the sign of each sublane's first ray,
-    # in the vector domain (loop-invariant)
-    negx_v = (dx[:, 0:1] < 0).astype(jnp.int32)
-    negy_v = (dy[:, 0:1] < 0).astype(jnp.int32)
-    negz_v = (dz[:, 0:1] < 0).astype(jnp.int32)
-
-    tout_ref[out_slice, :] = t_init
-    if closest:
-        hit_ref[out_slice, :] = jnp.full(t_init.shape, -1, jnp.int32)
-    else:
-        hit_ref[out_slice, :] = jnp.zeros(t_init.shape, jnp.int32)
-
     for s in range(8):
         stacks[s][0] = 0
 
-    def cond(sps):
+    def cond(carry):
+        sps = carry[0:8]
         alive = sps[0] >= 0
         for s in range(1, 8):
             alive = alive | (sps[s] >= 0)
         return alive
 
     n_rows = rows_ref.shape[0]
+    # derive init from t_init so varying manual axes agree under shard_map
+    # check_vma in interpret mode (same trick as the mono kernel)
+    izero = (t_init * 0.0).astype(jnp.int32)
+    hit0 = izero - 1 if closest else izero
+    # anyhit never reads t_best: a scalar dummy rides in its carry slot
+    tb0 = t_init if closest else jnp.int32(0)
 
-    def body(sps):
+    def body(carry):
+        sps = carry[0:8]
+        t_best = carry[8]
+        hit = carry[9]
         # --- pop one node per sublane; land its fat row in buffer s ---
         # clamp: a drained sublane idles while siblings finish; its row must
         # stay inside the table (OOB DMA = worker crash, ADVICE r2 high)
@@ -610,10 +638,7 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
         def rv(i):
             return R[:, i:i + 1]
 
-        t_best = tout_ref[out_slice, :]
         prune = t_best if closest else t_init
-        if not closest:
-            occ = hit_ref[out_slice, :]
 
         def slab(base):
             lox, loy, loz = rv(base + 0), rv(base + 1), rv(base + 2)
@@ -634,24 +659,29 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
             if not closest:
                 # see _visit: drop done rays AND never-acceptable rays
                 # (maxd <= 2eps) from the union
-                bh = bh & (occ == 0) & (t_init > 2.0 * EPSILON)
+                bh = bh & (hit == 0) & (t_init > 2.0 * EPSILON)
             return bh
 
         box_l = slab(0)
         box_r = slab(6)
 
-        # --- leaf passes: vector-masked per sublane, gated by scalar ORs.
+        tag_l_v = rv(_L_TAG)
+        tag_r_v = rv(_R_TAG)
+        pushable_l = box_l & (tag_l_v < 0)
+        pushable_r = box_r & (tag_r_v < 0)
+        leafy_l = box_l & (tag_l_v > 0)
+        leafy_r = box_r & (tag_r_v > 0)
+
+        # --- leaf passes: vector-masked per sublane, gated by scalar ORs;
+        # value-returning lax.cond keeps t_best/hit in registers (no ref
+        # round-trips — same structure as the mono kernel's _visit).
         # A sublane whose stack already drained retests its stale top node;
         # the strict accept rules make that idempotent, so no alive mask is
         # threaded into the vector side.
-        def leaf_pass(tri_base, box_hit):
-            tag_v = rv(_L_TAG) if tri_base == _L_TRI else rv(_R_TAG)
-            ref_v = rv(_L_REF) if tri_base == _L_TRI else rv(_R_REF)
+        def leaf_child(tri_base, box_hit, tag_v, ref_v):
             ref_i = ref_v.astype(jnp.int32)
 
-            def run():
-                t_best = tout_ref[out_slice, :]
-                hit = hit_ref[out_slice, :]
+            def run(tb, h):
                 for j in range(LEAF_WIDTH):
                     slot_ok = box_hit & (float(j) < tag_v)
                     b = tri_base + 9 * j
@@ -661,43 +691,30 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                         rv(b + 3), rv(b + 4), rv(b + 5),
                         rv(b + 6), rv(b + 7), rv(b + 8))
                     if closest:
-                        ok = slot_ok & (t > EPSILON) & ((t_best - t) > EPSILON)
-                        t_best = jnp.where(ok, t, t_best)
-                        hit = jnp.where(ok, ref_i + j, hit)
+                        ok = slot_ok & (t > EPSILON) & ((tb - t) > EPSILON)
+                        tb = jnp.where(ok, t, tb)
+                        h = jnp.where(ok, ref_i + j, h)
                     else:
                         ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
-                        hit = jnp.where(ok, 1, hit)
-                if closest:
-                    tout_ref[out_slice, :] = t_best
-                hit_ref[out_slice, :] = hit
+                        h = jnp.where(ok, 1, h)
+                return tb, h
             return run
 
-        # --- per-sublane descend/push planning.  Constraint (learned the
-        # hard way — three worker crashes): only `jnp.any`-style reduces of
-        # vector values feeding scalar control are safe on this chip;
-        # SUM-reduce -> scalar -> addressing faults at scale, as do (8,1)
-        # axis-reduces (this also explains round 1's "majority vote" crash,
-        # docs/PERFORMANCE.md).  So each per-sublane flag is its own
-        # any-reduce over a (1,128) slice, with the tag test merged into
-        # the mask so no scalar tag loads are needed.
-        tag_l_v = rv(_L_TAG)
-        tag_r_v = rv(_R_TAG)
-        pushable_l = box_l & (tag_l_v < 0)
-        pushable_r = box_r & (tag_r_v < 0)
-        leafy_l = box_l & (tag_l_v > 0)
-        leafy_r = box_r & (tag_r_v > 0)
-        axis_v = rv(_AXIS)
-        neg_axis_v = jnp.where(axis_v == 0.0, negx_v,
-                               jnp.where(axis_v == 1.0, negy_v, negz_v))
-        near_r_m = jnp.broadcast_to(neg_axis_v == 1, box_l.shape)
+        t_best, hit = jax.lax.cond(
+            jnp.any(leafy_l), leaf_child(_L_TRI, box_l, tag_l_v, rv(_L_REF)),
+            lambda tb, h: (tb, h), t_best, hit)
+        t_best, hit = jax.lax.cond(
+            jnp.any(leafy_r), leaf_child(_R_TRI, box_r, tag_r_v, rv(_R_REF)),
+            lambda tb, h: (tb, h), t_best, hit)
 
-        pl.when(jnp.any(leafy_l))(leaf_pass(_L_TRI, box_l))
-        pl.when(jnp.any(leafy_r))(leaf_pass(_R_TRI, box_r))
-
-        if not closest:
-            occ_now = hit_ref[out_slice, :]
-
-        # --- scalar stack maintenance per sublane ---
+        # --- per-sublane descend/push planning + scalar stack maintenance.
+        # Constraint (learned the hard way — three worker crashes): only
+        # `jnp.any`-style reduces of vector values feeding scalar control
+        # are safe on this chip; SUM-reduce -> scalar -> addressing faults
+        # at scale, as do (8,1) axis-reduces (this also explains round 1's
+        # "majority vote" crash, docs/PERFORMANCE.md).  So each per-sublane
+        # flag is its own any-reduce over a (1,128) slice, with the tag
+        # test merged into the mask so no scalar tag loads are needed.
         new_sps = []
         for s in range(8):
             sp_s = sps[s]
@@ -708,7 +725,14 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                 * alive_s
             push_r = jnp.any(pushable_r[s:s + 1, :]).astype(jnp.int32) \
                 * alive_s
-            near_is_r = jnp.any(near_r_m[s:s + 1, :])
+            # near-child order from the hoisted per-sublane sign scalars +
+            # one scalar axis load — replaces a per-sublane vector->scalar
+            # any-reduce (~70 cycles each, 8 per iteration)
+            axis_s = rd(s, _AXIS).astype(jnp.int32)
+            negx_s, negy_s, negz_s = sub_negs[s]
+            near_is_r = jnp.where(axis_s == 0, negx_s,
+                                  jnp.where(axis_s == 1, negy_s,
+                                            negz_s)) == 1
             first_ref = jnp.where(near_is_r, ref_l, ref_r)   # far child
             first_ok = jnp.where(near_is_r, push_l, push_r)
             second_ref = jnp.where(near_is_r, ref_r, ref_l)  # near child
@@ -726,13 +750,16 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
             if not closest:
                 # early exit once every subpacket ray is occluded or dead
                 # (dead = maxd <= 2eps, can never accept a hit)
-                live = (occ_now[s:s + 1, :] == 0) \
+                live = (hit[s:s + 1, :] == 0) \
                     & (t_init[s:s + 1, :] > 2.0 * EPSILON)
                 spn = jnp.where(jnp.any(live), spn, jnp.int32(-1))
             new_sps.append(spn)
-        return tuple(new_sps)
+        return tuple(new_sps) + (t_best, hit)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0),) * 8)
+    final = jax.lax.while_loop(cond, body,
+                               (jnp.int32(0),) * 8 + (tb0, hit0))
+    tout_ref[out_slice, :] = final[8] if closest else t_init
+    hit_ref[out_slice, :] = final[9]
 
 
 def _pad_to_packets(x, n, fill):
