@@ -60,17 +60,29 @@ def test_missing_scene_degrades(tmp_path, capsys):
     assert sc.stats["nodes"] == 0
 
 
-def test_wave_mode_is_defused():
-    """packet_kernel_mode='wave' crashed the TPU worker at the default 2M
-    bounce-mix wavefront (docs/PERFORMANCE.md round-2 A/B); no public
-    config value may take the chip down (VERDICT r2 item 7)."""
+def test_packet_kernel_mode_selection():
+    """Round 2's wave crash (dead-sublane OOB row DMA) is fixed; 'auto' now
+    picks wave for HBM-resident tables and mono for VMEM tables per the
+    round-3 A/B (docs/PERFORMANCE.md).  Unknown values still refuse."""
     import pytest
 
     from tyrant_tpu.config import RenderConfig
+    from tyrant_tpu.render import _pick_wave
 
-    with pytest.raises(ValueError, match="wave-unsafe"):
-        RenderConfig(packet_kernel_mode="wave")
     with pytest.raises(ValueError, match="packet_kernel_mode"):
         RenderConfig(packet_kernel_mode="nonsense")
-    RenderConfig(packet_kernel_mode="wave-unsafe")  # explicit opt-in works
-    RenderConfig(packet_kernel_mode="mono")
+    for mode in ("auto", "mono", "wave", "wave-unsafe"):
+        RenderConfig(packet_kernel_mode=mode)
+
+    class _T:
+        def __init__(self, fits):
+            self.fits = fits
+
+    auto = RenderConfig(packet_kernel_mode="auto")
+    assert _pick_wave(auto, None) is False
+    assert _pick_wave(auto, _T(fits=True)) is False
+    assert _pick_wave(auto, _T(fits=False)) is True
+    assert _pick_wave(RenderConfig(packet_kernel_mode="mono"),
+                      _T(fits=False)) is False
+    assert _pick_wave(RenderConfig(packet_kernel_mode="wave"),
+                      _T(fits=True)) is True

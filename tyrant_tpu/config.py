@@ -91,25 +91,23 @@ class RenderConfig:
     # "auto" (on TPU), "on", "off" (XLA scatter-add — the CPU/test path).
     # ~13x faster than the scatter at the 2M queue size (accum_kernel.py).
     use_accum_kernel: str = "auto"
-    # Packet-kernel generation: "mono" (one 1024-ray packet per block) or
-    # "wave-unsafe" (8 independent 128-ray sublane packets).  The wave
-    # kernel measured ~1.3x SLOWER than mono where it runs and CRASHES the
-    # TPU worker (15-60 min outage) on bounce-mix wavefronts at the default
-    # 2M size (docs/PERFORMANCE.md round-2 A/B) — hence the -unsafe suffix:
-    # it exists for small kernel experiments only.
-    packet_kernel_mode: str = "mono"
+    # Packet-kernel generation: "auto" picks per scene — "mono" (one
+    # 1024-ray union packet per block) for VMEM-resident tables, "wave"
+    # (8 independent 128-ray sublane packets, 8 row DMAs in flight) for
+    # HBM-resident tables, where its 2-3.6x lower iteration count and
+    # DMA overlap measured 1.1-1.4x faster end-to-end (docs/PERFORMANCE.md
+    # round-3 A/B).  Round 2's wave crash (dead-sublane OOB row DMA) was
+    # fixed and the bench equivalence gate now certifies both generations
+    # in both table modes on chip.  "wave-unsafe" is the deprecated round-2
+    # spelling of "wave".
+    packet_kernel_mode: str = "auto"
 
     def __post_init__(self):
-        if self.packet_kernel_mode == "wave":
-            raise ValueError(
-                "packet_kernel_mode='wave' is disabled: it crashes the TPU "
-                "worker at the default 2M bounce-mix wavefront and is slower "
-                "than 'mono' everywhere it runs (docs/PERFORMANCE.md). Use "
-                "'mono', or 'wave-unsafe' to opt in for small experiments.")
-        if self.packet_kernel_mode not in ("mono", "wave-unsafe"):
+        if self.packet_kernel_mode not in ("auto", "mono", "wave",
+                                           "wave-unsafe"):
             raise ValueError(
                 f"unknown packet_kernel_mode {self.packet_kernel_mode!r}; "
-                f"expected 'mono' or 'wave-unsafe'")
+                f"expected 'auto', 'mono' or 'wave'")
 
     @property
     def num_pixels(self) -> int:

@@ -473,6 +473,18 @@ def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
 # the full step
 # --------------------------------------------------------------------------
 
+def _pick_wave(cfg: RenderConfig, packet_tables) -> bool:
+    """Kernel-generation choice (trace-time: ``fits`` is a host bool).
+    "auto" = mono for VMEM-resident tables, wave for HBM tables, per the
+    round-3 A/B (docs/PERFORMANCE.md): wave's 8-in-flight row DMAs and
+    2-3.6x lower iteration count win once deep visits stream from HBM."""
+    if cfg.packet_kernel_mode in ("wave", "wave-unsafe"):
+        return True
+    if cfg.packet_kernel_mode == "auto":
+        return packet_tables is not None and not packet_tables.fits
+    return False
+
+
 def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
                 sun_dir, *, cfg: RenderConfig,
                 sky_params: skymod.SkyParams | None = None,
@@ -515,7 +527,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     start_next = (state.start_position + generated) % total_local
 
     # 2. extend
-    wave = cfg.packet_kernel_mode == "wave-unsafe"
+    wave = _pick_wave(cfg, packet_tables)
     t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
                                         scene, packet_tables=packet_tables,
                                         wave=wave)
