@@ -85,6 +85,8 @@ def main():
     ap.add_argument("--anyhit", action="store_true")
     ap.add_argument("--mono", action="store_true",
                     help="skip the wave variants")
+    ap.add_argument("--wave", action="store_true",
+                    help="skip the mono variants")
     ap.add_argument("--treelet", type=int, default=None,
                     help="override TREELET_ROWS (HBM scenes)")
     args = ap.parse_args()
@@ -115,7 +117,8 @@ def main():
     for label in ("pri", "mix"):
         o = jnp.asarray(data[f"{label}_o"][:N])
         d = jnp.asarray(data[f"{label}_d"][:N])
-        for wave in ((False,) if args.mono else (False, True)):
+        for wave in ((False,) if args.mono
+                     else (True,) if args.wave else (False, True)):
             tag = "wave" if wave else "mono"
             f = jax.jit(lambda oo, dd: closest_hit_packets(
                 oo, dd, tables, wave=wave, treelet_rows=args.treelet))

@@ -68,6 +68,12 @@ _ABLATE = os.environ.get("TYRANT_ABLATE", "")
 # critical path.  Results are bit-identical (a dead visit's slab masks
 # reject every accept).  A/B knob; measured on chip before promotion.
 _ONE_REDUCE = os.environ.get("TYRANT_ONE_REDUCE", "0") == "1"
+# WAVE variant of the same experiment: per sublane, ONE any-reduce over
+# (pushable_l | pushable_r) decides pushes for BOTH children (each still
+# gated by its own scalar interior-tag test), cutting 8 of the ~18
+# per-iteration vector->scalar reduces at the price of dead-sibling
+# visits.  Results stay bit-identical (a dead visit accepts nothing).
+_WAVE_ONE_REDUCE = os.environ.get("TYRANT_WAVE_ONE_REDUCE", "0") == "1"
 
 from ...config import EPSILON, VERY_FAR
 from ...scene.bvh import META_AXIS_SHIFT, META_COUNT_MASK, META_OFFSET_SHIFT
@@ -715,16 +721,24 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
         # "majority vote" crash, docs/PERFORMANCE.md).  So each per-sublane
         # flag is its own any-reduce over a (1,128) slice, with the tag
         # test merged into the mask so no scalar tag loads are needed.
+        if _WAVE_ONE_REDUCE:
+            pushable_b = pushable_l | pushable_r
         new_sps = []
         for s in range(8):
             sp_s = sps[s]
             alive_s = (sp_s >= 0).astype(jnp.int32)
             ref_l = rd(s, _L_REF).astype(jnp.int32)
             ref_r = rd(s, _R_REF).astype(jnp.int32)
-            push_l = jnp.any(pushable_l[s:s + 1, :]).astype(jnp.int32) \
-                * alive_s
-            push_r = jnp.any(pushable_r[s:s + 1, :]).astype(jnp.int32) \
-                * alive_s
+            if _WAVE_ONE_REDUCE:
+                push_b = jnp.any(pushable_b[s:s + 1, :]).astype(jnp.int32) \
+                    * alive_s
+                push_l = push_b * (rd(s, _L_TAG) < 0).astype(jnp.int32)
+                push_r = push_b * (rd(s, _R_TAG) < 0).astype(jnp.int32)
+            else:
+                push_l = jnp.any(pushable_l[s:s + 1, :]).astype(jnp.int32) \
+                    * alive_s
+                push_r = jnp.any(pushable_r[s:s + 1, :]).astype(jnp.int32) \
+                    * alive_s
             # near-child order from the hoisted per-sublane sign scalars +
             # one scalar axis load — replaces a per-sublane vector->scalar
             # any-reduce (~70 cycles each, 8 per iteration)
