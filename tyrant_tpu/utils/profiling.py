@@ -62,8 +62,11 @@ def stage_profile(renderer, camera, n_steps: int = 5) -> dict:
                                      state.frame, cfg.height, 0))
     t_raygen, gen = time_blocked(raygen, reps=n_steps)
 
+    from ..render import _pick_wave
+    wave = _pick_wave(cfg, tables)
+
     extend = jax.jit(lambda o, d: _intersect_scene(
-        o, d, scene, packet_tables=tables))
+        o, d, scene, packet_tables=tables, wave=wave))
     t_extend, ext = time_blocked(extend, gen["origin"], gen["direction"],
                                  reps=n_steps)
 
@@ -72,7 +75,8 @@ def stage_profile(renderer, camera, n_steps: int = 5) -> dict:
         state.frame))
     t_shade, sh = time_blocked(shade, gen, *ext, reps=n_steps)
 
-    connect = jax.jit(lambda s: _connect(scene, s, packet_tables=tables))
+    connect = jax.jit(lambda s: _connect(scene, s, packet_tables=tables,
+                                         wave=wave))
     t_connect, _ = time_blocked(connect, sh[4], reps=n_steps)
 
     full = jax.jit(partial(render_step, cfg=cfg,
