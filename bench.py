@@ -42,7 +42,10 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
     directions) and half aimed into the mesh (hit-heavy, leaf-dominated —
     the regime where kernels historically diverged at runtime).  Ids must
     agree exactly; hit distances within Möller-Trumbore re-association
-    tolerance.  Returns "ok" or per-mode mismatch descriptions."""
+    tolerance.  The closest calls request the kernel-carried geometric
+    normal (the production render-step configuration for default-material
+    scenes) and verify it against the host tri_shade table.  Returns "ok"
+    or per-mode mismatch descriptions."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -52,7 +55,9 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
                                                        closest_hit_packets)
     from tyrant_tpu.ops.traverse import any_hit, closest_hit
 
-    dev = scene.to_device().bvh
+    sd = scene.to_device()
+    dev = sd.bvh
+    tri_shade = np.asarray(sd.tri_shade)
     tables = PacketTables(dev)
     if not tables.supported:
         return "skipped (tables unsupported)"
@@ -84,8 +89,8 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
         else:
             tables.fits = True
             tr = None
-        t_pk, id_pk = closest_hit_packets(o, d, tables, treelet_rows=tr,
-                                          wave=wave)
+        t_pk, id_pk, nrm = closest_hit_packets(o, d, tables, treelet_rows=tr,
+                                               wave=wave, normals=True)
         t_pk, id_pk = np.asarray(t_pk), np.asarray(id_pk)
         if (id_ref != id_pk).any():
             n_bad = int((id_ref != id_pk).sum())
@@ -94,6 +99,12 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
         if hits.any() and not np.allclose(t_ref[hits], t_pk[hits],
                                           rtol=1e-4):
             msgs.append(f"{mode}:closest-t mismatch")
+            continue
+        nk = np.asarray(nrm)[hits]
+        nk /= np.maximum(np.linalg.norm(nk, axis=1, keepdims=True), 1e-30)
+        if hits.any() and not np.allclose(
+                nk, tri_shade[id_ref[hits], 0:3], atol=1e-5):
+            msgs.append(f"{mode}:normal mismatch")
             continue
         occ_pk = np.asarray(any_hit_packets(o, d, maxd, tables,
                                             treelet_rows=tr, wave=wave))

@@ -86,7 +86,7 @@ def build_shadow_workload(scene, n_rays, path):
         bounces=merge(st.bounces, gen["bounces"]),
         last_specular=merge(st.last_specular, gen["last_specular"]),
     )
-    t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
+    t, ident, is_tri, _tn = _intersect_scene(rays["origin"], rays["direction"],
                                         scene.to_device(),
                                         packet_tables=r.packet_tables)
     _, _, _, _, shadow = _shade(cfg, scene.to_device(), r.sky_params,
@@ -127,6 +127,15 @@ def main():
     t_all, _ = timeit(f_all, o, d, maxd)
     print(f"a) unsplit  anyhit {N}: {t_all:7.1f} ms "
           f"({N / t_all / 1e3:6.1f} Mrays/s)")
+
+    # a') wave kernel on the same wavefront: ~32% of slots are valid, and
+    # wave's per-128-subpacket early exit drains sparse-valid packets far
+    # sooner than mono's all-1024 exit (round-3 hypothesis)
+    f_wave = jax.jit(lambda o, d, m: any_hit_packets(o, d, m, tables,
+                                                     wave=True))
+    t_w, _ = timeit(f_wave, o, d, maxd)
+    print(f"a') unsplit WAVE  {N}: {t_w:7.1f} ms "
+          f"({N / t_w / 1e3:6.1f} Mrays/s)")
 
     def split(o, d, m):
         occ_e = any_hit_packets(o[0::2], d[0::2], m[0::2], tables)

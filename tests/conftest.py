@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# interpret-mode Pallas traces every packet body unrolled per grid step;
+# shrinking the per-block packet counts cuts packet-kernel test time ~3-4x
+# with identical coverage (the multi-packet loop still runs, >= 2 per block)
+os.environ.setdefault("TYRANT_PPB", "2")
+os.environ.setdefault("TYRANT_WAVE_PPB", "2")
 
 import jax  # noqa: E402
 

@@ -150,3 +150,75 @@ def test_wave_multi_block():
     assert hits.mean() > 0.2
     np.testing.assert_allclose(np.asarray(t_ref)[hits],
                                np.asarray(t_pk)[hits], rtol=1e-5)
+
+
+@pytest.mark.parametrize("wave", [False, True])
+@pytest.mark.parametrize("hbm", [False, True])
+def test_kernel_carried_normals(wave, hbm):
+    """closest_hit_packets(normals=True): the extra output is the winning
+    triangle's unnormalised cross(e1,e2), bit-identical (after
+    normalisation) to the host-precomputed tri_shade normals, and the
+    (t, id) outputs are unchanged vs the normals=False kernel."""
+    v0, v1, v2 = terrain(n_quads=16, towers=2)
+    sc = Scene.from_triangles(v0, v1, v2, builder="numpy")
+    sd = sc.to_device()
+    tables = PacketTables(sd.bvh)
+    _, _, o, d = _setup(n_quads=16, towers=2, n_rays=1024)
+    kw = dict(interpret=True, wave=wave)
+    if hbm:
+        kw["treelet_rows"] = 8
+        tables.fits = False  # force the HBM/treelet code path
+    t0, h0 = closest_hit_packets(o, d, tables, **kw)
+    t1, h1, nrm = closest_hit_packets(o, d, tables, normals=True, **kw)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    h = np.asarray(h1)
+    hit = h >= 0
+    assert hit.mean() > 0.2
+    nk = np.asarray(nrm)[hit]
+    nk = nk / np.maximum(np.linalg.norm(nk, axis=1, keepdims=True), 1e-30)
+    ref = np.asarray(sd.tri_shade)[h[hit], 0:3]
+    np.testing.assert_allclose(nk, ref, atol=1e-6)
+
+
+def test_shade_gather_free_branch_matches():
+    """_shade with a kernel-carried tri_normal (default-material fast path)
+    produces the same outputs as the tri_shade-gather branch."""
+    import jax
+    import jax.numpy as jnp
+    from tyrant_tpu.camera import Camera
+    from tyrant_tpu.config import RenderConfig
+    from tyrant_tpu.render import _intersect_scene, _raygen, _shade
+    from tyrant_tpu import sky as skymod
+
+    v0, v1, v2 = terrain(n_quads=16, towers=2)
+    sc = Scene.from_triangles(v0, v1, v2, builder="numpy")
+    sd = sc.to_device()
+    assert sd.tri_default_mat
+    tables = PacketTables(sd.bvh)
+    cfg = RenderConfig(width=64, height=32, num_rays=2048, max_bounces=3)
+    cam = Camera(position=(0.0, -150.0, 60.0), vertical_angle=-0.3)
+    camd = cam.to_device(cfg)
+    sun = skymod.sun_direction_from_position(jnp.asarray((0.05, 0.3)))
+    sky_p = skymod.SkyParams(cfg.sky)
+    gen = _raygen(cfg, camd, jnp.asarray(0), jnp.asarray(1, jnp.uint32),
+                  cfg.height, 0)
+    t, ident, is_tri, _ = _intersect_scene(gen["origin"], gen["direction"],
+                                           sd, packet_tables=tables)
+    _, _, nrm = closest_hit_packets(gen["origin"], gen["direction"], tables,
+                                    interpret=True, normals=True)
+    a = _shade(cfg, sd, sky_p, sun, gen, t, ident, is_tri,
+               jnp.asarray(1, jnp.uint32))
+    b = _shade(cfg, sd, sky_p, sun, gen, t, ident, is_tri,
+               jnp.asarray(1, jnp.uint32), tri_normal=nrm)
+    hit = np.asarray(t) < 1e19
+    assert hit.mean() > 0.2
+    # color / terminated / survive must agree everywhere; per-ray outputs
+    # only on hit rows (miss rows carry garbage normals in BOTH branches,
+    # masked out downstream by terminated/valid)
+    for xa, xb in zip(jax.tree.leaves(a[:3]), jax.tree.leaves(b[:3])):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   atol=1e-5)
+    for xa, xb in zip(jax.tree.leaves(a[3:]), jax.tree.leaves(b[3:])):
+        np.testing.assert_allclose(np.asarray(xa)[hit], np.asarray(xb)[hit],
+                                   atol=1e-5)

@@ -101,6 +101,14 @@ class RenderConfig:
     # in both table modes on chip.  "wave-unsafe" is the deprecated round-2
     # spelling of "wave".
     packet_kernel_mode: str = "auto"
+    # Kernel-carried hit normals ("on"/"off"): the closest-hit packet kernel
+    # carries the winning triangle's cross(e1,e2) out of its leaf passes so
+    # shade (default-material scenes) can skip its tri-table gather.  A/B
+    # knob, MEASURED NEUTRAL-NEGATIVE at the step level on the dragon
+    # (349.6 -> 354.7 ms/step: the 3 extra leaf-pass selects + loop carries
+    # cost slightly more than the ~12 ms gather they eliminate,
+    # docs/PERFORMANCE.md round 3) — default off.
+    use_kernel_normals: str = "off"
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",

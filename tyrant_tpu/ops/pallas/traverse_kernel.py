@@ -144,7 +144,7 @@ INTERLEAVE = int(os.environ.get("TYRANT_INTERLEAVE", "1"))
 
 
 def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
-                     n_top: int = TREELET_ROWS):
+                     n_top: int = TREELET_ROWS, normals: bool = False):
     """PACKETS_PER_BLOCK packets per grid step, traversed in groups of
     INTERLEAVE: each group shares ONE while loop advancing 4 independent
     1024-ray packets per iteration (4 private SMEM stacks, 4 row
@@ -158,10 +158,12 @@ def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
     table lives in HBM with its BFS prefix rows[:n_top] — the top of the
     tree — replicated in a VMEM ``top_ref``: treelet visits are plain VMEM
     copies, only deep-tail visits DMA, INTERLEAVE in flight)."""
+    nrm = 3 if normals else 0
     if hbm:
         (rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
          dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:11]
-        rest = refs[11:]
+        nrm_refs = refs[11:11 + nrm]
+        rest = refs[11 + nrm:]
         stacks = rest[0:INTERLEAVE]
         row8s = rest[INTERLEAVE:2 * INTERLEAVE]
         row_bufs = rest[2 * INTERLEAVE:3 * INTERLEAVE]
@@ -172,7 +174,8 @@ def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
     else:
         (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
          dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:10]
-        rest = refs[10:]
+        nrm_refs = refs[10:10 + nrm]
+        rest = refs[10 + nrm:]
         stacks = rest[0:INTERLEAVE]
         row8s = rest[INTERLEAVE:2 * INTERLEAVE]
         row_bufs, sems, top_ref = None, None, None
@@ -189,13 +192,15 @@ def _traverse_kernel(*refs, closest: bool, hbm: bool = False,
         _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref,
                         dxr_ref, dyr_ref, dzr_ref, t0_ref, tout_ref,
                         hit_ref, packs, stacks, row8s, row_bufs, sems,
-                        closest, n_top, pair_buf, pair_sem)
+                        closest, n_top, pair_buf, pair_sem,
+                        nrm_refs=nrm_refs if normals else None)
 
 
 def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
                     dyr_ref, dzr_ref, t0_ref, tout_ref, hit_ref, packs,
                     stacks, row8s, row_bufs, sems, closest: bool,
-                    n_top: int, pair_buf=None, pair_sem=None):
+                    n_top: int, pair_buf=None, pair_sem=None,
+                    nrm_refs=None):
     """Per-packet hit state (``t_best``/``hit``) is REGISTER-CARRIED through
     the while loop (round-3 item: the previous design round-tripped both
     through the output refs every visit — one (8,128) load per slab prune
@@ -211,6 +216,9 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
     the serial per-row DMA."""
     K = len(packs)
     pair = pair_buf is not None
+    normals = nrm_refs is not None
+    # carry stride per packet: sp, t_best, hit [, nx, ny, nz]
+    ST = 6 if normals else 3
     ctxs = []
     init = []
     for i, (s, dx0, dy0, dz0) in enumerate(packs):
@@ -234,20 +242,26 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
         ctxs.append((s, rays, t_init, negs))
         # anyhit never updates t_best: carry a scalar dummy in its slot
         init += [jnp.int32(0), t_init if closest else jnp.int32(0), hit0]
+        if normals:
+            # unnormalised geometric normal (cross(e1,e2)) of the winning
+            # triangle, register-carried like t_best — shade consumes it
+            # instead of a ~12 ms/2M tri-table gather
+            z = t_init * 0.0
+            init += [z, z, z]
     if pair:
         init.append(jnp.int32(-1))  # pair_base: -1 = no prefetch in flight
 
     def cond(carry):
         alive = carry[0] >= 0
         for i in range(1, K):
-            alive = alive | (carry[3 * i] >= 0)
+            alive = alive | (carry[ST * i] >= 0)
         return alive
 
     n_rows = rows_ref.shape[0]
 
     def body(carry):
-        sps = [carry[3 * i] for i in range(K)]
-        pair_base = carry[3 * K] if pair else None
+        sps = [carry[ST * i] for i in range(K)]
+        pair_base = carry[ST * K] if pair else None
         if pair:
             # resolve the in-flight sibling-pair DMA before touching the
             # buffer (started at the end of the previous iteration)
@@ -333,7 +347,7 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
 
             sp = sps[i] - alives[i]  # pop (no-op when already empty)
             out += list(_visit(rd, rowv8, rays, t_init,
-                               carry[3 * i + 1], carry[3 * i + 2],
+                               tuple(carry[ST * i + 1:ST * i + ST]),
                                stacks[i], sp, alives[i], closest, negs,
                                pair_info=(n_top, n_rows) if pair else None))
         if pair:
@@ -350,11 +364,14 @@ def _traverse_group(rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref,
     final = jax.lax.while_loop(cond, body, tuple(init))
     for i in range(K):
         s, _, t_init, _ = ctxs[i]
-        tout_ref[s, :] = final[3 * i + 1] if closest else t_init
-        hit_ref[s, :] = final[3 * i + 2]
+        tout_ref[s, :] = final[ST * i + 1] if closest else t_init
+        hit_ref[s, :] = final[ST * i + 2]
+        if normals:
+            for c in range(3):
+                nrm_refs[c][s, :] = final[ST * i + 3 + c]
 
 
-def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
+def _visit(rd, rowv8, rays, t_init, hstate, stack_ref,
            sp, alive, closest: bool, negs, pair_info=None):
     """One node visit for one packet: ordered slab tests, scalar-predicated
     leaf work via value-returning ``lax.cond`` (register-carried
@@ -362,7 +379,12 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
     AFTER the pop; ``alive`` (i32 0/1) gates all side effects so a drained
     packet can idle-retest its stale top node (idempotent under the strict
     accept rules) while siblings in the interleave group finish.
-    Returns (sp, t_best, hit)."""
+    ``hstate`` is (t_best, hit) or (t_best, hit, nx, ny, nz) — the optional
+    trailing entries carry the winning triangle's unnormalised geometric
+    normal so shade can skip its tri-table gather.
+    Returns (sp, *hstate)."""
+    t_best, hit = hstate[0], hstate[1]
+    nrm = list(hstate[2:])  # [] or [nx, ny, nz]
     (ox, oy, oz, dx, dy, dz, inv_x, inv_y, inv_z, negm) = rays
     negm_x, negm_y, negm_z = negm
     negx, negy, negz = negs
@@ -423,35 +445,44 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
     n_slots = {"noleaf": 0, "leaf2": 2}.get(_ABLATE, LEAF_WIDTH)
 
     def leaf_child(tri_base, tag, ref, box_hit):
-        def run(tb, h):
+        def run(tb, h, *nn):
+            nn = list(nn)
             for j in range(n_slots):
                 slot_ok = box_hit & (j < tag)
                 b = tri_base + 9 * j
+                e1x, e1y, e1z = rv(b + 3), rv(b + 4), rv(b + 5)
+                e2x, e2y, e2z = rv(b + 6), rv(b + 7), rv(b + 8)
                 t = _mt_packet(
                     ox, oy, oz, dx, dy, dz,
                     rv(b + 0), rv(b + 1), rv(b + 2),
-                    rv(b + 3), rv(b + 4), rv(b + 5),
-                    rv(b + 6), rv(b + 7), rv(b + 8))
+                    e1x, e1y, e1z, e2x, e2y, e2z)
                 if closest:
                     # accept rule bvh.h:134
                     ok = slot_ok & (t > EPSILON) & ((tb - t) > EPSILON)
                     tb = jnp.where(ok, t, tb)
                     h = jnp.where(ok, ref + j, h)
+                    if nn:
+                        # cross(e1, e2): per-triangle (sub, 1) scalars,
+                        # selected into the carried normal on accept
+                        nn[0] = jnp.where(ok, e1y * e2z - e1z * e2y, nn[0])
+                        nn[1] = jnp.where(ok, e1z * e2x - e1x * e2z, nn[1])
+                        nn[2] = jnp.where(ok, e1x * e2y - e1y * e2x, nn[2])
                 else:
                     # accept rule bvh.h:229 vs max dist in t_init
                     ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
                     h = jnp.where(ok, 1, h)
-            return tb, h
+            return (tb, h, *nn)
         return run
 
-    t_best, hit = jax.lax.cond(
+    passthru = lambda tb, h, *nn: (tb, h, *nn)
+    t_best, hit, *nrm = jax.lax.cond(
         any_l & (tag_l > 0) & alive_b,
         leaf_child(_L_TRI, tag_l, ref_l, box_l),
-        lambda tb, h: (tb, h), t_best, hit)
-    t_best, hit = jax.lax.cond(
+        passthru, t_best, hit, *nrm)
+    t_best, hit, *nrm = jax.lax.cond(
         any_r & (tag_r > 0) & alive_b,
         leaf_child(_R_TRI, tag_r, ref_r, box_r),
-        lambda tb, h: (tb, h), t_best, hit)
+        passthru, t_best, hit, *nrm)
 
     # --- interior children: push far then near (near popped first);
     # dead writes above sp are harmless when predicated off ---
@@ -496,8 +527,8 @@ def _visit(rd, rowv8, rays, t_init, t_best, hit, stack_ref,
         # after a push — a prefetch started then would never be waited
         pair_next = jnp.where(pushed & (base >= n_top_) & (sp >= 0),
                               base, -1)
-        return sp, t_best, hit, pair_next
-    return sp, t_best, hit
+        return (sp, t_best, hit, *nrm, pair_next)
+    return (sp, t_best, hit, *nrm)
 
 
 # --------------------------------------------------------------------------
@@ -521,11 +552,13 @@ _F_FIRST_REF, _F_FIRST_OK, _F_SECOND_REF, _F_SECOND_OK = 3, 4, 5, 6
 _F_OCC_ALL = 7
 
 
-WAVE_PACKETS_PER_BLOCK = 4  # unrolled waves per grid step
+# unrolled waves per grid step (env-overridable: CI shrinks it — interpret
+# mode traces every unrolled packet body, which dominates test time)
+WAVE_PACKETS_PER_BLOCK = int(os.environ.get("TYRANT_WAVE_PPB", "4"))
 
 
 def _wave_kernel(*refs, closest: bool, hbm: bool = False,
-                 n_top: int = TREELET_ROWS):
+                 n_top: int = TREELET_ROWS, normals: bool = False):
     """Args: rows_ref [, top_ref when hbm], 7 ray refs, 2 out refs, then
     scratch: 8 SMEM (STACK_DEPTH,) i32 stacks (one per sublane), 8 VMEM
     (1,128) f32 row buffers, [+ 8 DMA semaphores when ``hbm``].
@@ -540,15 +573,18 @@ def _wave_kernel(*refs, closest: bool, hbm: bool = False,
     HBM mode is a TWO-LEVEL treelet scheme: ``top_ref`` holds the BFS
     prefix rows[:n_top] in VMEM (the upper levels, where most visits
     land); only deeper rows are DMA'd from HBM, up to eight in flight."""
+    nrm = 3 if normals else 0
     if hbm:
         (rows_ref, top_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
          dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:11]
-        rest = refs[11:]
+        nrm_refs = refs[11:11 + nrm]
+        rest = refs[11 + nrm:]
         stacks, bufs, sems = rest[0:8], rest[8:16], rest[16]
     else:
         (rows_ref, ox_ref, oy_ref, oz_ref, dxr_ref, dyr_ref,
          dzr_ref, t0_ref, tout_ref, hit_ref) = refs[:10]
-        rest = refs[10:]
+        nrm_refs = refs[10:10 + nrm]
+        rest = refs[10 + nrm:]
         stacks, bufs, sems = rest[0:8], rest[8:16], None
         top_ref = None
 
@@ -566,12 +602,13 @@ def _wave_kernel(*refs, closest: bool, hbm: bool = False,
         _wave_packet(rows_ref, top_ref, ox_ref[s, :], oy_ref[s, :],
                      oz_ref[s, :], dxr_ref[s, :], dyr_ref[s, :],
                      dzr_ref[s, :], t0_ref[s, :], tout_ref, hit_ref, s,
-                     stacks, bufs, sems, closest, n_top, sub_negs)
+                     stacks, bufs, sems, closest, n_top, sub_negs,
+                     nrm_refs=nrm_refs if normals else None)
 
 
 def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                  tout_ref, hit_ref, out_slice, stacks, bufs, sems,
-                 closest: bool, n_top: int, sub_negs=None):
+                 closest: bool, n_top: int, sub_negs=None, nrm_refs=None):
     """Round-3 rewrite: ``t_best``/``hit`` are REGISTER-CARRIED through the
     while loop (the round-2 version round-tripped both through the output
     refs every iteration and in every leaf pass — same change as the mono
@@ -600,11 +637,14 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
     hit0 = izero - 1 if closest else izero
     # anyhit never reads t_best: a scalar dummy rides in its carry slot
     tb0 = t_init if closest else jnp.int32(0)
+    normals = nrm_refs is not None
+    nrm0 = (t_init * 0.0,) * 3 if normals else ()
 
     def body(carry):
         sps = carry[0:8]
         t_best = carry[8]
         hit = carry[9]
+        nrm = list(carry[10:13]) if normals else []
         # --- pop one node per sublane; land its fat row in buffer s ---
         # clamp: a drained sublane idles while siblings finish; its row must
         # stay inside the table (OOB DMA = worker crash, ADVICE r2 high)
@@ -687,31 +727,41 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
         def leaf_child(tri_base, box_hit, tag_v, ref_v):
             ref_i = ref_v.astype(jnp.int32)
 
-            def run(tb, h):
+            def run(tb, h, *nn):
+                nn = list(nn)
                 for j in range(LEAF_WIDTH):
                     slot_ok = box_hit & (float(j) < tag_v)
                     b = tri_base + 9 * j
+                    e1x, e1y, e1z = rv(b + 3), rv(b + 4), rv(b + 5)
+                    e2x, e2y, e2z = rv(b + 6), rv(b + 7), rv(b + 8)
                     t = _mt_packet(
                         ox, oy, oz, dx, dy, dz,
                         rv(b + 0), rv(b + 1), rv(b + 2),
-                        rv(b + 3), rv(b + 4), rv(b + 5),
-                        rv(b + 6), rv(b + 7), rv(b + 8))
+                        e1x, e1y, e1z, e2x, e2y, e2z)
                     if closest:
                         ok = slot_ok & (t > EPSILON) & ((tb - t) > EPSILON)
                         tb = jnp.where(ok, t, tb)
                         h = jnp.where(ok, ref_i + j, h)
+                        if nn:
+                            nn[0] = jnp.where(ok, e1y * e2z - e1z * e2y,
+                                              nn[0])
+                            nn[1] = jnp.where(ok, e1z * e2x - e1x * e2z,
+                                              nn[1])
+                            nn[2] = jnp.where(ok, e1x * e2y - e1y * e2x,
+                                              nn[2])
                     else:
                         ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
                         h = jnp.where(ok, 1, h)
-                return tb, h
+                return (tb, h, *nn)
             return run
 
-        t_best, hit = jax.lax.cond(
+        passthru = lambda tb, h, *nn: (tb, h, *nn)
+        t_best, hit, *nrm = jax.lax.cond(
             jnp.any(leafy_l), leaf_child(_L_TRI, box_l, tag_l_v, rv(_L_REF)),
-            lambda tb, h: (tb, h), t_best, hit)
-        t_best, hit = jax.lax.cond(
+            passthru, t_best, hit, *nrm)
+        t_best, hit, *nrm = jax.lax.cond(
             jnp.any(leafy_r), leaf_child(_R_TRI, box_r, tag_r_v, rv(_R_REF)),
-            lambda tb, h: (tb, h), t_best, hit)
+            passthru, t_best, hit, *nrm)
 
         # --- per-sublane descend/push planning + scalar stack maintenance.
         # Constraint (learned the hard way — three worker crashes): only
@@ -768,12 +818,15 @@ def _wave_packet(rows_ref, top_ref, ox, oy, oz, dx, dy, dz, t_init,
                     & (t_init[s:s + 1, :] > 2.0 * EPSILON)
                 spn = jnp.where(jnp.any(live), spn, jnp.int32(-1))
             new_sps.append(spn)
-        return tuple(new_sps) + (t_best, hit)
+        return tuple(new_sps) + (t_best, hit, *nrm)
 
     final = jax.lax.while_loop(cond, body,
-                               (jnp.int32(0),) * 8 + (tb0, hit0))
+                               (jnp.int32(0),) * 8 + (tb0, hit0) + nrm0)
     tout_ref[out_slice, :] = final[8] if closest else t_init
     hit_ref[out_slice, :] = final[9]
+    if normals:
+        for c in range(3):
+            nrm_refs[c][out_slice, :] = final[10 + c]
 
 
 def _pad_to_packets(x, n, fill):
@@ -785,10 +838,11 @@ def _pad_to_packets(x, n, fill):
 
 @functools.partial(jax.jit,
                    static_argnames=("closest", "interpret", "hbm", "wave",
-                                    "treelet_rows"))
+                                    "treelet_rows", "normals"))
 def _run(rows, origin, direction, t_init, closest: bool,
          interpret: bool = False, hbm: bool = False, wave: bool = False,
-         treelet_rows: int | None = None):
+         treelet_rows: int | None = None, normals: bool = False):
+    assert not normals or closest, "normals only exist for closest-hit"
     n = origin.shape[0]
     comps = [
         _pad_to_packets(origin[:, 0], n, 0.0),
@@ -833,7 +887,7 @@ def _run(rows, origin, direction, t_init, closest: bool,
         if hbm:
             scratch.append(pltpu.SemaphoreType.DMA((8,)))
         kernel = functools.partial(_wave_kernel, closest=closest, hbm=hbm,
-                                   n_top=n_top)
+                                   n_top=n_top, normals=normals)
     elif hbm:
         tables_in.append(rows[:n_top])
         table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -846,11 +900,12 @@ def _run(rows, origin, direction, t_init, closest: bool,
             scratch += [pltpu.VMEM((2, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((1,))]
         kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm,
-                                   n_top=n_top)
+                                   n_top=n_top, normals=normals)
     else:
         scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)] * INTERLEAVE \
             + [pltpu.VMEM((sub, 128), jnp.float32)] * INTERLEAVE
-        kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm)
+        kernel = functools.partial(_traverse_kernel, closest=closest, hbm=hbm,
+                                   normals=normals)
     def _sds(shape, dtype):
         # under shard_map with check_vma, pallas outputs must declare their
         # varying manual axes; inherit them from the (sharded) ray inputs
@@ -862,17 +917,23 @@ def _run(rows, origin, direction, t_init, closest: bool,
             pass
         return jax.ShapeDtypeStruct(shape, dtype)
 
-    t_out, hit_out = pl.pallas_call(
+    n_out = 2 + (3 if normals else 0)
+    out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=table_specs + [ray_spec] * 7,
-        out_specs=[ray_spec, ray_spec],
+        out_specs=[ray_spec] * n_out,
         out_shape=[
             _sds((n_blocks * rows_per_block, 128), jnp.float32),
-            _sds((n_blocks * rows_per_block, 128), jnp.int32)],
+            _sds((n_blocks * rows_per_block, 128), jnp.int32)]
+        + [_sds((n_blocks * rows_per_block, 128), jnp.float32)] * (n_out - 2),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*tables_in, *comps)
+    t_out, hit_out = out[0], out[1]
+    if normals:
+        nrm = jnp.stack([c.reshape(-1)[:n] for c in out[2:5]], axis=1)
+        return t_out.reshape(-1)[:n], hit_out.reshape(-1)[:n], nrm
     return t_out.reshape(-1)[:n], hit_out.reshape(-1)[:n]
 
 
@@ -971,14 +1032,20 @@ class PacketTables:
 
 def closest_hit_packets(origin, direction, tables: PacketTables,
                         t_init=None, interpret: bool = False,
-                        wave: bool = False, treelet_rows: int | None = None):
-    """Packet closest-hit.  Same contract as ops.traverse.closest_hit."""
+                        wave: bool = False, treelet_rows: int | None = None,
+                        normals: bool = False):
+    """Packet closest-hit.  Same contract as ops.traverse.closest_hit.
+
+    ``normals=True`` additionally returns the winning triangle's
+    UNNORMALISED geometric normal (cross(e1,e2), the kernel.cu:380-383
+    quantity) as a third [N,3] output — carried out of the leaf passes so
+    shade can skip its per-ray triangle-table gather (~12 ms/2M on v5e)."""
     n = origin.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), VERY_FAR, jnp.float32)
     return _run(tables.rows, origin, direction, t_init, closest=True,
                 interpret=interpret, hbm=not tables.fits, wave=wave,
-                treelet_rows=treelet_rows)
+                treelet_rows=treelet_rows, normals=normals)
 
 
 def any_hit_packets(origin, direction, max_dist, tables: PacketTables,

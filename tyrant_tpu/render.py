@@ -188,10 +188,13 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
 # --------------------------------------------------------------------------
 
 def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
-                     wave=False):
+                     wave=False, kernel_normals=False):
     """Spheres first, then BVH seeded with the sphere distance (the BVH only
     wins if strictly closer by > epsilon, bvh.h:134).  Returns
-    (t, identifier, is_triangle).
+    (t, identifier, is_triangle, tri_normal) — ``tri_normal`` is the winning
+    triangle's unnormalised geometric normal when the packet kernel carries
+    it out (default-material scenes; shade then skips its ~12 ms/2M
+    tri-table gather), else None.
 
     Rays are traversed in direction-octant order: bounce rays are
     incoherent, and grouping by octant reduces per-chunk worst-ray stalls
@@ -200,14 +203,24 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
     packet kernel instead of the XLA cascade."""
     t_sph, sph_id = intersect_spheres(origin, direction,
                                       scene.sphere_center, scene.sphere_radius)
+    tri_normal = None
     if packet_tables is not None:
         from .ops.pallas.traverse_kernel import closest_hit_packets
         # interpret-mode on CPU so the packet path (incl. inside shard_map
         # on the virtual test mesh) is exercised by CI, not just on TPU
         interp = jax.default_backend() == "cpu"
-        t, tri_id = closest_hit_packets(origin, direction, packet_tables,
-                                        t_init=t_sph, wave=wave,
-                                        interpret=interp)
+        # opt-in (cfg.use_kernel_normals): measured neutral-negative on the
+        # dragon step A/B (see RenderConfig) — the knob stays for re-tests
+        # on other scene shapes; the kernel feature itself is certified by
+        # the bench equivalence gate + test_kernel_carried_normals
+        if kernel_normals and scene.tri_default_mat and not interp:
+            t, tri_id, tri_normal = closest_hit_packets(
+                origin, direction, packet_tables, t_init=t_sph, wave=wave,
+                interpret=interp, normals=True)
+        else:
+            t, tri_id = closest_hit_packets(origin, direction, packet_tables,
+                                            t_init=t_sph, wave=wave,
+                                            interpret=interp)
     else:
         neg = direction < 0
         key = (neg[:, 0].astype(jnp.int32) + 2 * neg[:, 1].astype(jnp.int32)
@@ -219,7 +232,7 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
         t, tri_id = t_o[inv], tri_id_o[inv]
     is_tri = tri_id >= 0
     ident = jnp.where(is_tri, tri_id, sph_id)
-    return t, ident, is_tri
+    return t, ident, is_tri, tri_normal
 
 
 # --------------------------------------------------------------------------
@@ -227,7 +240,8 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
 # --------------------------------------------------------------------------
 
 def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
-           sun_dir, rays, t, ident, is_tri, frame, row_offset=0):
+           sun_dir, rays, t, ident, is_tri, frame, row_offset=0,
+           tri_normal=None):
     n = cfg.num_rays
     eps = cfg.epsilon
     d = rays["direction"]
@@ -250,18 +264,28 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     sph_r = srow[:, 3]
     normal_sphere = (o - sph_c) / sph_r[:, None]
 
-    tid = jnp.clip(ident, 0, scene.tri_shade.shape[0] - 1)
-    trow = scene.tri_shade[tid]  # [N, 8]
-    normal_tri = trow[:, 0:3]
+    if tri_normal is not None and scene.tri_default_mat:
+        # kernel-carried geometric normal (unnormalised cross(e1,e2),
+        # kernel.cu:380-383); with default materials the whole tri_shade
+        # gather is unnecessary
+        nlen = jnp.sqrt(jnp.maximum(dot(tri_normal, tri_normal), 1e-30))
+        normal_tri = tri_normal / jnp.maximum(nlen, 1e-30)[:, None]
+        refl_tri = DIFF
+        color_tri = 1.0
+    else:
+        tid = jnp.clip(ident, 0, scene.tri_shade.shape[0] - 1)
+        trow = scene.tri_shade[tid]  # [N, 8]
+        normal_tri = trow[:, 0:3]
+        refl_tri = trow[:, 3].astype(jnp.int32)
+        color_tri = trow[:, 4:7]
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the
     # reference's hard-wired behaviour kernel.cu:380-384 / unused
     # Triangle::materialType loader.h:16)
-    refl = jnp.where(is_sphere, srow[:, 10].astype(jnp.int32),
-                     trow[:, 3].astype(jnp.int32))
+    refl = jnp.where(is_sphere, srow[:, 10].astype(jnp.int32), refl_tri)
     refl = jnp.where(hit, refl, DIFF)
-    obj_color = jnp.where(is_sphere[:, None], srow[:, 4:7], trow[:, 4:7])
+    obj_color = jnp.where(is_sphere[:, None], srow[:, 4:7], color_tri)
 
     # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
     mul_mask = hit & (refl != REFR) & (refl != LIGHT)
@@ -528,14 +552,15 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
 
     # 2. extend
     wave = _pick_wave(cfg, packet_tables)
-    t, ident, is_tri = _intersect_scene(rays["origin"], rays["direction"],
-                                        scene, packet_tables=packet_tables,
-                                        wave=wave)
+    t, ident, is_tri, tri_n = _intersect_scene(
+        rays["origin"], rays["direction"], scene,
+        packet_tables=packet_tables, wave=wave,
+        kernel_normals=cfg.use_kernel_normals == "on")
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(
         cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, state.frame,
-        row_offset=row_offset)
+        row_offset=row_offset, tri_normal=tri_n)
 
     # 4. connect
     shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables,

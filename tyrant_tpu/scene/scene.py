@@ -102,16 +102,22 @@ class SceneData:
     #       tiny-table gathers at full gather cost)
     tri_shade: jnp.ndarray
     sphere_table: jnp.ndarray
+    # STATIC (pytree aux): True when every triangle uses the default
+    # material (white DIFF — the reference's hard-wired behaviour).  The
+    # shade stage then needs only the geometric normal per hit, which the
+    # packet kernel carries out of its leaf passes — the whole per-ray
+    # tri_shade gather (~12 ms/2M, scripts/gather_micro.py) is skipped.
+    tri_default_mat: bool = False
 
     def tree_flatten(self):
         return ((self.bvh, self.sphere_center, self.sphere_radius,
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
-                 self.tri_shade, self.sphere_table), None)
+                 self.tri_shade, self.sphere_table), self.tri_default_mat)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(*leaves, tri_default_mat=aux)
 
 
 @dataclasses.dataclass
@@ -258,6 +264,7 @@ class Scene:
             tri_color=jnp.asarray(tri_color),
             tri_shade=jnp.asarray(tri_shade),
             sphere_table=jnp.asarray(sphere_table),
+            tri_default_mat=self.tri_refl is None and self.tri_color is None,
         )
 
 

@@ -70,9 +70,9 @@ def stage_profile(renderer, camera, n_steps: int = 5) -> dict:
     t_extend, ext = time_blocked(extend, gen["origin"], gen["direction"],
                                  reps=n_steps)
 
-    shade = jax.jit(lambda rays, t, i, tri: _shade(
+    shade = jax.jit(lambda rays, t, i, tri, tn: _shade(
         cfg, scene, renderer.sky_params, renderer.sun_dir, rays, t, i, tri,
-        state.frame))
+        state.frame, tri_normal=tn))
     t_shade, sh = time_blocked(shade, gen, *ext, reps=n_steps)
 
     connect = jax.jit(lambda s: _connect(scene, s, packet_tables=tables,
