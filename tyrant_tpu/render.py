@@ -312,19 +312,23 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     seed, sun_sample = cone_sample(jnp.broadcast_to(sun_dir, (n, 3)),
                                    sun_extent, seed)
     sun_cos = dot(normal, sun_sample)
-    # 50/50 sun vs area-light NEE (kernel.cu:414/550).  The reference flips
-    # a coin per ray; here the choice is DETERMINISTIC and constant over
-    # 1024-slot blocks (one traversal packet), alternating block parity
-    # every frame so each pixel still alternates strategies across
-    # accumulation (same 2x weights, same expectation, slightly lower
-    # variance — strategy alternation is antithetic).  Packet-constant
-    # choice makes every shadow packet PURE — all sun rays (one shared
-    # direction) or all light-sphere rays (tight max distances) — IN
-    # PLACE, so connect traverses single-strategy unions with the original
-    # packet origin footprint.  (A finer every-other-slot split was
-    # measured WORSE: slicing halves doubles each packet's origin spread,
-    # which costs more than strategy purity wins — scripts/connect_bench.)
-    choose_sun = (((slot >> 10) & 1) == 0) ^ ((frame & 1) == 1)
+    # 50/50 sun vs area-light NEE, a coin per ray (kernel.cu:414/550).
+    # PACKET-PURE variants (one strategy per 1024-slot block, so connect
+    # traverses single-strategy unions) were tried twice and REVERTED:
+    # they measured perf-NEUTRAL (119 vs 120 ms — per-packet origin
+    # spread, not strategy mixing, drives the union; connect_bench), and
+    # any block-constant choice makes the sun/light pick spatially
+    # CORRELATED at 128x8-px block granularity, which renders as coherent
+    # variance stripes at low sample counts (both the parity-XOR-frame and
+    # hash-per-(frame,block) spellings banded; docs/PERFORMANCE.md round
+    # 3).  The per-ray coin has the same per-pixel variance but
+    # decorrelates it across pixels — uniform noise, no stripes.
+    # (side seed stream: an equally independent coin that leaves the main
+    # shade stream untouched, so the cross-round golden snapshot only moves
+    # when shading itself changes)
+    _, cs_u = rng.random_float(
+        rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xC0F1))
+    choose_sun = cs_u < 0.5
 
     li = jnp.maximum(scene.light_index, 0)
     light_c = scene.sphere_center[li]
@@ -472,12 +476,13 @@ def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
     if packet_tables is not None:
         from .ops.pallas.traverse_kernel import any_hit_packets
         interp = jax.default_backend() == "cpu"
-        # every 1024-slot packet is PURE (all-sun or all-light) because
-        # _shade's NEE choice is constant per 1024-slot block, so each
-        # packet traverses a single-strategy union — the TPU analog of the
-        # reference's per-ray divergence hiding in connect
-        # (kernel.cu:630-646).  Invalid slots (maxd zeroed) drop out of
-        # the union inside the kernel (traverse_kernel._visit).
+        # Shadow packets mix sun and light-sphere rays (the NEE choice is
+        # a per-ray coin; packet-pure blocks measured perf-neutral and
+        # banded visually — see _shade).  Invalid slots (maxd zeroed)
+        # drop out of the union inside the kernel (traverse_kernel._visit)
+        # and the early exit counts them as done — that invalid-ray fix,
+        # not strategy purity, is what took connect 217 -> ~105 ms
+        # (kernel.cu:630-646 analog; docs/PERFORMANCE.md round 3).
         occluded = any_hit_packets(o, sdir, maxd, packet_tables,
                                    wave=wave, interpret=interp)
     else:
