@@ -37,12 +37,15 @@ EPSILON = 1e-3
 L_TAG, R_TAG, L_REF, R_REF, AXIS, L_TRI = 12, 13, 14, 15, 16, 17
 
 
-def union_traverse(rows, o, d, t_best, start_row=0, frontier=None):
+def union_traverse(rows, o, d, t_best, start_row=0, frontier=None,
+                   skip_rows=None):
     """Union packet traversal (host replica of traverse_kernel._visit).
 
     ``frontier``: if given (row count T), rows >= T are NOT visited;
     instead each push of such a row records (row, per-ray wanted mask) in
-    pop order.  Returns (visits, entries, t_best).
+    pop order.  ``skip_rows``: set of row indices never pushed (used by
+    scripts/prime_study.py's phase B to skip the already-resolved phase-A
+    subtree).  Returns (visits, entries, t_best).
     """
     n = o.shape[0]
     inv = 1.0 / d
@@ -102,6 +105,8 @@ def union_traverse(rows, o, d, t_best, start_row=0, frontier=None):
         first, second = (lpush, rpush) if near_is_r else (rpush, lpush)
         for ref, ok, mask in (first, second):  # far first; near popped first
             if not ok:
+                continue
+            if skip_rows is not None and ref in skip_rows:
                 continue
             if frontier is not None and ref >= frontier:
                 entries.append((ref, mask.copy()))
