@@ -6,13 +6,20 @@
 2. What do the shade stage's components cost in isolation: the 8-iteration
    phong rejection loop, sky_and_sunsky, sun+cone NEE sampling?
 
-Usage: python scripts/step_micro.py [--rays N]
+Usage: python scripts/step_micro.py [--rays N] [--phase sort|key|shade]
+
+Each phase is sized to stay well under the axon tunnel's patience (every
+jit costs 20-90 s of remote compile; a client killed mid-TPU-call wedges
+the worker for 15-60 min) and prints incrementally with flush=True.
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
+
+print = functools.partial(print, flush=True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -43,6 +50,8 @@ def timeit(fn, *args, reps=5, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=2 * 1_048_576)
+    ap.add_argument("--phase", default="sort",
+                    choices=("sort", "key", "shade"))
     args = ap.parse_args()
     n = args.rays
 
@@ -51,21 +60,25 @@ def main():
     fs = [jax.random.normal(jax.random.fold_in(key, i), (n,), jnp.float32)
           for i in range(13)]
 
-    print("== lax.sort operand scaling (2M u32 key + k f32 payloads) ==")
-    for k in (0, 1, 3, 6, 9, 13):
-        ops = (ki, *fs[:k])
-        f = jax.jit(lambda *a: jax.lax.sort(a, num_keys=1))
-        ms = timeit(f, *ops)
-        print(f"  payloads={k:2d}: {ms:7.1f} ms")
+    if args.phase == "sort":
+        print("== lax.sort operand scaling (2M u32 key + k f32 payloads) ==")
+        for k in (0, 3, 9, 13):
+            ops = (ki, *fs[:k])
+            f = jax.jit(lambda *a: jax.lax.sort(a, num_keys=1))
+            ms = timeit(f, *ops)
+            print(f"  payloads={k:2d}: {ms:7.1f} ms")
+        return
 
-    print("== sort key dtype ==")
-    kf = ki.astype(jnp.float32)
-    for name, kk in (("u32", ki), ("f32", kf)):
-        f = jax.jit(lambda *a: jax.lax.sort(a, num_keys=1))
-        ms = timeit(f, kk, *fs[:6])
-        print(f"  key={name}, 6 payloads: {ms:7.1f} ms")
+    if args.phase == "key":
+        print("== sort key dtype ==")
+        kf = ki.astype(jnp.float32)
+        for name, kk in (("u32", ki), ("f32", kf)):
+            f = jax.jit(lambda *a: jax.lax.sort(a, num_keys=1))
+            ms = timeit(f, kk, *fs[:6])
+            print(f"  key={name}, 6 payloads: {ms:7.1f} ms")
+        return
 
-    # --- shade components on a synthetic wavefront ---
+    # --- phase "shade": components on a synthetic wavefront ---
     from tyrant_tpu import sky as skymod
     from tyrant_tpu.config import RenderConfig
     from tyrant_tpu.ops import rng as rngmod

@@ -119,3 +119,27 @@ def test_jit_once_per_shape():
     st = step(st)
     if n0 is not None:
         assert step._cache_size() == n0
+
+
+def test_fused_chain_matches_loop():
+    """Renderer with fuse_step_chains='on' (one lax.scan jit per k) must
+    match the per-step dispatch loop on every RenderState leaf."""
+    scene = Scene.load(None)
+    cfg = dataclasses.replace(CFG, fuse_step_chains="on")
+    cam = Camera()
+    cam.position = np.array([0.0, -170.0, 40.0], np.float32)
+    cam.vertical_angle = -0.10
+
+    r_loop = Renderer(scene, CFG, donate=False)
+    assert not r_loop._fuse  # auto stays off on CPU
+    r_fuse = Renderer(scene, cfg, donate=False)
+    assert r_fuse._fuse
+    r_loop.step(cam, 3)
+    r_fuse.step(cam, 3)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(r_loop.state),
+                              jax.tree.leaves(r_fuse.state)):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                                   rtol=1e-6, atol=1e-6)
+    # exact invariants regardless of float assoc differences
+    assert int(r_loop.state.n_carried) == int(r_fuse.state.n_carried)
+    assert int(r_loop.state.frame) == int(r_fuse.state.frame)

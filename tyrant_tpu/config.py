@@ -109,6 +109,11 @@ class RenderConfig:
     # cost slightly more than the ~12 ms gather they eliminate,
     # docs/PERFORMANCE.md round 3) — default off.
     use_kernel_normals: str = "off"
+    # Fuse multi-step calls (Renderer.step(cam, k>1)) into one jitted
+    # lax.scan over the RenderState carry: removes k-1 host->device
+    # dispatches per chain (each a tunnel round-trip on remote TPU
+    # backends).  "auto" = on for non-CPU backends, "on", "off".
+    fuse_step_chains: str = "auto"
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",

@@ -679,7 +679,13 @@ class Renderer:
         self.packet_tables = packet_tables
         step = partial(render_step, cfg=cfg, sky_params=self.sky_params,
                        packet_tables=packet_tables)
+        self._step_fn = step
+        self._donate = donate
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self._chain_cache = {}
+        self._fuse = cfg.fuse_step_chains == "on" or (
+            cfg.fuse_step_chains == "auto"
+            and jax.default_backend() not in ("cpu",))
         self.state = init_state(cfg)
 
     def set_sun(self, sun_position):
@@ -695,9 +701,32 @@ class Renderer:
             self.state = reset_accumulation(self.state)
         self._last_pose = pose
         cam = camera.to_device(self.cfg)
-        for _ in range(n_steps):
-            self.state = self._step(self.state, self.scene, cam, self.sun_dir)
+        if self._fuse and n_steps > 1:
+            self.state = self._chain(n_steps)(self.state, self.scene, cam,
+                                              self.sun_dir)
+        else:
+            for _ in range(n_steps):
+                self.state = self._step(self.state, self.scene, cam,
+                                        self.sun_dir)
         return self.state
+
+    def _chain(self, k: int):
+        """One jitted lax.scan over k wavefront steps (cached per k).
+        Removes k-1 per-step dispatches — each a host->device round-trip
+        through the axon relay — and matches the k dispatched steps
+        numerically (tests/test_render.py::test_fused_chain_matches_loop)."""
+        fn = self._chain_cache.get(k)
+        if fn is None:
+            step = self._step_fn
+
+            def chain(state, scene, cam, sun_dir):
+                def body(s, _):
+                    return step(s, scene, cam, sun_dir), None
+                return jax.lax.scan(body, state, None, length=k)[0]
+
+            fn = jax.jit(chain, donate_argnums=(0,) if self._donate else ())
+            self._chain_cache[k] = fn
+        return fn
 
     def image(self):
         from .ops.tonemap import resolve
