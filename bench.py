@@ -125,8 +125,10 @@ def bench_scene(scene, seconds_per_pose: float):
     # exact configuration (variables.h:44, kernel.cu:16)
     cfg = RenderConfig(width=1920, height=1080, num_rays=2 * 1_048_576,
                        max_bounces=5, use_packet_kernel="on")
+    # warmup_steps=4 matches steps_per_sample so the fused step chain
+    # compiles exactly once (scan_fuse_bench: fused k=4 is ~1% faster)
     results = run_benchmark(scene, cfg, seconds_per_pose=seconds_per_pose,
-                            warmup_steps=2)
+                            warmup_steps=4)
     d = results_to_dict(results)
     for r in d["poses"]:
         print(f"#   pose {r['pose']}: {r['avg_ms']:.2f} ms "

@@ -49,7 +49,8 @@ def main():
     camd = cam.to_device(cfg)
     k = args.k
 
-    # steady state first
+    # steady state first (single dispatches: don't compile a warmup chain)
+    r._fuse = False
     r.step(cam, 6)
     float(jnp.sum(r.state.accum))
 

@@ -509,6 +509,29 @@ def _visit(rd, rowv8, rays, t_init, hstate, stack_ref,
         e1 = jnp.any(box_l ^ box_r).astype(jnp.int32)
         e2 = jnp.any(box_l & box_r).astype(jnp.int32)
         sp = jnp.maximum(sp, e1 + e2 - 4)
+    if _ABLATE in ("quad", "quadns"):  # quadns: no dummy stack stores
+        # MARGINAL cost of an MBVH4 visit over this binary visit
+        # (scripts/mbvh_study.py decides if 4-ary pays): +2 slab tests on
+        # garbage boxes (overlapping lanes — cost only), +2 any-reduces,
+        # +6 scalar lane loads, +2 ordering selects, +2 predicated stack
+        # stores.  Behavior-neutral: the stores land strictly ABOVE the
+        # stack top (sp+1+{0,1,2} is only readable after a real push
+        # rewrites it) and the sp fold is clamped <= -2 so max() is a
+        # no-op; all folded values are data-dependent so nothing DCEs.
+        box_3 = slab(3)
+        box_4 = slab(17)
+        e3 = jnp.any(box_3).astype(jnp.int32)
+        e4 = jnp.any(box_4).astype(jnp.int32)
+        xs = [rd(_L_TRI + 30 + j).astype(jnp.int32) for j in range(6)]
+        y1 = jnp.where(e3 > e4, xs[0], xs[1])
+        y2 = jnp.where(e3 < e4, xs[2], xs[3])
+        y3 = jnp.where(neg_axis == 1, y1, y2)
+        if _ABLATE == "quad":
+            stack_ref[jnp.maximum(sp + 1 + e3, 0)] = \
+                jnp.where(alive_b, first_ref, 0)
+            stack_ref[jnp.maximum(sp + 2 - e4, 0)] = \
+                jnp.where(alive_b, second_ref, 0)
+        sp = jnp.maximum(sp, jnp.minimum(xs[4] + xs[5] + y3 + e3 + e4, -2))
     if not closest:
         # early exit once every ray is either occluded or can never accept
         # a hit (dead slots would otherwise keep hit == 0 forever and the
