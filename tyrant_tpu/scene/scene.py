@@ -279,6 +279,9 @@ def load_mesh(path: str):
     if path.endswith(".obj"):
         from .obj import load_obj
         return load_obj(path)
+    if path.endswith(".stl"):
+        from .stl import load_stl
+        return load_stl(path)
     raise ValueError(f"unsupported mesh format: {path}")
 
 
