@@ -131,6 +131,12 @@ class OracleScene:
         else:
             self.tv, self.te1, self.te2 = (np.asarray(a, float) for a in tris)
         self.light_index = light_index
+        # all emissive spheres (multi-light NEE); default matches the
+        # single hard-coded light
+        self.light_indices = [i for i in range(len(spheres))
+                              if self.refl[i] == 4]  # LIGHT
+        if not self.light_indices:
+            self.light_indices = [light_index]
 
     def intersect(self, o, d):
         """closest hit: returns (t, kind, idx, normal_at?) kind 0=sphere 1=tri"""
@@ -287,12 +293,19 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         sun_cos = np.sum(normal * sun_s, -1)
         choose_sun = rng.uniform(size=m) < 0.5
 
-        lc, lr = scene.center[li], scene.radius[li]
-        le = scene.emission[li]
+        lts = np.asarray(scene.light_indices, int)
+        n_lights = len(lts)
+        if n_lights > 1:
+            la = lts[rng.integers(0, n_lights, m)]
+        else:
+            la = np.full(m, li, int)
+        lc, lr = scene.center[la], scene.radius[la]
+        le = scene.emission[la]
         cp = 2 * rng.uniform(size=m) - 1
         sp = np.sqrt(np.maximum(1 - cp * cp, 0))
         th2 = 2 * PI * rng.uniform(size=m)
-        lpnt = lc + lr * np.stack([sp * np.sin(th2), cp, sp * np.cos(th2)], -1)
+        lpnt = lc + lr[:, None] * np.stack(
+            [sp * np.sin(th2), cp, sp * np.cos(th2)], -1)
         lvec = lpnt - oh
         ld2 = np.sum(lvec * lvec, -1)
         ldist = np.sqrt(ld2)
@@ -315,12 +328,13 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         pc_l = np.sum(ldir * w, -1)
         sc_diff = np.where(choose_sun[:, None],
                            2 * dcur * sunrad * (sun_cos * 1e-5)[:, None],
-                           le * 2 * dcur * (sangle * INV_PI * cos_surf)[:, None])
+                           le * (2 * n_lights) * dcur
+                           * (sangle * INV_PI * cos_surf)[:, None])
         sc_ph = np.where(
             choose_sun[:, None],
             2 * dcur * ((pe + 2) * 0.5 * INV_PI) * sunrad
             * (sun_cos * np.maximum(pc_sun, 0) ** pe * 1e-5)[:, None],
-            le * 2 * dcur * (sangle * (pe + 2) * 0.5 * INV_PI
+            le * (2 * n_lights) * dcur * (sangle * (pe + 2) * 0.5 * INV_PI
                              * np.maximum(pc_l, 0) ** pe * cos_surf)[:, None])
         ok_diff = isd & np.where(choose_sun, sun_cos > 0,
                                  (cos_surf > 0) & (cos_light > 0))

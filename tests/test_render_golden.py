@@ -95,3 +95,48 @@ def test_render_finite_and_progressive():
     assert (acc[:, 3] > 0).all()  # every pixel completed some paths
     img = np.asarray(resolve(jnp.asarray(acc), W, H))
     assert img.max() > 0.1 and img.min() >= 0.0
+
+
+def _two_light_spheres():
+    """Default seven + a second warm area light (the reference's TODO at
+    kernel.cu:560 asks for exactly this: a light array instead of the
+    hard-coded spheres[6])."""
+    s = Spheres.default_seven()
+    return Spheres(
+        center=np.concatenate([s.center, [[60, -120, 60]]]).astype(np.float32),
+        radius=np.concatenate([s.radius, [7.0]]).astype(np.float32),
+        color=np.concatenate([s.color, [[1, 1, 1]]]).astype(np.float32),
+        emission=np.concatenate([s.emission, [[4, 2, 1]]]).astype(np.float32),
+        refl=np.concatenate([s.refl, [4]]).astype(np.int32),  # LIGHT
+    )
+
+
+@pytest.mark.slow
+def test_two_light_scene_matches_oracle():
+    """Multi-light NEE (uniform light pick x count weight) vs the oracle's
+    independent implementation of the same estimator."""
+    spheres = _two_light_spheres()
+    scene = Scene.load(None, spheres=spheres)
+    assert scene.to_device().light_indices == (6, 7)
+    cam = cluster_camera()
+    acc_tpu, cfg = run_tpu(scene, cam, steps=60)
+    rows = [(spheres.radius[i], spheres.center[i], spheres.color[i],
+             spheres.emission[i], spheres.refl[i])
+            for i in range(spheres.count)]
+    osc = oracle.OracleScene(rows, light_index=6)
+    assert osc.light_indices == [6, 7]
+    acc_or = run_oracle(osc, cam, 1500, cfg)
+    compare(acc_tpu, acc_or)
+
+
+def test_second_light_illuminates_diffuse_paths():
+    """With NEE sampling only light #6, a second emissive sphere would be
+    nearly invisible to diffuse paths; the multi-light estimator must
+    brighten pixels facing it."""
+    cam = cluster_camera()
+    acc_one, cfg = run_tpu(Scene.load(None), cam, steps=12, num_rays=1 << 13)
+    acc_two, _ = run_tpu(Scene.load(None, spheres=_two_light_spheres()), cam,
+                         steps=12, num_rays=1 << 13)
+    img_one = np.asarray(resolve(jnp.asarray(acc_one), W, H))
+    img_two = np.asarray(resolve(jnp.asarray(acc_two), W, H))
+    assert img_two.mean() > img_one.mean() + 1e-3

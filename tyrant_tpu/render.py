@@ -330,13 +330,38 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xC0F1))
     choose_sun = cs_u < 0.5
 
-    li = jnp.maximum(scene.light_index, 0)
-    light_c = scene.sphere_center[li]
-    light_r = scene.sphere_radius[li]
-    light_e = scene.sphere_emission[li]
+    lights = getattr(scene, "light_indices", ())
     has_light = scene.light_index >= 0
-    seed, lp = sphere_surface_sample(jnp.broadcast_to(light_c, (n, 3)),
-                                     light_r, seed)
+    if len(lights) > 1:
+        # Multiple emissive spheres (the reference's own TODO at
+        # kernel.cu:560: "Hardcoded spheres[6] as only light source. Use
+        # light array."): pick one uniformly per ray and weight the
+        # estimator by the light count.  A SIDE seed stream keeps the main
+        # shade RNG untouched so single-light scenes stay bit-identical.
+        _, lu = rng.random_float(
+            rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
+        pick = jnp.minimum((lu * len(lights)).astype(jnp.int32),
+                           len(lights) - 1)
+        light_c = jnp.broadcast_to(scene.sphere_center[lights[0]], (n, 3))
+        light_r = jnp.broadcast_to(scene.sphere_radius[lights[0]], (n,))
+        light_e = jnp.broadcast_to(scene.sphere_emission[lights[0]], (n, 3))
+        for k in range(1, len(lights)):
+            sel = pick == k
+            light_c = jnp.where(sel[:, None],
+                                scene.sphere_center[lights[k]], light_c)
+            light_r = jnp.where(sel, scene.sphere_radius[lights[k]], light_r)
+            light_e = jnp.where(sel[:, None],
+                                scene.sphere_emission[lights[k]], light_e)
+        n_lights = float(len(lights))
+        seed, lp = sphere_surface_sample(light_c, light_r[:, None], seed)
+    else:
+        li = jnp.maximum(scene.light_index, 0)
+        light_c = scene.sphere_center[li]
+        light_r = scene.sphere_radius[li]
+        light_e = scene.sphere_emission[li]
+        n_lights = 1.0
+        seed, lp = sphere_surface_sample(jnp.broadcast_to(light_c, (n, 3)),
+                                         light_r, seed)
     lvec = lp - o
     ldist2 = dot(lvec, lvec)
     ldist = jnp.sqrt(jnp.maximum(ldist2, 1e-20))
@@ -352,7 +377,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # DIFF NEE weights (kernel.cu:410-447)
     diff_sun_color = 2.0 * direct * sun_radiance * (sun_cos * 1e-5)[:, None]
     diff_sun_ok = choose_sun & (sun_cos > 0)
-    diff_light_color = light_e[None] * 2.0 * direct \
+    light_e2 = light_e if light_e.ndim == 2 else light_e[None]
+    diff_light_color = light_e2 * (2.0 * n_lights) * direct \
         * (solid_angle * INV_PI * cos_surf)[:, None]
     diff_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) & has_light
 
@@ -365,7 +391,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                           * 1e-5)[:, None]
     phong_sun_ok = choose_sun & (sun_cos > 0) & (phong_cos_sun > eps)
     phong_cos_l = dot(ldir, w_refl)
-    phong_light_color = light_e[None] * 2.0 * direct \
+    phong_light_color = light_e2 * (2.0 * n_lights) * direct \
         * (solid_angle * (pe + 2.0) * 0.5 * INV_PI
            * jnp.power(jnp.maximum(phong_cos_l, 0.0), pe) * cos_surf)[:, None]
     phong_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) \

@@ -108,16 +108,23 @@ class SceneData:
     # packet kernel carries out of its leaf passes — the whole per-ray
     # tri_shade gather (~12 ms/2M, scripts/gather_micro.py) is skipped.
     tri_default_mat: bool = False
+    # STATIC (pytree aux): indices of ALL emissive spheres.  The reference
+    # hard-codes ``spheres[6]`` as the only NEE target (kernel.cu:421/561 —
+    # its own TODO asks for a light array); shade samples one of these
+    # uniformly per ray and weights by len(light_indices).  ``light_index``
+    # above stays as the first entry (or -1) for the single-light fast path.
+    light_indices: tuple = ()
 
     def tree_flatten(self):
         return ((self.bvh, self.sphere_center, self.sphere_radius,
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
-                 self.tri_shade, self.sphere_table), self.tri_default_mat)
+                 self.tri_shade, self.sphere_table),
+                (self.tri_default_mat, self.light_indices))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, tri_default_mat=aux)
+        return cls(*leaves, tri_default_mat=aux[0], light_indices=aux[1])
 
 
 @dataclasses.dataclass
@@ -231,8 +238,9 @@ class Scene:
             pad = bvh_dev.tri_packed.shape[0] - t
             tri_refl = np.concatenate([refl, np.zeros(pad, np.int32)])
             tri_color = np.concatenate([color, np.ones((pad, 3), np.float32)])
-        light_idx = int(np.nonzero(self.spheres.refl == LIGHT)[0][0]) \
-            if (self.spheres.refl == LIGHT).any() else -1
+        light_list = tuple(int(i)
+                           for i in np.nonzero(self.spheres.refl == LIGHT)[0])
+        light_idx = light_list[0] if light_list else -1
 
         tp = np.asarray(bvh_dev.tri_packed)
         cross = np.cross(tp[:, 3:6], tp[:, 6:9])
@@ -265,6 +273,7 @@ class Scene:
             tri_shade=jnp.asarray(tri_shade),
             sphere_table=jnp.asarray(sphere_table),
             tri_default_mat=self.tri_refl is None and self.tri_color is None,
+            light_indices=light_list,
         )
 
 
