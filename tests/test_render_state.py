@@ -143,3 +143,22 @@ def test_fused_chain_matches_loop():
     # exact invariants regardless of float assoc differences
     assert int(r_loop.state.n_carried) == int(r_fuse.state.n_carried)
     assert int(r_loop.state.frame) == int(r_fuse.state.frame)
+
+
+def test_radiance_clamp():
+    """radiance_clamp=0 keeps exact semantics; a small clamp bounds every
+    per-bounce contribution and lowers (or keeps) total radiance."""
+    scene, cam = _setup()
+    cfg_off = CFG
+    cfg_on = dataclasses.replace(CFG, radiance_clamp=0.05)
+    st_off = init_state(cfg_off)
+    st_on = init_state(cfg_on)
+    for _ in range(3):
+        st_off = render_step(st_off, scene, cam, SUN, cfg=cfg_off)
+        st_on = render_step(st_on, scene, cam, SUN, cfg=cfg_on)
+    a_off = np.asarray(st_off.accum)
+    a_on = np.asarray(st_on.accum)
+    # identical path counts (clamp changes radiance, not control flow)
+    np.testing.assert_array_equal(a_off[:, 3], a_on[:, 3])
+    assert a_on[:, 0:3].sum() <= a_off[:, 0:3].sum() + 1e-4
+    assert a_on[:, 0:3].sum() > 0

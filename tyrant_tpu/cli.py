@@ -34,6 +34,8 @@ def _add_common(p):
     p.add_argument("--camera", type=float, nargs=5, metavar=("X", "Y", "Z", "H", "V"),
                    default=None, help="position + horizontal/vertical angles")
     p.add_argument("--scale", type=float, default=1.0, help="mesh unit scale")
+    p.add_argument("--clamp", type=float, default=0.0,
+                   help="firefly clamp: per-bounce radiance bound (0 = off)")
     p.add_argument("--builder", default="auto",
                    choices=["auto", "numpy", "native"])
 
@@ -44,7 +46,8 @@ def _build(args):
     from .scene.scene import Scene, Spheres
 
     cfg = RenderConfig(width=args.width, height=args.height,
-                       num_rays=args.rays, max_bounces=args.bounces)
+                       num_rays=args.rays, max_bounces=args.bounces,
+                       radiance_clamp=getattr(args, "clamp", 0.0))
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()

@@ -114,6 +114,12 @@ class RenderConfig:
     # dispatches per chain (each a tunnel round-trip on remote TPU
     # backends).  "auto" = on for non-CPU backends, "on", "off".
     fuse_step_chains: str = "auto"
+    # Firefly suppression (production knob the reference lacks): clamp each
+    # per-bounce radiance contribution (emission / sky / NEE, per channel)
+    # to this value before accumulation.  0.0 = off (exact reference
+    # semantics — the default; clamping introduces bounded bias in exchange
+    # for bounded per-sample variance).
+    radiance_clamp: float = 0.0
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",

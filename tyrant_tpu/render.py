@@ -611,7 +611,12 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     #     tail slots the next top-off expects.
     # A multi-operand lax.sort carries the payloads through the sort
     # network: ~42 ms at 2M vs ~142 ms for argsort + per-array gathers.
-    pend = rays["pending"] + color + shadow_contrib
+    contrib = color + shadow_contrib
+    if cfg.radiance_clamp > 0.0:
+        # firefly clamp: bound each bounce's contribution per channel
+        # (biased-but-bounded; default off keeps reference semantics)
+        contrib = jnp.minimum(contrib, cfg.radiance_clamp)
+    pend = rays["pending"] + contrib
 
     root_lo = scene.bvh.node_packed[0, 0:3]
     root_hi = scene.bvh.node_packed[0, 3:6]
