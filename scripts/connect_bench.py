@@ -146,13 +146,27 @@ def main():
     print(f"b) parity-split   : {t_sp:7.1f} ms "
           f"({N / t_sp / 1e3:6.1f} Mrays/s)")
 
-    # which half costs what?  (sun rays have maxd == VERY_FAR)
-    h_sun = 0 if float(maxd[0]) > 1e19 else 1
-    for tag, s in (("sun  ", h_sun), ("light", 1 - h_sun)):
+    # which STRATEGY costs what?  The NEE choice is a per-ray coin
+    # (render.py: packet-pure blocks were reverted), so slot parity does
+    # NOT separate strategies — partition on the host by the actual
+    # strategy signature instead (valid sun rays carry maxd == VERY_FAR,
+    # valid light rays a finite distance, invalid slots 0), padding each
+    # subset to whole packets with invalid slots (dropped from unions).
+    maxd_h = np.asarray(maxd)
+    sun_m = maxd_h > 1e19
+    light_m = (maxd_h > 0) & ~sun_m
+    for tag, m_h in (("sun  ", sun_m), ("light", light_m)):
+        idx = np.nonzero(m_h)[0]
+        pad = (-idx.size) % 1024
+        oo = np.concatenate([np.asarray(o)[idx],
+                             np.zeros((pad, 3), np.float32)])
+        dd = np.concatenate([np.asarray(d)[idx],
+                             np.ones((pad, 3), np.float32)])
+        mm = np.concatenate([maxd_h[idx], np.zeros(pad, np.float32)])
         t_h, _ = timeit(jax.jit(
             lambda o, d, m: any_hit_packets(o, d, m, tables)),
-            o[s::2], d[s::2], maxd[s::2])
-        print(f"c) {tag} half     : {t_h:7.1f} ms")
+            jnp.asarray(oo), jnp.asarray(dd), jnp.asarray(mm))
+        print(f"c) {tag} subset ({idx.size}): {t_h:7.1f} ms")
 
     # d) per-half origin-cell sort upper bound (traversal only)
     lo = jnp.asarray(np.asarray(sd.bvh.node_packed)[0, 0:3])
@@ -166,12 +180,20 @@ def main():
         order = jnp.argsort(key)
         return o[order], d[order], m[order]
 
-    for tag, s in (("sun  ", h_sun), ("light", 1 - h_sun)):
-        os_, ds_, ms_ = jax.jit(cell_sorted)(o[s::2], d[s::2], maxd[s::2])
+    for tag, m_h in (("sun  ", sun_m), ("light", light_m)):
+        idx = np.nonzero(m_h)[0]
+        pad = (-idx.size) % 1024
+        oo = jnp.asarray(np.concatenate(
+            [np.asarray(o)[idx], np.zeros((pad, 3), np.float32)]))
+        dd = jnp.asarray(np.concatenate(
+            [np.asarray(d)[idx], np.ones((pad, 3), np.float32)]))
+        mm = jnp.asarray(np.concatenate(
+            [maxd_h[idx], np.zeros(pad, np.float32)]))
+        os_, ds_, ms_ = jax.jit(cell_sorted)(oo, dd, mm)
         os_, ds_, ms_ = jax.block_until_ready((os_, ds_, ms_))
         t_h, _ = timeit(jax.jit(
             lambda o, d, m: any_hit_packets(o, d, m, tables)), os_, ds_, ms_)
-        print(f"d) {tag} half, cell-sorted: {t_h:7.1f} ms (sort excluded)")
+        print(f"d) {tag} subset, cell-sorted: {t_h:7.1f} ms (sort excluded)")
 
 
 if __name__ == "__main__":

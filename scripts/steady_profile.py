@@ -121,23 +121,14 @@ def main():
                                          wave=wave))
     res["connect(mix)"], _ = timeit(connect, shadow)
 
-    # 5. the compaction sort exactly as render_step builds it
+    # 5. the compaction sort exactly as render_step builds it (the key is
+    # the SHARED production helper, so this never drifts from render_step)
     def compact(next_rays, survive, pend):
-        root_lo = sd.bvh.node_packed[0, 0:3]
-        root_hi = sd.bvh.node_packed[0, 3:6]
-        span = jnp.maximum(root_hi - root_lo, 1e-3)
-        g = _KEY_GRID
-        q = jnp.clip(((next_rays["origin"] - root_lo) / span * float(g))
-                     .astype(jnp.int32), 0, g - 1)
-        cell = (q[:, 0] * g + q[:, 1]) * g + q[:, 2]
-        nneg = next_rays["direction"] < 0
-        octant = (nneg[:, 0].astype(jnp.int32)
-                  + 2 * nneg[:, 1].astype(jnp.int32)
-                  + 4 * nneg[:, 2].astype(jnp.int32))
         from tyrant_tpu.ops.pallas.accum_kernel import sentinel
+        from tyrant_tpu.render import compaction_sort_key
         sent = sentinel(cfg.width * cfg.height)
-        key = jnp.where(survive, sent + octant * (_KEY_GRID ** 3) + cell,
-                        next_rays["pixel"])
+        key = compaction_sort_key(next_rays, survive, sd.bvh.node_packed,
+                                  sent)
         packed = (next_rays["pixel"] << 5) | (next_rays["bounces"] << 1) \
             | next_rays["last_specular"].astype(jnp.int32)
         o, d, dr = (next_rays["origin"], next_rays["direction"],

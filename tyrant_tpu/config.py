@@ -127,6 +127,15 @@ class RenderConfig:
             raise ValueError(
                 f"unknown packet_kernel_mode {self.packet_kernel_mode!r}; "
                 f"expected 'auto', 'mono' or 'wave'")
+        for field, allowed in (
+                ("use_packet_kernel", ("auto", "on", "off")),
+                ("use_accum_kernel", ("auto", "on", "off")),
+                ("use_kernel_normals", ("on", "off")),
+                ("fuse_step_chains", ("auto", "on", "off"))):
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"unknown {field} {v!r}; expected one of "
+                                 f"{allowed}")
 
     @property
     def num_pixels(self) -> int:

@@ -528,6 +528,30 @@ def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
 # the full step
 # --------------------------------------------------------------------------
 
+def compaction_sort_key(next_rays, survive, node_packed, sent):
+    """The one sort key that does queue compaction AND accumulation
+    ordering: terminated rays sort first by pixel; survivors sort past the
+    sentinel in octant-MAJOR order (all rays of one direction octant group
+    together, sub-ordered by the 8^3 grid cell of the bounce origin).
+    Host-simulated union visits on the carried tail: 238/packet with the
+    round-2 cell-major key vs 167/packet octant-major (-30%) — direction
+    agreement narrows the union more than origin locality does
+    (docs/PERFORMANCE.md round 3).  Shared with scripts/steady_profile.py
+    so stage timings always measure the production key."""
+    root_lo = node_packed[0, 0:3]
+    root_hi = node_packed[0, 3:6]
+    span = jnp.maximum(root_hi - root_lo, 1e-3)
+    g = _KEY_GRID
+    q = jnp.clip(((next_rays["origin"] - root_lo) / span * float(g))
+                 .astype(jnp.int32), 0, g - 1)
+    cell = (q[:, 0] * g + q[:, 1]) * g + q[:, 2]
+    nneg = next_rays["direction"] < 0
+    octant = (nneg[:, 0].astype(jnp.int32) + 2 * nneg[:, 1].astype(jnp.int32)
+              + 4 * nneg[:, 2].astype(jnp.int32))
+    return jnp.where(survive, sent + octant * (g ** 3) + cell,
+                     next_rays["pixel"])
+
+
 def _pick_wave(cfg: RenderConfig, packet_tables) -> bool:
     """Kernel-generation choice (trace-time: ``fits`` is a host bool).
     "auto" = mono for VMEM-resident tables, wave for HBM tables, per the
@@ -618,25 +642,10 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         contrib = jnp.minimum(contrib, cfg.radiance_clamp)
     pend = rays["pending"] + contrib
 
-    root_lo = scene.bvh.node_packed[0, 0:3]
-    root_hi = scene.bvh.node_packed[0, 3:6]
-    span = jnp.maximum(root_hi - root_lo, 1e-3)
-    g = _KEY_GRID
-    q = jnp.clip(((next_rays["origin"] - root_lo) / span * float(g))
-                 .astype(jnp.int32), 0, g - 1)
-    cell = (q[:, 0] * g + q[:, 1]) * g + q[:, 2]
-    nneg = next_rays["direction"] < 0
-    octant = (nneg[:, 0].astype(jnp.int32) + 2 * nneg[:, 1].astype(jnp.int32)
-              + 4 * nneg[:, 2].astype(jnp.int32))
     p_local = cfg.width * local_height
     sent = sentinel(p_local)
-    # octant-MAJOR survivor key: all rays of one direction octant group
-    # together, sub-ordered by origin cell.  Host-simulated union visits on
-    # the carried tail: 238/packet with the round-2 cell-major key vs
-    # 167/packet octant-major (-30%) — direction agreement narrows the
-    # union more than origin locality does (docs/PERFORMANCE.md round 3).
-    key = jnp.where(survive, sent + octant * (_KEY_GRID ** 3) + cell,
-                    next_rays["pixel"])
+    key = compaction_sort_key(next_rays, survive, scene.bvh.node_packed,
+                              sent)
     # pixel (< 2^21) | bounces (<= 15) | lastSpecular packed in one column
     packed = (next_rays["pixel"] << 5) | (next_rays["bounces"] << 1) \
         | next_rays["last_specular"].astype(jnp.int32)
@@ -745,7 +754,8 @@ class Renderer:
         """One jitted lax.scan over k wavefront steps (cached per k).
         Removes k-1 per-step dispatches — each a host->device round-trip
         through the axon relay — and matches the k dispatched steps
-        numerically (tests/test_render.py::test_fused_chain_matches_loop)."""
+        numerically
+        (tests/test_render_state.py::test_fused_chain_matches_loop)."""
         fn = self._chain_cache.get(k)
         if fn is None:
             step = self._step_fn

@@ -30,9 +30,10 @@ def load_stl(path: str):
         head = f.read(5)
         f.seek(0)
         data = f.read()
-    # ASCII files start with "solid", but some binary exporters also write
-    # "solid" in the 80-byte header — verify with the binary size equation
-    if head == b"solid":
+    # ASCII files start with "solid" (case-insensitive in the wild), but
+    # some binary exporters also write "solid" in the 80-byte header —
+    # verify with the binary size equation
+    if head.lower() == b"solid":
         n = None
         if len(data) >= 84:
             n = int.from_bytes(data[80:84], "little")
