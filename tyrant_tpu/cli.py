@@ -36,6 +36,12 @@ def _add_common(p):
     p.add_argument("--scale", type=float, default=1.0, help="mesh unit scale")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="firefly clamp: per-bounce radiance bound (0 = off)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive sampling: direct the ray budget at "
+                        "high-variance pixels (adaptive.py)")
+    p.add_argument("--texture-filter", default="bilinear",
+                   choices=["bilinear", "nearest"],
+                   help="albedo texture filtering (textured OBJ scenes)")
     p.add_argument("--builder", default="auto",
                    choices=["auto", "numpy", "native"])
 
@@ -47,7 +53,11 @@ def _build(args):
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        num_rays=args.rays, max_bounces=args.bounces,
-                       radiance_clamp=getattr(args, "clamp", 0.0))
+                       radiance_clamp=getattr(args, "clamp", 0.0),
+                       adaptive_sampling="on" if getattr(args, "adaptive",
+                                                         False) else "off",
+                       texture_filter=getattr(args, "texture_filter",
+                                              "bilinear"))
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()

@@ -114,6 +114,24 @@ class RenderConfig:
     # dispatches per chain (each a tunnel round-trip on remote TPU
     # backends).  "auto" = on for non-CPU backends, "on", "off".
     fuse_step_chains: str = "auto"
+    # Adaptive sampling (beyond-reference): allocate raygen budget to
+    # high-variance pixels.  "on" adds a per-pixel second-moment buffer
+    # (flushed in the same pixel-sorted accumulation pass) and redirects
+    # raygen through a priority permutation rebuilt every
+    # ``adaptive_interval`` steps (adaptive.py).  Cost at 2M: one extra
+    # accumulation (~15-25 ms/step) + a P-sort every interval.
+    adaptive_sampling: str = "off"
+    # steps between priority-permutation rebuilds
+    adaptive_interval: int = 16
+    # visit-allocation concentration: slot i samples the pixel ranked
+    # floor(P * (i/P)^gamma) by error — gamma 1.0 = uniform, 2.0 gives the
+    # top-ranked pixels ~P/(2i) visits (adaptive.py)
+    adaptive_gamma: float = 2.0
+    # Texture filtering for scenes with albedo textures (beyond-reference,
+    # scene/texture.py): "bilinear" = 4 atlas taps (4 row gathers/2M),
+    # "nearest" = 1 tap.  No cost for untextured scenes (the branch is
+    # compile-time dead).
+    texture_filter: str = "bilinear"
     # Firefly suppression (production knob the reference lacks): clamp each
     # per-bounce radiance contribution (emission / sky / NEE, per channel)
     # to this value before accumulation.  0.0 = off (exact reference
@@ -131,11 +149,18 @@ class RenderConfig:
                 ("use_packet_kernel", ("auto", "on", "off")),
                 ("use_accum_kernel", ("auto", "on", "off")),
                 ("use_kernel_normals", ("on", "off")),
-                ("fuse_step_chains", ("auto", "on", "off"))):
+                ("fuse_step_chains", ("auto", "on", "off")),
+                ("texture_filter", ("bilinear", "nearest")),
+                ("adaptive_sampling", ("on", "off"))):
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(f"unknown {field} {v!r}; expected one of "
                                  f"{allowed}")
+        if self.adaptive_interval < 1:
+            raise ValueError("adaptive_interval must be >= 1")
+        if self.adaptive_gamma < 1.0:
+            raise ValueError("adaptive_gamma must be >= 1.0 "
+                             "(1.0 = uniform allocation)")
 
     @property
     def num_pixels(self) -> int:

@@ -65,6 +65,15 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
         start_position=sharded(jnp.zeros((n_dev,), jnp.int32)),
         frame=sharded(jnp.ones((n_dev,), jnp.uint32)),
         shadow_rays=sharded(jnp.zeros((n_dev,), jnp.uint32)),
+        # adaptive sampling: per-STRIP moment buffer and visit permutation
+        # (local pixel ids, so each shard prioritises within its own strip)
+        moment2=sharded(jnp.zeros(
+            (n_dev * (p_local if cfg.adaptive_sampling == "on" else 1), 4),
+            jnp.float32)),
+        pixel_perm=sharded(
+            jnp.tile(jnp.arange(p_local, dtype=jnp.int32), n_dev)
+            if cfg.adaptive_sampling == "on"
+            else jnp.zeros((n_dev,), jnp.int32)),
     )
 
 
@@ -94,7 +103,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             n_carried=state.n_carried[0],
             start_position=state.start_position[0],
             frame=state.frame[0],
-            shadow_rays=state.shadow_rays[0])
+            shadow_rays=state.shadow_rays[0],
+            moment2=state.moment2, pixel_perm=state.pixel_perm)
         if table_rows is not None:
             import types
             tables = types.SimpleNamespace(rows=table_rows, fits=tables_fit)
@@ -112,7 +122,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             n_carried=out.n_carried[None],
             start_position=out.start_position[None],
             frame=out.frame[None],
-            shadow_rays=out.shadow_rays[None])
+            shadow_rays=out.shadow_rays[None],
+            moment2=out.moment2, pixel_perm=out.pixel_perm)
 
     try:
         shard_map = jax.shard_map
@@ -185,6 +196,21 @@ class ShardedRenderer:
                                        packet_tables=packet_tables)
         self.state = init_sharded_state(cfg, self.mesh)
         self._last_pose = None
+        self._adaptive = cfg.adaptive_sampling == "on"
+        self._steps_since_perm = 0
+        self._perm_rebuilds = 0
+        if self._adaptive:
+            # per-strip priority rebuild: each shard ranks its own pixels
+            # (local ids), so no cross-device data moves
+            from ..adaptive import build_perm
+            try:
+                shard_map = jax.shard_map
+            except AttributeError:
+                from jax.experimental.shard_map import shard_map
+            self._build_perm = jax.jit(shard_map(
+                partial(build_perm, gamma=cfg.adaptive_gamma),
+                mesh=self.mesh, in_specs=(P(AXIS), P(AXIS), P()),
+                out_specs=P(AXIS)))
 
     def step(self, camera, n_steps: int = 1):
         pose = camera.pose_key()
@@ -194,6 +220,17 @@ class ShardedRenderer:
         cam = camera.to_device(self.cfg)
         for _ in range(n_steps):
             self.state = self._step(self.state, self.scene, cam, self.sun_dir)
+        if self._adaptive:
+            self._steps_since_perm += n_steps
+            if self._steps_since_perm >= self.cfg.adaptive_interval:
+                self._steps_since_perm = 0
+                self._perm_rebuilds += 1
+                phase = (self._perm_rebuilds * 0.6180339887) % 1.0
+                self.state = dataclasses.replace(
+                    self.state,
+                    pixel_perm=self._build_perm(
+                        self.state.accum, self.state.moment2,
+                        jnp.asarray(phase, jnp.float32)))
         return self.state
 
     def image(self):

@@ -75,12 +75,20 @@ class RenderState:
     # kernel.cu:416-446)
     shadow_rays: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.asarray(0, jnp.uint32))
+    # adaptive sampling (cfg.adaptive_sampling="on"; adaptive.py): per-pixel
+    # per-channel SQUARED radiance sums [P, 4] and the raygen visit
+    # permutation [P].  Tiny dummies ([1,4] / [1]) when the feature is off —
+    # zero step cost, uniform pytree structure.
+    moment2: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 4), jnp.float32))
+    pixel_perm: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1,), jnp.int32))
 
     def tree_flatten(self):
         return ((self.accum, self.origin, self.direction, self.direct,
                  self.pending, self.pixel, self.bounces, self.last_specular,
                  self.n_carried, self.start_position, self.frame,
-                 self.shadow_rays), None)
+                 self.shadow_rays, self.moment2, self.pixel_perm), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -103,6 +111,11 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
         start_position=jnp.asarray(0, jnp.int32),
         frame=jnp.asarray(1, jnp.uint32),  # kernel.cu:667 (never 0: RNG seed)
         shadow_rays=jnp.asarray(0, jnp.uint32),
+        moment2=jnp.zeros((p if cfg.adaptive_sampling == "on" else 1, 4),
+                          jnp.float32),
+        pixel_perm=(jnp.arange(p, dtype=jnp.int32)
+                    if cfg.adaptive_sampling == "on"
+                    else jnp.zeros((1,), jnp.int32)),
     )
 
 
@@ -112,6 +125,11 @@ def reset_accumulation(state: RenderState) -> RenderState:
     return dataclasses.replace(
         state,
         accum=jnp.zeros_like(state.accum),
+        moment2=jnp.zeros_like(state.moment2),
+        # adaptive perm (if any) back to identity — the old pose's
+        # priorities are meaningless for the new view
+        pixel_perm=(jnp.arange(state.pixel_perm.shape[0], dtype=jnp.int32)
+                    if state.pixel_perm.shape[0] > 1 else state.pixel_perm),
         n_carried=jnp.asarray(0, jnp.int32))
 
 
@@ -120,7 +138,7 @@ def reset_accumulation(state: RenderState) -> RenderState:
 # --------------------------------------------------------------------------
 
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
-            local_height: int, row_offset):
+            local_height: int, row_offset, perm=None):
     n = cfg.num_rays
     w, h_global = cfg.width, cfg.height
     total_local = w * local_height
@@ -135,7 +153,15 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     # With 8x8-tile ordering consecutive rays share a screen tile, which
     # keeps ray packets coherent for the traversal kernels.  Any bijection
     # preserves the progressive-accumulation estimator.
-    if cfg.raygen_order == "tiled8" and w % 8 == 0 and local_height % 8 == 0:
+    if perm is not None:
+        # adaptive sampling (adaptive.py): the priority permutation defines
+        # the visit order outright (with repetition — the per-pixel mean
+        # estimator is schedule-independent); equal-priority pixels are
+        # raster-ordered inside the perm for packet coherence
+        pixel = perm[scan]
+        x_i = pixel % w
+        y_i = pixel // w
+    elif cfg.raygen_order == "tiled8" and w % 8 == 0 and local_height % 8 == 0:
         tiles_x = w // 8
         tile = scan // 64
         within = scan % 64
@@ -236,6 +262,54 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
 
 
 # --------------------------------------------------------------------------
+# textures (beyond-reference; scene/texture.py for the design rationale)
+# --------------------------------------------------------------------------
+
+def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str):
+    """Sample the flat texel atlas: repeat wrap, v=0 at image bottom.
+
+    Per-texture (offset, height, width) come from the STATIC ``tex_meta``
+    tuple via a select chain (K is small; a gathered meta row would pay the
+    ~12 ms/2M gather wall).  Each tap is one row gather of ``tex_data``:
+    1 tap nearest, 4 taps bilinear."""
+    meta = scene.tex_meta
+    off = jnp.full_like(texid, int(meta[0][0]))
+    th = jnp.full_like(texid, int(meta[0][1]))
+    tw = jnp.full_like(texid, int(meta[0][2]))
+    for k in range(1, len(meta)):
+        sel = texid == k
+        off = jnp.where(sel, int(meta[k][0]), off)
+        th = jnp.where(sel, int(meta[k][1]), th)
+        tw = jnp.where(sel, int(meta[k][2]), tw)
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    n_rows = scene.tex_data.shape[0]
+
+    def tap(xi, yi):
+        idx = off + (th - 1 - yi) * tw + xi
+        idx = jnp.clip(jnp.where(texid >= 0, idx, 0), 0, n_rows - 1)
+        return jnp.take(scene.tex_data, idx, axis=0)[:, :3]
+
+    if filter_mode == "nearest":
+        x = jnp.minimum((u * tw).astype(jnp.int32), tw - 1)
+        y = jnp.minimum((v * th).astype(jnp.int32), th - 1)
+        return tap(x, y)
+    # bilinear: half-texel centred taps, repeat wrap
+    fx = u * tw - 0.5
+    fy = v * th - 0.5
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    ax = (fx - x0f)[:, None]
+    ay = (fy - y0f)[:, None]
+    x0 = jnp.mod(x0f.astype(jnp.int32), tw)
+    y0 = jnp.mod(y0f.astype(jnp.int32), th)
+    x1 = jnp.mod(x0 + 1, tw)
+    y1 = jnp.mod(y0 + 1, th)
+    return (tap(x0, y0) * (1 - ax) * (1 - ay) + tap(x1, y0) * ax * (1 - ay)
+            + tap(x0, y1) * (1 - ax) * ay + tap(x1, y1) * ax * ay)
+
+
+# --------------------------------------------------------------------------
 # shade — kernel.cu:347-627
 # --------------------------------------------------------------------------
 
@@ -278,6 +352,22 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         normal_tri = trow[:, 0:3]
         refl_tri = trow[:, 3].astype(jnp.int32)
         color_tri = trow[:, 4:7]
+        if scene.has_textures:
+            # albedo texture (beyond-reference): recover barycentrics from
+            # the hit point via the precomputed dual basis (two dots), then
+            # 1 or 4 atlas taps (cfg.texture_filter).  Uses the pre-offset
+            # hit point ``o``.
+            urow = scene.tri_uvtex[tid]  # [N, 16]
+            p_rel = o - urow[:, 0:3]
+            bu = dot(p_rel, urow[:, 3:6])
+            bv = dot(p_rel, urow[:, 6:9])
+            uv_t = urow[:, 9:11] + bu[:, None] * urow[:, 11:13] \
+                + bv[:, None] * urow[:, 13:15]
+            texid = urow[:, 15].astype(jnp.int32)
+            albedo = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
+                                     cfg.texture_filter)
+            color_tri = color_tri * jnp.where((texid >= 0)[:, None],
+                                              albedo, 1.0)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the
@@ -581,8 +671,10 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # [n - n_carried, n) keep the carried survivors (the compaction sort
     # below naturally leaves them there), the front slots are fresh
     # primaries
+    adaptive = cfg.adaptive_sampling == "on"
     gen = _raygen(cfg, camera, state.start_position, state.frame,
-                  local_height, row_offset)
+                  local_height, row_offset,
+                  perm=state.pixel_perm if adaptive else None)
     slot = jnp.arange(n, dtype=jnp.int32)
     keep = slot >= (n - state.n_carried)
 
@@ -671,6 +763,21 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     else:
         accum = state.accum.at[jnp.where(term_s, upd_pix, 0)].add(upd_vals)
 
+    if adaptive:
+        # second-moment flush for the error estimate (adaptive.py) — same
+        # sorted keys, one more dense accumulation pass
+        upd_sq = jnp.where(
+            term_s[:, None],
+            jnp.stack([p0 * p0, p1 * p1, p2 * p2, jnp.ones_like(p0)],
+                      axis=1), 0.0)
+        if use_kernel and n % CHUNK == 0:
+            moment2 = accumulate_sorted(state.moment2, upd_pix, upd_sq)
+        else:
+            moment2 = state.moment2.at[jnp.where(term_s, upd_pix, 0)] \
+                .add(upd_sq)
+    else:
+        moment2 = state.moment2
+
     return RenderState(
         accum=accum,
         origin=jnp.stack([ox, oy, oz], axis=1),
@@ -685,6 +792,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         frame=state.frame + 1,
         shadow_rays=state.shadow_rays
         + jnp.sum(shadow["valid"]).astype(jnp.uint32),
+        moment2=moment2,
+        pixel_perm=state.pixel_perm,
     )
 
 
@@ -726,6 +835,9 @@ class Renderer:
         self._fuse = cfg.fuse_step_chains == "on" or (
             cfg.fuse_step_chains == "auto"
             and jax.default_backend() not in ("cpu",))
+        self._adaptive = cfg.adaptive_sampling == "on"
+        self._steps_since_perm = 0
+        self._perm_rebuilds = 0
         self.state = init_state(cfg)
 
     def set_sun(self, sun_position):
@@ -748,6 +860,21 @@ class Renderer:
             for _ in range(n_steps):
                 self.state = self._step(self.state, self.scene, cam,
                                         self.sun_dir)
+        if self._adaptive:
+            self._steps_since_perm += n_steps
+            if self._steps_since_perm >= self.cfg.adaptive_interval:
+                self._steps_since_perm = 0
+                self._perm_rebuilds += 1
+                from .adaptive import build_perm
+                # golden-ratio phase: rotates which low-priority ranks the
+                # power-law visit curve skips between rebuilds
+                phase = (self._perm_rebuilds * 0.6180339887) % 1.0
+                self.state = dataclasses.replace(
+                    self.state,
+                    pixel_perm=build_perm(self.state.accum,
+                                          self.state.moment2,
+                                          jnp.asarray(phase, jnp.float32),
+                                          gamma=self.cfg.adaptive_gamma))
         return self.state
 
     def _chain(self, k: int):

@@ -1,35 +1,148 @@
-"""Wavefront OBJ loader (pure numpy).
+"""Wavefront OBJ loader (pure numpy), with UV / MTL material support.
 
 The reference imports via Assimp which handles many formats
-(Scene.cpp:4-5); only PLY assets are bundled, but OBJ is the other format
-users reach for first.  Supports v/f records, polygon fan-triangulation,
-negative (relative) indices, and the `v/vt/vn` index forms.
+(Scene.cpp:4-5) but then discards everything except positions — materials
+and texture coordinates are loaded and never read (loader.h:16,
+kernel.cu:380-384).  Here the `v/vt/vn` index forms, `mtllib`/`usemtl`
+records and MTL `Kd`/`map_Kd` are honoured end-to-end (a beyond-reference
+production feature; see scene/texture.py for the device-side design).
+
+`load_obj` keeps the minimal (vertices, faces) contract for geometry-only
+callers; `load_obj_scene` returns the full per-triangle material record.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import os
+
 import numpy as np
+
+
+@dataclasses.dataclass
+class ObjMesh:
+    """Triangulated OBJ contents in per-triangle form."""
+
+    vertices: np.ndarray        # [V, 3] f32
+    faces: np.ndarray           # [F, 3] i32 position indices
+    uvs: np.ndarray | None      # [F, 3, 2] f32 per-corner texcoords (or None)
+    tri_color: np.ndarray | None  # [F, 3] f32 Kd per triangle (or None)
+    tri_tex: np.ndarray | None  # [F] i32 texture index, -1 = none (or None)
+    textures: list | None       # list of [H, W, 3] f32 linear images
+
+
+def _parse_mtl(path: str):
+    """Returns {material name: (Kd rgb tuple, map_Kd path or None)}."""
+    mats = {}
+    cur = None
+    base = os.path.dirname(path)
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "newmtl" and len(parts) > 1:
+                cur = parts[1]
+                mats[cur] = [(1.0, 1.0, 1.0), None]
+            elif parts[0] == "Kd" and cur and len(parts) >= 4:
+                mats[cur][0] = (float(parts[1]), float(parts[2]),
+                                float(parts[3]))
+            elif parts[0] == "map_Kd" and cur and len(parts) > 1:
+                # last token: map_Kd may carry -o/-s options we ignore
+                mats[cur][1] = os.path.join(base, parts[-1])
+    return mats
+
+
+def load_obj_scene(path: str) -> ObjMesh:
+    """Full OBJ parse: fan triangulation, negative indices, vt, mtllib."""
+    verts: list = []
+    vts: list = []
+    faces: list = []
+    face_uv: list = []
+    face_mat: list = []
+    mats: dict = {}
+    cur_mat = None
+    any_uv = False
+    base = os.path.dirname(path)
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("vt "):
+                p = line.split()
+                vts.append((float(p[1]),
+                            float(p[2]) if len(p) > 2 else 0.0))
+            elif line.startswith("mtllib "):
+                mp = os.path.join(base, line.split(None, 1)[1].strip())
+                if os.path.exists(mp):
+                    try:
+                        mats.update(_parse_mtl(mp))
+                    except Exception:
+                        pass  # malformed MTL: shade untextured (degrade)
+            elif line.startswith("usemtl "):
+                cur_mat = line.split(None, 1)[1].strip()
+            elif line.startswith("f "):
+                idx = []
+                uvi = []
+                for tok in line.split()[1:]:
+                    comps = tok.split("/")
+                    k = int(comps[0])
+                    idx.append(k - 1 if k > 0 else len(verts) + k)
+                    if len(comps) > 1 and comps[1]:
+                        t = int(comps[1])
+                        uvi.append(t - 1 if t > 0 else len(vts) + t)
+                    else:
+                        uvi.append(-1)
+                for j in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[j], idx[j + 1]))
+                    face_uv.append((uvi[0], uvi[j], uvi[j + 1]))
+                    face_mat.append(cur_mat)
+                    any_uv = any_uv or uvi[0] >= 0
+    if not verts:
+        raise ValueError(f"{path}: no vertices")
+
+    vertices = np.asarray(verts, np.float32)
+    faces_a = np.asarray(faces, np.int32).reshape(-1, 3)
+    f_count = faces_a.shape[0]
+
+    uvs = None
+    if any_uv and vts:
+        vt_a = np.asarray(vts, np.float32)
+        fuv = np.asarray(face_uv, np.int64).reshape(-1, 3)
+        uvs = np.zeros((f_count, 3, 2), np.float32)
+        valid = fuv >= 0
+        uvs[valid] = vt_a[np.clip(fuv, 0, vt_a.shape[0] - 1)][valid]
+
+    tri_color = None
+    tri_tex = None
+    textures = None
+    if mats and any(m is not None for m in face_mat):
+        from .texture import load_texture
+        tri_color = np.ones((f_count, 3), np.float32)
+        tri_tex = np.full(f_count, -1, np.int32)
+        tex_paths: dict = {}
+        textures = []
+        for i, name in enumerate(face_mat):
+            rec = mats.get(name) if name else None
+            if rec is None:
+                continue
+            tri_color[i] = rec[0]
+            tp = rec[1]
+            if tp and os.path.exists(tp):
+                if tp not in tex_paths:
+                    tex_paths[tp] = len(textures)
+                    textures.append(load_texture(tp))
+                tri_tex[i] = tex_paths[tp]
+        if not textures:
+            textures = None
+            tri_tex = None
+
+    return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
+                   tri_color=tri_color, tri_tex=tri_tex, textures=textures)
 
 
 def load_obj(path: str):
     """Returns (vertices [V,3] float32, faces [F,3] int32)."""
-    verts = []
-    faces = []
-    with open(path, "r", errors="replace") as f:
-        for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                verts.append((float(parts[1]), float(parts[2]),
-                              float(parts[3])))
-            elif line.startswith("f "):
-                idx = []
-                for tok in line.split()[1:]:
-                    i = tok.split("/")[0]
-                    k = int(i)
-                    idx.append(k - 1 if k > 0 else len(verts) + k)
-                for j in range(1, len(idx) - 1):
-                    faces.append((idx[0], idx[j], idx[j + 1]))
-    if not verts:
-        raise ValueError(f"{path}: no vertices")
-    return (np.asarray(verts, np.float32),
-            np.asarray(faces, np.int32).reshape(-1, 3))
+    m = load_obj_scene(path)
+    return m.vertices, m.faces

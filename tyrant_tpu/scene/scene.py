@@ -102,6 +102,15 @@ class SceneData:
     #       tiny-table gathers at full gather cost)
     tri_shade: jnp.ndarray
     sphere_table: jnp.ndarray
+    # Texture support (beyond-reference; scene/texture.py):
+    #   tri_uvtex [T+pad, 16]: v0.xyz, s1.xyz, s2.xyz, uv0.uv, du1.uv,
+    #       du2.uv, tex_id — ONE gather row per textured hit.  s1/s2 are the
+    #       dual basis of (e1, e2), so shade recovers barycentrics from the
+    #       hit POINT with two dots instead of threading u/v through the
+    #       packet kernels.
+    #   tex_data [N+1, 4]: the flat texel atlas (row 0 = white fallback)
+    tri_uvtex: jnp.ndarray = None
+    tex_data: jnp.ndarray = None
     # STATIC (pytree aux): True when every triangle uses the default
     # material (white DIFF — the reference's hard-wired behaviour).  The
     # shade stage then needs only the geometric normal per hit, which the
@@ -114,17 +123,28 @@ class SceneData:
     # uniformly per ray and weights by len(light_indices).  ``light_index``
     # above stays as the first entry (or -1) for the single-light fast path.
     light_indices: tuple = ()
+    # STATIC (pytree aux): per-texture (offset, height, width) rows of the
+    # atlas — a handful of compile-time constants folded into shade's select
+    # chain (a gathered meta row would pay the full gather wall)
+    tex_meta: tuple = ()
+
+    @property
+    def has_textures(self) -> bool:
+        return len(self.tex_meta) > 0
 
     def tree_flatten(self):
         return ((self.bvh, self.sphere_center, self.sphere_radius,
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
-                 self.tri_shade, self.sphere_table),
-                (self.tri_default_mat, self.light_indices))
+                 self.tri_shade, self.sphere_table, self.tri_uvtex,
+                 self.tex_data),
+                (self.tri_default_mat, self.light_indices, self.tex_meta))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, tri_default_mat=aux[0], light_indices=aux[1])
+        return cls(*leaves[:11], tri_default_mat=aux[0],
+                   light_indices=aux[1], tex_meta=aux[2],
+                   tri_uvtex=leaves[11], tex_data=leaves[12])
 
 
 @dataclasses.dataclass
@@ -139,6 +159,9 @@ class Scene:
     stats: dict
     tri_refl: Optional[np.ndarray] = None   # [T] i32, default DIFF
     tri_color: Optional[np.ndarray] = None  # [T, 3] f32, default white
+    tri_uv: Optional[np.ndarray] = None     # [T, 3, 2] per-corner texcoords
+    tri_tex: Optional[np.ndarray] = None    # [T] i32 texture id, -1 = none
+    textures: Optional[list] = None         # list of [H, W, 3] f32 linear
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -165,7 +188,16 @@ class Scene:
             z = np.zeros((0, 3), np.float32)
             return cls(spheres, z, z, z, None, {"nodes": 0})
 
-        vertices, faces = load_mesh(path)
+        tri_uv = tri_tex = textures = tri_color = None
+        if path.endswith(".obj"):
+            # full OBJ record: UVs + MTL Kd/map_Kd (beyond-reference)
+            from .obj import load_obj_scene
+            m = load_obj_scene(path)
+            vertices, faces = m.vertices, m.faces
+            tri_uv, tri_tex, textures = m.uvs, m.tri_tex, m.textures
+            tri_color = m.tri_color
+        else:
+            vertices, faces = load_mesh(path)
         vertices = vertices * np.float32(scale)  # Scene.cpp:14-16 unit-scale hook
         v0 = vertices[faces[:, 0]]
         v1 = vertices[faces[:, 1]]
@@ -180,18 +212,23 @@ class Scene:
         bvh = _build(tri_lo, tri_hi, bvh_cfg, builder)
         stats = bvh_stats(bvh)
         stats["triangles"] = int(tri_vert.shape[0])
-        return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats)
+        return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats,
+                   tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
+                   textures=textures)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
                        bvh_cfg: BVHConfig = BVHConfig(),
                        builder: str = "auto",
-                       tri_refl=None, tri_color=None) -> "Scene":
+                       tri_refl=None, tri_color=None,
+                       tri_uv=None, tri_tex=None, textures=None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
         per-triangle materials (default: white diffuse, the reference's
-        hard-wired behaviour, kernel.cu:380-384)."""
+        hard-wired behaviour, kernel.cu:380-384).  tri_uv [T,3,2] +
+        tri_tex [T] + textures (list of [H,W,3] f32) attach albedo
+        textures (beyond-reference, scene/texture.py)."""
         spheres = spheres or Spheres.default_seven()
         v0 = np.asarray(v0, np.float32)
         v1 = np.asarray(v1, np.float32)
@@ -205,7 +242,12 @@ class Scene:
                    tri_refl=None if tri_refl is None
                    else np.asarray(tri_refl, np.int32),
                    tri_color=None if tri_color is None
-                   else np.asarray(tri_color, np.float32))
+                   else np.asarray(tri_color, np.float32),
+                   tri_uv=None if tri_uv is None
+                   else np.asarray(tri_uv, np.float32),
+                   tri_tex=None if tri_tex is None
+                   else np.asarray(tri_tex, np.int32),
+                   textures=textures)
 
     def to_device(self) -> SceneData:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
@@ -252,6 +294,45 @@ class Scene:
         tri_shade[:, 3] = tri_refl.astype(np.float32)
         tri_shade[:, 4:7] = tri_color
 
+        # texture atlas + per-triangle UV/basis rows (beyond-reference;
+        # see texture.py for the one-gather-per-tap design)
+        has_tex = (self.textures is not None and len(self.textures) > 0
+                   and self.tri_uv is not None and self.tri_tex is not None
+                   and self.bvh is not None)
+        if has_tex:
+            from .texture import TextureAtlas
+            atlas = TextureAtlas.pack(self.textures)
+            perm = self.bvh.perm
+            uv = np.asarray(self.tri_uv, np.float32)[perm]      # [T, 3, 2]
+            tex = np.asarray(self.tri_tex, np.int32)[perm]      # [T]
+            e1 = self.tri_e1[perm].astype(np.float64)
+            e2 = self.tri_e2[perm].astype(np.float64)
+            d11 = np.sum(e1 * e1, axis=1)
+            d22 = np.sum(e2 * e2, axis=1)
+            d12 = np.sum(e1 * e2, axis=1)
+            det = np.maximum(d11 * d22 - d12 * d12, 1e-30)
+            s1 = (d22[:, None] * e1 - d12[:, None] * e2) / det[:, None]
+            s2 = (d11[:, None] * e2 - d12[:, None] * e1) / det[:, None]
+            t = uv.shape[0]
+            pad_n = bvh_dev.tri_packed.shape[0] - t
+            uvtex = np.zeros((t + pad_n, 16), np.float32)
+            uvtex[:t, 0:3] = self.tri_vert[perm]
+            uvtex[:t, 3:6] = s1
+            uvtex[:t, 6:9] = s2
+            uvtex[:t, 9:11] = uv[:, 0]
+            uvtex[:t, 11:13] = uv[:, 1] - uv[:, 0]
+            uvtex[:t, 13:15] = uv[:, 2] - uv[:, 0]
+            uvtex[:t, 15] = tex.astype(np.float32)
+            uvtex[t:, 15] = -1.0
+            tri_uvtex = jnp.asarray(uvtex)
+            tex_data = jnp.asarray(atlas.data)
+            tex_meta = tuple((float(o), float(h), float(w))
+                             for o, h, w in atlas.meta)
+        else:
+            tri_uvtex = jnp.zeros((4, 16), jnp.float32)
+            tex_data = jnp.ones((1, 4), jnp.float32)
+            tex_meta = ()
+
         s = self.spheres
         sphere_table = np.zeros((s.count, 12), np.float32)
         sphere_table[:, 0:3] = s.center
@@ -272,8 +353,12 @@ class Scene:
             tri_color=jnp.asarray(tri_color),
             tri_shade=jnp.asarray(tri_shade),
             sphere_table=jnp.asarray(sphere_table),
-            tri_default_mat=self.tri_refl is None and self.tri_color is None,
+            tri_uvtex=tri_uvtex,
+            tex_data=tex_data,
+            tri_default_mat=(self.tri_refl is None and self.tri_color is None
+                             and not has_tex),
             light_indices=light_list,
+            tex_meta=tex_meta,
         )
 
 

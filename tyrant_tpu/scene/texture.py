@@ -1,0 +1,125 @@
+"""Texture images and the flat device atlas.
+
+The reference has no texture support at all (every triangle shades as white
+diffuse, kernel.cu:380-384); this is a beyond-reference production feature.
+The TPU-first design constraint is the gather wall: a 2M-row gather costs
+~11-18 ms on v5e regardless of row width (scripts/gather_micro.py), so
+
+  * all textures are packed into ONE flat texel buffer ``data [N+1, 4]``
+    (rgb + pad) addressed by a single linear index — one gather per tap;
+  * per-texture metadata (offset/height/width) lives in a tiny host-side
+    table folded into the shade-time select chain (like sphere_table), never
+    gathered;
+  * bilinear filtering = 4 taps (4 gathers), nearest = 1 tap — selected by
+    ``RenderConfig.texture_filter``.
+
+8-bit images are decoded sRGB->linear (pow 2.2, the reference renderer's
+implied working space is linear radiance); float inputs are taken as-is.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def load_texture(path: str) -> np.ndarray:
+    """Decode an image file to a linear-light float32 [H, W, 3] array.
+
+    PNG/JPEG/BMP/... via PIL; .npy files (already-linear float arrays) are
+    loaded directly.  Rows run top-to-bottom in file order; OBJ vt
+    coordinates put v=0 at the BOTTOM, which :func:`TextureAtlas.sample`
+    accounts for (v flip at sample time, not load time).
+    """
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        arr = np.asarray(arr, np.float32)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return np.ascontiguousarray(arr[:, :, :3])
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    arr = np.asarray(img, np.uint8).astype(np.float32) / 255.0
+    # sRGB -> linear (gamma 2.2 approximation; the tonemap resolve applies
+    # the matching 1/2.2 on output, ops/tonemap.py)
+    return arr ** 2.2
+
+
+@dataclasses.dataclass
+class TextureAtlas:
+    """All scene textures packed into one flat texel buffer.
+
+    data  [N+1, 4] f32 — texel rgb + pad; row 0 is a white fallback so
+          untextured/degenerate taps read neutral albedo
+    meta  [K, 3] f32 — (offset, height, width) per texture, offsets into
+          ``data`` starting at 1
+    """
+
+    data: np.ndarray
+    meta: np.ndarray
+
+    @classmethod
+    def pack(cls, images: list) -> "TextureAtlas":
+        total = 1 + sum(int(im.shape[0] * im.shape[1]) for im in images)
+        data = np.ones((total, 4), np.float32)
+        meta = np.zeros((max(len(images), 1), 3), np.float32)
+        off = 1
+        for k, im in enumerate(images):
+            h, w = im.shape[0], im.shape[1]
+            flat = np.asarray(im[:, :, :3], np.float32).reshape(h * w, 3)
+            data[off:off + h * w, :3] = flat
+            meta[k] = (off, h, w)
+            off += h * w
+        return cls(data=data, meta=meta)
+
+    @property
+    def count(self) -> int:
+        return 0 if self.meta.shape[0] == 1 and self.meta[0, 2] == 0 \
+            else self.meta.shape[0]
+
+
+def sample_nearest_np(atlas: TextureAtlas, tex_id, u, v):
+    """Numpy reference for the shade-time sampler (used by tests/oracle).
+
+    OBJ convention: v=0 is the image bottom; data rows are stored
+    top-to-bottom, hence the (h-1 - y) flip.  Wrap mode: repeat.
+    """
+    tex_id = np.asarray(tex_id)
+    u = np.asarray(u) - np.floor(u)
+    v = np.asarray(v) - np.floor(v)
+    k = np.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    off = atlas.meta[k, 0].astype(np.int64)
+    h = atlas.meta[k, 1].astype(np.int64)
+    w = atlas.meta[k, 2].astype(np.int64)
+    x = np.minimum((u * w).astype(np.int64), np.maximum(w - 1, 0))
+    y = np.minimum((v * h).astype(np.int64), np.maximum(h - 1, 0))
+    idx = np.where(tex_id >= 0, off + (h - 1 - y) * w + x, 0)
+    return atlas.data[idx, :3]
+
+
+def sample_bilinear_np(atlas: TextureAtlas, tex_id, u, v):
+    """Numpy reference for bilinear taps (half-texel centred, repeat wrap)."""
+    tex_id = np.asarray(tex_id)
+    u = np.asarray(u, np.float64) - np.floor(u)
+    v = np.asarray(v, np.float64) - np.floor(v)
+    k = np.clip(tex_id, 0, atlas.meta.shape[0] - 1)
+    off = atlas.meta[k, 0].astype(np.int64)
+    h = atlas.meta[k, 1].astype(np.int64)
+    w = atlas.meta[k, 2].astype(np.int64)
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def tap(xi, yi):
+        xi = np.mod(xi, np.maximum(w, 1))
+        yi = np.mod(yi, np.maximum(h, 1))
+        idx = off + (h - 1 - yi) * w + xi
+        return atlas.data[np.where(tex_id >= 0, idx, 0), :3]
+
+    c = (tap(x0, y0) * (1 - ax) * (1 - ay) + tap(x0 + 1, y0) * ax * (1 - ay)
+         + tap(x0, y0 + 1) * (1 - ax) * ay + tap(x0 + 1, y0 + 1) * ax * ay)
+    return c.astype(np.float32)
