@@ -221,5 +221,5 @@ def test_untextured_scene_has_dummy_leaves():
     v2 = np.array([[0, 1, 0]], np.float32)
     sd = Scene.from_triangles(v0, v1, v2, builder="numpy").to_device()
     assert not sd.has_textures
-    assert sd.tri_uvtex.shape == (4, 16)
+    assert sd.tri_attr.shape == (4, 32)
     assert sd.tex_data.shape == (1, 4)

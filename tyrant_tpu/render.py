@@ -352,22 +352,34 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         normal_tri = trow[:, 0:3]
         refl_tri = trow[:, 3].astype(jnp.int32)
         color_tri = trow[:, 4:7]
+        if scene.has_textures or scene.smooth_normals:
+            # per-triangle attribute row (beyond-reference): barycentrics
+            # recovered from the pre-offset hit point ``o`` via the
+            # precomputed dual basis (two dots), then textures and/or
+            # interpolated vertex normals from the same gathered row
+            arow = scene.tri_attr[tid]  # [N, 32]
+            p_rel = o - arow[:, 0:3]
+            bu = dot(p_rel, arow[:, 3:6])
+            bv = dot(p_rel, arow[:, 6:9])
         if scene.has_textures:
-            # albedo texture (beyond-reference): recover barycentrics from
-            # the hit point via the precomputed dual basis (two dots), then
-            # 1 or 4 atlas taps (cfg.texture_filter).  Uses the pre-offset
-            # hit point ``o``.
-            urow = scene.tri_uvtex[tid]  # [N, 16]
-            p_rel = o - urow[:, 0:3]
-            bu = dot(p_rel, urow[:, 3:6])
-            bv = dot(p_rel, urow[:, 6:9])
-            uv_t = urow[:, 9:11] + bu[:, None] * urow[:, 11:13] \
-                + bv[:, None] * urow[:, 13:15]
-            texid = urow[:, 15].astype(jnp.int32)
+            # albedo texture: 1 or 4 atlas taps (cfg.texture_filter)
+            uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
+                + bv[:, None] * arow[:, 13:15]
+            texid = arow[:, 15].astype(jnp.int32)
             albedo = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
                                      cfg.texture_filter)
             color_tri = color_tri * jnp.where((texid >= 0)[:, None],
                                               albedo, 1.0)
+        if scene.smooth_normals:
+            # smooth shading: normal interpolated across the triangle
+            # (the reference requests Assimp GenSmoothNormals then never
+            # reads the result, Scene.cpp:5 / static_mesh.cpp:18)
+            ns = arow[:, 16:19] + bu[:, None] * arow[:, 19:22] \
+                + bv[:, None] * arow[:, 22:25]
+            nlen = jnp.sqrt(jnp.maximum(dot(ns, ns), 1e-20))
+            ns = ns / nlen[:, None]
+            normal_tri = jnp.where((arow[:, 25] > 0.5)[:, None],
+                                   ns, normal_tri)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the

@@ -29,6 +29,7 @@ class ObjMesh:
     tri_color: np.ndarray | None  # [F, 3] f32 Kd per triangle (or None)
     tri_tex: np.ndarray | None  # [F] i32 texture index, -1 = none (or None)
     textures: list | None       # list of [H, W, 3] f32 linear images
+    normals: np.ndarray | None = None  # [F, 3, 3] f32 per-corner vn
 
 
 def _parse_mtl(path: str):
@@ -57,12 +58,15 @@ def load_obj_scene(path: str) -> ObjMesh:
     """Full OBJ parse: fan triangulation, negative indices, vt, mtllib."""
     verts: list = []
     vts: list = []
+    vns: list = []
     faces: list = []
     face_uv: list = []
+    face_vn: list = []
     face_mat: list = []
     mats: dict = {}
     cur_mat = None
     any_uv = False
+    any_vn = False
     base = os.path.dirname(path)
     with open(path, "r", errors="replace") as f:
         for line in f:
@@ -73,6 +77,9 @@ def load_obj_scene(path: str) -> ObjMesh:
                 p = line.split()
                 vts.append((float(p[1]),
                             float(p[2]) if len(p) > 2 else 0.0))
+            elif line.startswith("vn "):
+                p = line.split()
+                vns.append((float(p[1]), float(p[2]), float(p[3])))
             elif line.startswith("mtllib "):
                 mp = os.path.join(base, line.split(None, 1)[1].strip())
                 if os.path.exists(mp):
@@ -85,6 +92,7 @@ def load_obj_scene(path: str) -> ObjMesh:
             elif line.startswith("f "):
                 idx = []
                 uvi = []
+                nvi = []
                 for tok in line.split()[1:]:
                     comps = tok.split("/")
                     k = int(comps[0])
@@ -94,11 +102,18 @@ def load_obj_scene(path: str) -> ObjMesh:
                         uvi.append(t - 1 if t > 0 else len(vts) + t)
                     else:
                         uvi.append(-1)
+                    if len(comps) > 2 and comps[2]:
+                        nn = int(comps[2])
+                        nvi.append(nn - 1 if nn > 0 else len(vns) + nn)
+                    else:
+                        nvi.append(-1)
                 for j in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[j], idx[j + 1]))
                     face_uv.append((uvi[0], uvi[j], uvi[j + 1]))
+                    face_vn.append((nvi[0], nvi[j], nvi[j + 1]))
                     face_mat.append(cur_mat)
                     any_uv = any_uv or uvi[0] >= 0
+                    any_vn = any_vn or nvi[0] >= 0
     if not verts:
         raise ValueError(f"{path}: no vertices")
 
@@ -113,6 +128,14 @@ def load_obj_scene(path: str) -> ObjMesh:
         uvs = np.zeros((f_count, 3, 2), np.float32)
         valid = fuv >= 0
         uvs[valid] = vt_a[np.clip(fuv, 0, vt_a.shape[0] - 1)][valid]
+
+    normals = None
+    if any_vn and vns:
+        vn_a = np.asarray(vns, np.float32)
+        fvn = np.asarray(face_vn, np.int64).reshape(-1, 3)
+        normals = np.zeros((f_count, 3, 3), np.float32)
+        valid = fvn >= 0
+        normals[valid] = vn_a[np.clip(fvn, 0, vn_a.shape[0] - 1)][valid]
 
     tri_color = None
     tri_tex = None
@@ -139,7 +162,8 @@ def load_obj_scene(path: str) -> ObjMesh:
             tri_tex = None
 
     return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
-                   tri_color=tri_color, tri_tex=tri_tex, textures=textures)
+                   tri_color=tri_color, tri_tex=tri_tex, textures=textures,
+                   normals=normals)
 
 
 def load_obj(path: str):

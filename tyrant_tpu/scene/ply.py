@@ -37,6 +37,14 @@ def _strip_comment(line: str) -> str:
 
 def load_ply(path: str):
     """Returns (vertices [V,3] float32, faces [F,3] int32)."""
+    return load_ply_full(path)[:2]
+
+
+def load_ply_full(path: str):
+    """Returns (vertices [V,3] f32, faces [F,3] i32, normals [V,3] f32 or
+    None).  Vertex normals (nx/ny/nz properties) feed smooth shading
+    (beyond-reference: the reference requests Assimp GenSmoothNormals,
+    Scene.cpp:5, then never reads the result, static_mesh.cpp:18)."""
     with open(path, "rb") as f:
         data = f.read()
 
@@ -73,6 +81,7 @@ def load_ply(path: str):
         raise ValueError(f"{path}: unsupported PLY format {fmt!r}")
 
     vertices = None
+    normals = None
     faces = []
 
     if fmt == "ascii":
@@ -91,6 +100,9 @@ def load_ply(path: str):
                 names = [p[0] for p in props]
                 xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
                 vertices = arr[:, [xi, yi, zi]].astype(np.float32)
+                if all(k in names for k in ("nx", "ny", "nz")):
+                    normals = arr[:, [names.index("nx"), names.index("ny"),
+                                      names.index("nz")]].astype(np.float32)
                 pos += count * width
             elif name == "face":
                 for _ in range(count):
@@ -111,6 +123,9 @@ def load_ply(path: str):
                 off += dt.itemsize * count
                 vertices = np.stack([arr["x"], arr["y"], arr["z"]],
                                     axis=1).astype(np.float32)
+                if all(k in dt.names for k in ("nx", "ny", "nz")):
+                    normals = np.stack([arr["nx"], arr["ny"], arr["nz"]],
+                                       axis=1).astype(np.float32)
             elif name == "face":
                 # faces: one list property (vertex indices)
                 lp = [p for p in props if p[2]][0]
@@ -140,4 +155,5 @@ def load_ply(path: str):
 
     if vertices is None:
         raise ValueError(f"{path}: no vertex element")
-    return vertices, np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+    return (vertices, np.asarray(faces, dtype=np.int32).reshape(-1, 3),
+            normals)

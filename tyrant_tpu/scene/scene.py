@@ -102,14 +102,16 @@ class SceneData:
     #       tiny-table gathers at full gather cost)
     tri_shade: jnp.ndarray
     sphere_table: jnp.ndarray
-    # Texture support (beyond-reference; scene/texture.py):
-    #   tri_uvtex [T+pad, 16]: v0.xyz, s1.xyz, s2.xyz, uv0.uv, du1.uv,
-    #       du2.uv, tex_id — ONE gather row per textured hit.  s1/s2 are the
-    #       dual basis of (e1, e2), so shade recovers barycentrics from the
-    #       hit POINT with two dots instead of threading u/v through the
-    #       packet kernels.
+    # Per-triangle attribute rows (beyond-reference: textures +
+    # smooth vertex normals; scene/texture.py for the atlas design):
+    #   tri_attr [T+pad, 32]: v0.xyz, s1.xyz, s2.xyz (dual basis of
+    #       (e1, e2) — shade recovers barycentrics from the hit POINT with
+    #       two dots instead of threading u/v through the packet kernels),
+    #       uv0.uv, du1.uv, du2.uv, tex_id | n0.xyz, dn1.xyz, dn2.xyz,
+    #       smooth-flag, pad.  ONE gather row per hit covers BOTH features
+    #       (gather cost is row-width independent, scripts/gather_micro.py).
     #   tex_data [N+1, 4]: the flat texel atlas (row 0 = white fallback)
-    tri_uvtex: jnp.ndarray = None
+    tri_attr: jnp.ndarray = None
     tex_data: jnp.ndarray = None
     # STATIC (pytree aux): True when every triangle uses the default
     # material (white DIFF — the reference's hard-wired behaviour).  The
@@ -127,6 +129,8 @@ class SceneData:
     # atlas — a handful of compile-time constants folded into shade's select
     # chain (a gathered meta row would pay the full gather wall)
     tex_meta: tuple = ()
+    # STATIC (pytree aux): tri_attr carries interpolated vertex normals
+    smooth_normals: bool = False
 
     @property
     def has_textures(self) -> bool:
@@ -136,15 +140,17 @@ class SceneData:
         return ((self.bvh, self.sphere_center, self.sphere_radius,
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
-                 self.tri_shade, self.sphere_table, self.tri_uvtex,
+                 self.tri_shade, self.sphere_table, self.tri_attr,
                  self.tex_data),
-                (self.tri_default_mat, self.light_indices, self.tex_meta))
+                (self.tri_default_mat, self.light_indices, self.tex_meta,
+                 self.smooth_normals))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves[:11], tri_default_mat=aux[0],
                    light_indices=aux[1], tex_meta=aux[2],
-                   tri_uvtex=leaves[11], tex_data=leaves[12])
+                   smooth_normals=aux[3],
+                   tri_attr=leaves[11], tex_data=leaves[12])
 
 
 @dataclasses.dataclass
@@ -162,6 +168,7 @@ class Scene:
     tri_uv: Optional[np.ndarray] = None     # [T, 3, 2] per-corner texcoords
     tri_tex: Optional[np.ndarray] = None    # [T] i32 texture id, -1 = none
     textures: Optional[list] = None         # list of [H, W, 3] f32 linear
+    tri_vn: Optional[np.ndarray] = None     # [T, 3, 3] per-corner normals
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -188,14 +195,22 @@ class Scene:
             z = np.zeros((0, 3), np.float32)
             return cls(spheres, z, z, z, None, {"nodes": 0})
 
-        tri_uv = tri_tex = textures = tri_color = None
+        tri_uv = tri_tex = textures = tri_color = tri_vn = None
         if path.endswith(".obj"):
-            # full OBJ record: UVs + MTL Kd/map_Kd (beyond-reference)
+            # full OBJ record: UVs + MTL Kd/map_Kd + vn (beyond-reference)
             from .obj import load_obj_scene
             m = load_obj_scene(path)
             vertices, faces = m.vertices, m.faces
             tri_uv, tri_tex, textures = m.uvs, m.tri_tex, m.textures
             tri_color = m.tri_color
+            tri_vn = m.normals
+        elif path.endswith(".ply") and _ply_has_normals(path):
+            # vertex normals present: the python loader extracts them for
+            # smooth shading (the native fast path returns positions only)
+            from .ply import load_ply_full
+            vertices, faces, vnorm = load_ply_full(path)
+            if vnorm is not None:
+                tri_vn = vnorm[faces]  # [F, 3, 3]
         else:
             vertices, faces = load_mesh(path)
         vertices = vertices * np.float32(scale)  # Scene.cpp:14-16 unit-scale hook
@@ -214,14 +229,15 @@ class Scene:
         stats["triangles"] = int(tri_vert.shape[0])
         return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats,
                    tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
-                   textures=textures)
+                   textures=textures, tri_vn=tri_vn)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
                        bvh_cfg: BVHConfig = BVHConfig(),
                        builder: str = "auto",
                        tri_refl=None, tri_color=None,
-                       tri_uv=None, tri_tex=None, textures=None) -> "Scene":
+                       tri_uv=None, tri_tex=None, textures=None,
+                       tri_vn=None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
@@ -247,7 +263,9 @@ class Scene:
                    else np.asarray(tri_uv, np.float32),
                    tri_tex=None if tri_tex is None
                    else np.asarray(tri_tex, np.int32),
-                   textures=textures)
+                   textures=textures,
+                   tri_vn=None if tri_vn is None
+                   else np.asarray(tri_vn, np.float32))
 
     def to_device(self) -> SceneData:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
@@ -294,17 +312,15 @@ class Scene:
         tri_shade[:, 3] = tri_refl.astype(np.float32)
         tri_shade[:, 4:7] = tri_color
 
-        # texture atlas + per-triangle UV/basis rows (beyond-reference;
-        # see texture.py for the one-gather-per-tap design)
+        # texture atlas + per-triangle attribute rows (beyond-reference:
+        # textures AND smooth vertex normals share one [T+pad, 32] gather
+        # row; see texture.py for the one-gather-per-tap atlas design)
         has_tex = (self.textures is not None and len(self.textures) > 0
                    and self.tri_uv is not None and self.tri_tex is not None
                    and self.bvh is not None)
-        if has_tex:
-            from .texture import TextureAtlas
-            atlas = TextureAtlas.pack(self.textures)
+        has_smooth = self.tri_vn is not None and self.bvh is not None
+        if has_tex or has_smooth:
             perm = self.bvh.perm
-            uv = np.asarray(self.tri_uv, np.float32)[perm]      # [T, 3, 2]
-            tex = np.asarray(self.tri_tex, np.int32)[perm]      # [T]
             e1 = self.tri_e1[perm].astype(np.float64)
             e2 = self.tri_e2[perm].astype(np.float64)
             d11 = np.sum(e1 * e1, axis=1)
@@ -313,23 +329,37 @@ class Scene:
             det = np.maximum(d11 * d22 - d12 * d12, 1e-30)
             s1 = (d22[:, None] * e1 - d12[:, None] * e2) / det[:, None]
             s2 = (d11[:, None] * e2 - d12[:, None] * e1) / det[:, None]
-            t = uv.shape[0]
+            t = self.tri_vert.shape[0]
             pad_n = bvh_dev.tri_packed.shape[0] - t
-            uvtex = np.zeros((t + pad_n, 16), np.float32)
-            uvtex[:t, 0:3] = self.tri_vert[perm]
-            uvtex[:t, 3:6] = s1
-            uvtex[:t, 6:9] = s2
-            uvtex[:t, 9:11] = uv[:, 0]
-            uvtex[:t, 11:13] = uv[:, 1] - uv[:, 0]
-            uvtex[:t, 13:15] = uv[:, 2] - uv[:, 0]
-            uvtex[:t, 15] = tex.astype(np.float32)
-            uvtex[t:, 15] = -1.0
-            tri_uvtex = jnp.asarray(uvtex)
-            tex_data = jnp.asarray(atlas.data)
-            tex_meta = tuple((float(o), float(h), float(w))
-                             for o, h, w in atlas.meta)
+            attr = np.zeros((t + pad_n, 32), np.float32)
+            attr[:t, 0:3] = self.tri_vert[perm]
+            attr[:t, 3:6] = s1
+            attr[:t, 6:9] = s2
+            attr[:, 15] = -1.0
+            if has_tex:
+                from .texture import TextureAtlas
+                atlas = TextureAtlas.pack(self.textures)
+                uv = np.asarray(self.tri_uv, np.float32)[perm]  # [T, 3, 2]
+                attr[:t, 9:11] = uv[:, 0]
+                attr[:t, 11:13] = uv[:, 1] - uv[:, 0]
+                attr[:t, 13:15] = uv[:, 2] - uv[:, 0]
+                attr[:t, 15] = np.asarray(self.tri_tex, np.int32)[perm]
+                tex_data = jnp.asarray(atlas.data)
+                tex_meta = tuple((float(o), float(h), float(w))
+                                 for o, h, w in atlas.meta)
+            else:
+                tex_data = jnp.ones((1, 4), jnp.float32)
+                tex_meta = ()
+            if has_smooth:
+                vn = np.asarray(self.tri_vn, np.float32)[perm]  # [T, 3, 3]
+                ok = (np.linalg.norm(vn, axis=2) > 1e-8).all(axis=1)
+                attr[:t, 16:19] = vn[:, 0]
+                attr[:t, 19:22] = vn[:, 1] - vn[:, 0]
+                attr[:t, 22:25] = vn[:, 2] - vn[:, 0]
+                attr[:t, 25] = ok.astype(np.float32)
+            tri_attr = jnp.asarray(attr)
         else:
-            tri_uvtex = jnp.zeros((4, 16), jnp.float32)
+            tri_attr = jnp.zeros((4, 32), jnp.float32)
             tex_data = jnp.ones((1, 4), jnp.float32)
             tex_meta = ()
 
@@ -353,13 +383,24 @@ class Scene:
             tri_color=jnp.asarray(tri_color),
             tri_shade=jnp.asarray(tri_shade),
             sphere_table=jnp.asarray(sphere_table),
-            tri_uvtex=tri_uvtex,
+            tri_attr=tri_attr,
             tex_data=tex_data,
             tri_default_mat=(self.tri_refl is None and self.tri_color is None
-                             and not has_tex),
+                             and not has_tex and not has_smooth),
             light_indices=light_list,
             tex_meta=tex_meta,
+            smooth_normals=has_smooth,
         )
+
+
+def _ply_has_normals(path: str) -> bool:
+    """Header sniff: does this PLY carry nx/ny/nz vertex properties?"""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4096)
+        return b" nx" in head[:head.find(b"end_header") + 1 or None]
+    except OSError:
+        return False
 
 
 def load_mesh(path: str):
