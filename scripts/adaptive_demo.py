@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--size", default="320x240")
     ap.add_argument("--rays", type=int, default=1 << 17)
     ap.add_argument("--interval", type=int, default=4)
+    ap.add_argument("--sun", type=float, nargs=2, default=(0.05, 0.3),
+                    help="sun position; (x, -0.5) puts the sun below the "
+                         "horizon so the area light dominates (hard "
+                         "penumbrae = strong variance dispersion)")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
 
@@ -53,7 +57,7 @@ def main():
         cfg = RenderConfig(width=w, height=h, num_rays=args.rays,
                            adaptive_sampling=mode,
                            adaptive_interval=interval)
-        r = Renderer(scene, cfg)
+        r = Renderer(scene, cfg, sun_position=tuple(args.sun))
         t0 = time.time()
         done = 0
         while done < steps:

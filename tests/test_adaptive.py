@@ -94,9 +94,11 @@ def test_build_perm_prioritises_high_variance():
     noisy = np.arange(16) * 16  # ...except these pixels
     m2[noisy, :3] = 8.0
     perm = np.asarray(build_perm(jnp.asarray(accum), jnp.asarray(m2),
-                                 jnp.asarray(0.0, jnp.float32), gamma=2.0))
+                                 jnp.asarray(0.0, jnp.float32), gamma=1.0))
     assert perm.shape == (p,)
     assert ((perm >= 0) & (perm < p)).all()
+    # monotonic in pixel id: raster-coherent visit order
+    assert (np.diff(perm) >= 0).all()
     counts = np.bincount(perm, minlength=p)
     mean_noisy = counts[noisy].mean()
     quiet = np.setdiff1d(np.arange(p), noisy)
@@ -113,11 +115,13 @@ def test_build_perm_unsampled_first():
     accum[hole, 3] = 0.0        # never sampled
     m2[hole, 3] = 0.0
     perm = np.asarray(build_perm(jnp.asarray(accum), jnp.asarray(m2),
-                                 jnp.asarray(0.0, jnp.float32), gamma=2.0))
-    # unsampled pixels occupy the very front of the visit order: with
-    # gamma=2 and p=256, slots 0..63 map to ranks floor(i^2/256) = 0..15,
-    # which must all be the 16 hole pixels
-    np.testing.assert_array_equal(np.unique(perm[:64]), hole)
+                                 jnp.asarray(0.0, jnp.float32), gamma=1.0))
+    # unsampled pixels take the maximum observed error weight, so they
+    # receive more visit slots than the (zero-variance) sampled pixels
+    counts = np.bincount(perm, minlength=p)
+    sampled = np.setdiff1d(np.arange(p), hole)
+    assert counts[hole].min() >= counts[sampled].max()
+    assert counts[hole].mean() > 1.5 * counts[sampled].mean()
 
 
 def test_renderer_end_to_end_adaptive():

@@ -16,14 +16,23 @@ The wavefront-native spelling here keeps everything dense and fixed-shape:
   * raygen walks that permutation instead of the raster scan, so the
     wavefront machinery (top-off, carry, compaction) is untouched.
 
-Allocation is a power law over error rank: visit slot ``i`` samples the
-pixel ranked ``floor(P * (i/P)**gamma)``, so with gamma=2 the top-ranked
-pixel receives ~sqrt(P/ rank) visits per cycle while the bottom half
-receives ~0.7x uniform.  A golden-ratio phase jitter per rebuild shifts
-which low-priority ranks are skipped, so coverage holes rotate instead of
-persisting.  The per-pixel estimator (radiance sum / path count, resolved
-in ops/tonemap.py) is unbiased under ANY visit schedule, so adaptive
+Allocation follows the variance-optimal rule: pixel ``i`` receives visit
+slots in proportion to ``w_i = (err_i + floor)**gamma`` (for minimising
+the summed per-pixel variance under a fixed ray budget the optimum is
+``n_i proportional to sigma_i``, i.e. gamma=1 over the standard-error
+estimate).  The permutation is the inverse CDF of the weights sampled at
+P equispaced points — which also makes it MONOTONIC in pixel id, so
+raygen's visit order stays raster-coherent (the packet-coherence property
+the uniform scan had).  A golden-ratio phase jitter per rebuild rotates
+which fractional slots round up, so low-weight pixels cycle rather than
+starve.  The per-pixel estimator (radiance sum / path count, resolved in
+ops/tonemap.py) is unbiased under ANY visit schedule, so adaptive
 sampling changes variance distribution, never the converged image.
+
+An earlier power-law-over-error-RANK allocation measured 0.98x (no win):
+it over-concentrated on the top ranks (1124 visits on one pixel buys
+1/sqrt(n) almost nothing) while starving the bulk — allocation must track
+the error MAGNITUDES, not their order (scripts/adaptive_demo.py).
 """
 
 from __future__ import annotations
@@ -33,25 +42,25 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# error levels for the visit-order key: pixels of equal level are visited
-# in raster order, which keeps primary packets spatially coherent (the
-# raygen analog of the compaction sort's spatial keys)
-_LEVELS = 64
 # error floor added to the mean luminance: avoids near-black pixels with
 # tiny absolute noise dominating the relative-error ranking
 _LUM_FLOOR = 0.05
+# minimum weight, as a fraction of the mean error: every pixel keeps
+# receiving at least ~20% of a uniform share, so coverage never collapses
+_WEIGHT_FLOOR = 0.25
 
 
 @partial(jax.jit, static_argnames=("gamma",))
 def build_perm(accum: jnp.ndarray, moment2: jnp.ndarray, phase: jnp.ndarray,
-               gamma: float = 2.0) -> jnp.ndarray:
-    """accum/moment2 [P, 4] -> visit permutation [P] i32 (with repetition).
+               gamma: float = 1.0) -> jnp.ndarray:
+    """accum/moment2 [P, 4] -> visit schedule [P] i32 (with repetition,
+    monotonic in pixel id).
 
-    Priority = relative standard error of the per-pixel mean, from the
+    Weight = relative standard error of the per-pixel mean, from the
     running first/second moments (per-channel variances summed — a ranking
-    heuristic, not an exact luminance variance).  Unsampled pixels rank
-    first.  ``phase`` in [0, 1) rotates which ranks the power-law visit
-    curve lands on between rebuilds.
+    heuristic, not an exact luminance variance), to the power ``gamma``.
+    Unsampled pixels take the maximum observed error.  ``phase`` in [0, 1)
+    shifts the CDF sample points between rebuilds.
     """
     p = accum.shape[0]
     cnt = accum[:, 3]
@@ -63,19 +72,23 @@ def build_perm(accum: jnp.ndarray, moment2: jnp.ndarray, phase: jnp.ndarray,
     err = jnp.sqrt(var / n) / (lum + _LUM_FLOOR)
 
     emax = jnp.max(jnp.where(cnt >= 1.0, err, 0.0))
-    level = jnp.clip((err / (emax + 1e-20) * (_LEVELS - 1)).astype(jnp.int32),
-                     0, _LEVELS - 1)
-    level = jnp.where(cnt < 1.0, _LEVELS - 1, level)
+    err = jnp.where(cnt < 1.0, jnp.maximum(emax, 1e-6), err)
+    # exploration term (upper-confidence style): sigma-hat from a handful
+    # of samples is itself noisy — a pixel that happened to draw similar
+    # values would be starved and never self-correct.  Inflate low-count
+    # pixels by the population mean error scaled by 1/sqrt(n); decays as
+    # evidence accumulates.
+    ebar = jnp.mean(err) + 1e-12
+    err = err + ebar * jax.lax.rsqrt(n)
+    w = jnp.power(err + _WEIGHT_FLOOR * ebar, gamma)
 
-    # descending level, ascending pixel id within a level (raster coherence)
-    key = (_LEVELS - 1 - level) * p + jnp.arange(p, dtype=jnp.int32)
-    _, ranked = jax.lax.sort((key, jnp.arange(p, dtype=jnp.int32)),
-                             num_keys=1)
-
-    i = jnp.arange(p, dtype=jnp.float32)
-    u = (i + phase.astype(jnp.float32)) / p
-    r = jnp.minimum((jnp.power(u, gamma) * p).astype(jnp.int32), p - 1)
-    return ranked[r]
+    cdf = jnp.cumsum(w.astype(jnp.float64)
+                     if jax.config.jax_enable_x64 else w)
+    cdf = cdf / cdf[-1]
+    targets = (jnp.arange(p, dtype=jnp.float32)
+               + phase.astype(jnp.float32)) / p
+    perm = jnp.searchsorted(cdf, targets, side="right")
+    return jnp.clip(perm, 0, p - 1).astype(jnp.int32)
 
 
 def identity_perm(p: int) -> jnp.ndarray:

@@ -36,6 +36,12 @@ def _add_common(p):
     p.add_argument("--scale", type=float, default=1.0, help="mesh unit scale")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="firefly clamp: per-bounce radiance bound (0 = off)")
+    p.add_argument("--tonemap", default="reinhard",
+                   choices=["reinhard", "aces"])
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--envmap", default=None,
+                   help="equirect environment map (png/jpg/npy) replacing "
+                        "the analytic sun/sky on the miss path")
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive sampling: direct the ray budget at "
                         "high-variance pixels (adaptive.py)")
@@ -57,7 +63,9 @@ def _build(args):
                        adaptive_sampling="on" if getattr(args, "adaptive",
                                                          False) else "off",
                        texture_filter=getattr(args, "texture_filter",
-                                              "bilinear"))
+                                              "bilinear"),
+                       tonemap=getattr(args, "tonemap", "reinhard"),
+                       exposure=getattr(args, "exposure", 1.0))
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()
@@ -67,7 +75,8 @@ def _build(args):
                           color=s.color[keep], emission=s.emission[keep],
                           refl=s.refl[keep])
     scene = Scene.load(args.scene, spheres=spheres, scale=args.scale,
-                       builder=args.builder)
+                       builder=args.builder,
+                       envmap=getattr(args, "envmap", None))
     print(f"scene: {scene.stats}", file=sys.stderr)
     cam = Camera()
     if args.camera:

@@ -123,10 +123,16 @@ class RenderConfig:
     adaptive_sampling: str = "off"
     # steps between priority-permutation rebuilds
     adaptive_interval: int = 16
-    # visit-allocation concentration: slot i samples the pixel ranked
-    # floor(P * (i/P)^gamma) by error — gamma 1.0 = uniform, 2.0 gives the
-    # top-ranked pixels ~P/(2i) visits (adaptive.py)
-    adaptive_gamma: float = 2.0
+    # visit-allocation exponent: pixel i gets slots proportional to
+    # (relative standard error)^gamma — 1.0 is the variance-optimal
+    # n_i ∝ σ_i rule, 0.0 degenerates to uniform (adaptive.py)
+    adaptive_gamma: float = 1.0
+    # Tone-mapping operator for the framebuffer resolve: "reinhard" (the
+    # reference's cl/(cl+1), kernel.cu:655) or "aces" (filmic fit —
+    # beyond-reference production option); ``exposure`` pre-scales
+    # radiance before the curve.
+    tonemap: str = "reinhard"
+    exposure: float = 1.0
     # Texture filtering for scenes with albedo textures (beyond-reference,
     # scene/texture.py): "bilinear" = 4 atlas taps (4 row gathers/2M),
     # "nearest" = 1 tap.  No cost for untextured scenes (the branch is
@@ -151,6 +157,7 @@ class RenderConfig:
                 ("use_kernel_normals", ("on", "off")),
                 ("fuse_step_chains", ("auto", "on", "off")),
                 ("texture_filter", ("bilinear", "nearest")),
+                ("tonemap", ("reinhard", "aces")),
                 ("adaptive_sampling", ("on", "off"))):
             v = getattr(self, field)
             if v not in allowed:
@@ -158,9 +165,9 @@ class RenderConfig:
                                  f"{allowed}")
         if self.adaptive_interval < 1:
             raise ValueError("adaptive_interval must be >= 1")
-        if self.adaptive_gamma < 1.0:
-            raise ValueError("adaptive_gamma must be >= 1.0 "
-                             "(1.0 = uniform allocation)")
+        if self.adaptive_gamma < 0.0:
+            raise ValueError("adaptive_gamma must be >= 0.0 "
+                             "(0 = uniform allocation)")
 
     @property
     def num_pixels(self) -> int:

@@ -11,12 +11,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def resolve(accum: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+def resolve(accum: jnp.ndarray, width: int, height: int,
+            operator: str = "reinhard",
+            exposure: float = 1.0) -> jnp.ndarray:
     """accum: [H*W, 4] (rgb = radiance sum, a = completed path count).
-    Returns [H, W, 3] float32 in [0, 1]."""
+    Returns [H, W, 3] float32 in [0, 1].
+
+    operator: "reinhard" (the reference's cl/(cl+1), kernel.cu:655) or
+    "aces" (Narkowicz's ACES filmic fit — beyond-reference production
+    option).  ``exposure`` scales radiance before the curve."""
     counts = jnp.maximum(accum[:, 3:4], 1e-8)
-    cl = accum[:, :3] / counts
-    cl = cl / (cl + 1.0)
+    cl = accum[:, :3] / counts * exposure
+    if operator == "aces":
+        a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+        cl = (cl * (a * cl + b)) / (cl * (c * cl + d) + e)
+    else:
+        cl = cl / (cl + 1.0)
     img = jnp.power(jnp.clip(cl, 0.0, 1.0), 1.0 / 2.2)
     return img.reshape(height, width, 3)
 

@@ -166,7 +166,8 @@ def assemble_image(state: RenderState, cfg: RenderConfig):
     """Framebuffer gather — the one cross-device operation (SURVEY.md §2.3).
     The accum array is already the full image in row-strip order."""
     from ..ops.tonemap import resolve
-    return resolve(state.accum, cfg.width, cfg.height)
+    return resolve(state.accum, cfg.width, cfg.height,
+                   operator=cfg.tonemap, exposure=cfg.exposure)
 
 
 class ShardedRenderer:

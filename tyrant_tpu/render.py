@@ -309,6 +309,39 @@ def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str):
             + tap(x0, y1) * (1 - ax) * ay + tap(x1, y1) * ax * ay)
 
 
+def _sample_envmap(scene: SceneData, d, filter_mode: str):
+    """Equirectangular environment radiance for directions ``d`` [N, 3]
+    (beyond-reference; z-up like the atmosphere model, sky.py).  u wraps in
+    azimuth; v clamps at the poles.  1 tap nearest / 4 taps bilinear into
+    the flat env_data rows (offset 1; row 0 is a neutral fallback)."""
+    eh, ew = int(scene.env_meta[0]), int(scene.env_meta[1])
+    u = jnp.arctan2(d[:, 1], d[:, 0]) * (0.5 * INV_PI) + 0.5
+    v = jnp.arccos(jnp.clip(d[:, 2], -1.0, 1.0)) * INV_PI  # 0 = zenith
+    n_rows = scene.env_data.shape[0]
+
+    def tap(xi, yi):
+        yi = jnp.clip(yi, 0, eh - 1)  # clamp at poles
+        idx = jnp.clip(1 + yi * ew + xi, 0, n_rows - 1)
+        return jnp.take(scene.env_data, idx, axis=0)[:, :3]
+
+    if filter_mode == "nearest":
+        x = jnp.minimum((u * ew).astype(jnp.int32), ew - 1)
+        y = jnp.minimum((v * eh).astype(jnp.int32), eh - 1)
+        return tap(x, y)
+    fx = u * ew - 0.5
+    fy = v * eh - 0.5
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    ax = (fx - x0f)[:, None]
+    ay = (fy - y0f)[:, None]
+    x0 = jnp.mod(x0f.astype(jnp.int32), ew)
+    y0 = y0f.astype(jnp.int32)
+    x1 = jnp.mod(x0 + 1, ew)
+    return (tap(x0, y0) * (1 - ax) * (1 - ay) + tap(x1, y0) * ax * (1 - ay)
+            + tap(x0, y0 + 1) * (1 - ax) * ay
+            + tap(x1, y0 + 1) * ax * ay)
+
+
 # --------------------------------------------------------------------------
 # shade — kernel.cu:347-627
 # --------------------------------------------------------------------------
@@ -431,6 +464,14 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     _, cs_u = rng.random_float(
         rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xC0F1))
     choose_sun = cs_u < 0.5
+    # NEE strategy weights = 1 / strategy probability.  With an
+    # environment map (beyond-reference) there is no analytic sun to
+    # next-event-sample: the whole NEE budget goes to the area lights
+    # (probability 1 -> weight 1) and env light arrives via BSDF rays.
+    inv_p_sun, inv_p_light = 2.0, 2.0
+    if scene.has_envmap:
+        choose_sun = jnp.zeros_like(choose_sun)
+        inv_p_light = 1.0
 
     lights = getattr(scene, "light_indices", ())
     has_light = scene.light_index >= 0
@@ -477,10 +518,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     sun_radiance = skymod.sun(sun_sample, sun_dir, sky_params)
 
     # DIFF NEE weights (kernel.cu:410-447)
-    diff_sun_color = 2.0 * direct * sun_radiance * (sun_cos * 1e-5)[:, None]
+    diff_sun_color = inv_p_sun * direct * sun_radiance \
+        * (sun_cos * 1e-5)[:, None]
     diff_sun_ok = choose_sun & (sun_cos > 0)
     light_e2 = light_e if light_e.ndim == 2 else light_e[None]
-    diff_light_color = light_e2 * (2.0 * n_lights) * direct \
+    diff_light_color = light_e2 * (inv_p_light * n_lights) * direct \
         * (solid_angle * INV_PI * cos_surf)[:, None]
     diff_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) & has_light
 
@@ -488,12 +530,12 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     pe = PHONG_EXPONENT
     w_refl = normalize(d - normal * (2.0 * dot(normal, d))[:, None])
     phong_cos_sun = dot(sun_sample, w_refl)
-    phong_sun_color = 2.0 * direct * ((pe + 2.0) * 0.5 * INV_PI) \
+    phong_sun_color = inv_p_sun * direct * ((pe + 2.0) * 0.5 * INV_PI) \
         * sun_radiance * (sun_cos * jnp.power(jnp.maximum(phong_cos_sun, 0.0), pe)
                           * 1e-5)[:, None]
     phong_sun_ok = choose_sun & (sun_cos > 0) & (phong_cos_sun > eps)
     phong_cos_l = dot(ldir, w_refl)
-    phong_light_color = light_e2 * (2.0 * n_lights) * direct \
+    phong_light_color = light_e2 * (inv_p_light * n_lights) * direct \
         * (solid_angle * (pe + 2.0) * 0.5 * INV_PI
            * jnp.power(jnp.maximum(phong_cos_l, 0.0), pe) * cos_surf)[:, None]
     phong_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) \
@@ -579,8 +621,13 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                            direct / jnp.maximum(p, 1e-20)[:, None], direct)
 
     # --- miss: sky radiance (kernel.cu:613-617) ---
-    sky_v, sunsky_v = skymod.sky_and_sunsky(d, sun_dir, sky_params)
-    miss_col = jnp.where(last_spec_in[:, None], sunsky_v, sky_v)
+    if scene.has_envmap:
+        # environment map replaces the analytic atmosphere on the miss
+        # path (beyond-reference; 1 or 4 flat-row taps per ray)
+        miss_col = _sample_envmap(scene, d, cfg.texture_filter)
+    else:
+        sky_v, sunsky_v = skymod.sky_and_sunsky(d, sun_dir, sky_params)
+        miss_col = jnp.where(last_spec_in[:, None], sunsky_v, sky_v)
     color = color + jnp.where(hit[:, None], 0.0, rays["direct"] * miss_col)
 
     terminated = (~hit) | (hit & ~survive)
@@ -910,4 +957,5 @@ class Renderer:
 
     def image(self):
         from .ops.tonemap import resolve
-        return resolve(self.state.accum, self.cfg.width, self.cfg.height)
+        return resolve(self.state.accum, self.cfg.width, self.cfg.height,
+                       operator=self.cfg.tonemap, exposure=self.cfg.exposure)

@@ -131,6 +131,17 @@ class SceneData:
     tex_meta: tuple = ()
     # STATIC (pytree aux): tri_attr carries interpolated vertex normals
     smooth_normals: bool = False
+    # Environment-map lighting (beyond-reference): equirectangular radiance
+    # map replacing the analytic atmosphere on the miss path.  env_data is
+    # the same flat-row layout as tex_data; env_meta = (height, width)
+    # static aux ((): no envmap).  Env light reaches the image through BSDF
+    # rays (unbiased); NEE keeps targeting the analytic lights.
+    env_data: jnp.ndarray = None
+    env_meta: tuple = ()
+
+    @property
+    def has_envmap(self) -> bool:
+        return len(self.env_meta) > 0
 
     @property
     def has_textures(self) -> bool:
@@ -141,16 +152,17 @@ class SceneData:
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
                  self.tri_shade, self.sphere_table, self.tri_attr,
-                 self.tex_data),
+                 self.tex_data, self.env_data),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
-                 self.smooth_normals))
+                 self.smooth_normals, self.env_meta))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves[:11], tri_default_mat=aux[0],
                    light_indices=aux[1], tex_meta=aux[2],
-                   smooth_normals=aux[3],
-                   tri_attr=leaves[11], tex_data=leaves[12])
+                   smooth_normals=aux[3], env_meta=aux[4],
+                   tri_attr=leaves[11], tex_data=leaves[12],
+                   env_data=leaves[13])
 
 
 @dataclasses.dataclass
@@ -169,23 +181,31 @@ class Scene:
     tri_tex: Optional[np.ndarray] = None    # [T] i32 texture id, -1 = none
     textures: Optional[list] = None         # list of [H, W, 3] f32 linear
     tri_vn: Optional[np.ndarray] = None     # [T, 3, 3] per-corner normals
+    envmap: Optional[np.ndarray] = None     # [H, W, 3] equirect radiance
 
     @classmethod
     def load(cls, path: Optional[str] = None,
              spheres: Optional[Spheres] = None,
              bvh_cfg: BVHConfig = BVHConfig(),
              scale: float = 1.0,
-             builder: str = "auto") -> "Scene":
+             builder: str = "auto",
+             envmap=None) -> "Scene":
         """Load a mesh (PLY) + spheres and build the BVH.
 
         ``path=None`` gives a spheres-only scene (the reference warns and
         continues without primitives, Scene.cpp:49-52).
         builder: "auto" (native C++ if available), "numpy", or "native".
+        envmap: equirectangular radiance map — an image/.npy path (decoded
+        via scene.texture.load_texture) or an [H, W, 3] array; replaces
+        the analytic atmosphere on the miss path (beyond-reference).
         """
         spheres = spheres or Spheres.default_seven()
+        if isinstance(envmap, str):
+            from .texture import load_texture
+            envmap = load_texture(envmap)
         if path is None:
             z = np.zeros((0, 3), np.float32)
-            return cls(spheres, z, z, z, None, {"nodes": 0})
+            return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
         if not os.path.exists(path):
             # degrade to a primitive-less scene with a warning, like the
             # reference (Scene.cpp:49-52 "No primitives found in scene")
@@ -193,7 +213,7 @@ class Scene:
             print(f"warning: scene file {path!r} not found; "
                   "loading scene without mesh primitives", file=sys.stderr)
             z = np.zeros((0, 3), np.float32)
-            return cls(spheres, z, z, z, None, {"nodes": 0})
+            return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
         if path.endswith(".obj"):
@@ -229,7 +249,7 @@ class Scene:
         stats["triangles"] = int(tri_vert.shape[0])
         return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats,
                    tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
-                   textures=textures, tri_vn=tri_vn)
+                   textures=textures, tri_vn=tri_vn, envmap=envmap)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
@@ -237,7 +257,7 @@ class Scene:
                        builder: str = "auto",
                        tri_refl=None, tri_color=None,
                        tri_uv=None, tri_tex=None, textures=None,
-                       tri_vn=None) -> "Scene":
+                       tri_vn=None, envmap=None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
@@ -265,7 +285,8 @@ class Scene:
                    else np.asarray(tri_tex, np.int32),
                    textures=textures,
                    tri_vn=None if tri_vn is None
-                   else np.asarray(tri_vn, np.float32))
+                   else np.asarray(tri_vn, np.float32),
+                   envmap=envmap)
 
     def to_device(self) -> SceneData:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
@@ -363,6 +384,17 @@ class Scene:
             tex_data = jnp.ones((1, 4), jnp.float32)
             tex_meta = ()
 
+        if self.envmap is not None:
+            em = np.asarray(self.envmap, np.float32)
+            eh, ew = em.shape[0], em.shape[1]
+            env_rows = np.ones((eh * ew + 1, 4), np.float32)
+            env_rows[1:, :3] = em[:, :, :3].reshape(eh * ew, 3)
+            env_data = jnp.asarray(env_rows)
+            env_meta = (float(eh), float(ew))
+        else:
+            env_data = jnp.ones((1, 4), jnp.float32)
+            env_meta = ()
+
         s = self.spheres
         sphere_table = np.zeros((s.count, 12), np.float32)
         sphere_table[:, 0:3] = s.center
@@ -390,6 +422,8 @@ class Scene:
             light_indices=light_list,
             tex_meta=tex_meta,
             smooth_normals=has_smooth,
+            env_data=env_data,
+            env_meta=env_meta,
         )
 
 
