@@ -132,7 +132,7 @@ def test_renderer_end_to_end_adaptive():
     cam = _camera()
     for _ in range(4):
         r.step(cam, 4)
-    assert r._perm_rebuilds >= 3
+    assert r._sched.rebuilds >= 3
     accum = np.asarray(r.state.accum)
     assert np.isfinite(accum).all()
     sampled = (accum[:, 3] > 0).mean()
@@ -163,7 +163,7 @@ def test_sharded_adaptive_runs():
     cam = _camera()
     for _ in range(3):
         r.step(cam, 2)
-    assert r._perm_rebuilds >= 2
+    assert r._sched.rebuilds >= 2
     accum = np.asarray(r.state.accum)
     assert np.isfinite(accum).all()
     assert accum[:, 3].sum() > 0
@@ -171,6 +171,36 @@ def test_sharded_adaptive_runs():
     p_local = 32 * 8
     assert perm.shape == (n_dev * p_local,)
     assert ((perm >= 0) & (perm < p_local)).all()
+
+
+def test_stale_checkpoint_perm_fails_fast():
+    """Loading a pre-adaptive state (dummy [1] perm) into an adaptive-on
+    renderer must raise, not silently render black into pixel 0."""
+    import pytest
+
+    r = Renderer(_scene(), _cfg("on"))
+    r.state = init_state(_cfg("off"))  # same shapes except dummy perm
+    with pytest.raises(ValueError, match="pixel_perm"):
+        r.step(_camera(), 1)
+
+
+def test_build_perm_concentration_is_bounded():
+    """One pathological pixel cannot absorb the whole budget: the integer
+    weight floor keeps every other pixel's share nonzero in expectation
+    (phase rotation covers them across rebuilds)."""
+    p = 4096
+    accum = np.zeros((p, 4), np.float32)
+    m2 = np.zeros((p, 4), np.float32)
+    accum[:, 3] = 8.0
+    m2[:, 3] = 8.0
+    accum[:, :3] = 4.0
+    m2[:, :3] = 2.0
+    m2[7, :3] = 1e6  # one pixel with enormous variance
+    perm = np.asarray(build_perm(jnp.asarray(accum), jnp.asarray(m2),
+                                 jnp.asarray(0.0, jnp.float32), gamma=1.0))
+    counts = np.bincount(perm, minlength=p)
+    assert counts[7] < 0.97 * p           # not the entire budget
+    assert (counts > 0).sum() > 0.02 * p  # others still sampled
 
 
 def test_checkpoint_roundtrip_adaptive(tmp_path):

@@ -82,14 +82,41 @@ def build_perm(accum: jnp.ndarray, moment2: jnp.ndarray, phase: jnp.ndarray,
     err = err + ebar * jax.lax.rsqrt(n)
     w = jnp.power(err + _WEIGHT_FLOOR * ebar, gamma)
 
-    cdf = jnp.cumsum(w.astype(jnp.float64)
-                     if jax.config.jax_enable_x64 else w)
-    cdf = cdf / cdf[-1]
-    targets = (jnp.arange(p, dtype=jnp.float32)
-               + phase.astype(jnp.float32)) / p
+    # INTEGER CDF: a float32 cumsum over ~2M pixels has an ulp of ~0.25
+    # near the tail — floor-level weights would quantise to zero and
+    # late-raster pixels would starve (a spatially-biased failure of the
+    # minimum-share guarantee).  Quantise weights to ~16x-average int32
+    # counts (min 1) instead; the cumsum is then exact (< 2^31).
+    wq = jnp.maximum(
+        (w * (16.0 * p / (jnp.sum(w) + 1e-30))).astype(jnp.int32), 1)
+    cdf = jnp.cumsum(wq)
+    stride = cdf[-1].astype(jnp.float32) / p
+    targets = ((jnp.arange(p, dtype=jnp.float32)
+                + phase.astype(jnp.float32)) * stride).astype(jnp.int32)
     perm = jnp.searchsorted(cdf, targets, side="right")
     return jnp.clip(perm, 0, p - 1).astype(jnp.int32)
 
 
 def identity_perm(p: int) -> jnp.ndarray:
     return jnp.arange(p, dtype=jnp.int32)
+
+
+class PermScheduler:
+    """Host-side rebuild bookkeeping shared by Renderer and
+    ShardedRenderer: after every ``interval`` rendered steps, emit the
+    golden-ratio phase for the next build_perm call (the phase rotates
+    which fractional CDF slots round up between rebuilds)."""
+
+    def __init__(self, interval: int):
+        self.interval = interval
+        self.steps = 0
+        self.rebuilds = 0
+
+    def tick(self, n_steps: int):
+        """Advance by n_steps; returns the rebuild phase, or None."""
+        self.steps += n_steps
+        if self.steps < self.interval:
+            return None
+        self.steps = 0
+        self.rebuilds += 1
+        return (self.rebuilds * 0.6180339887) % 1.0

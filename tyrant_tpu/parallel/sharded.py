@@ -198,9 +198,9 @@ class ShardedRenderer:
         self.state = init_sharded_state(cfg, self.mesh)
         self._last_pose = None
         self._adaptive = cfg.adaptive_sampling == "on"
-        self._steps_since_perm = 0
-        self._perm_rebuilds = 0
         if self._adaptive:
+            from ..adaptive import PermScheduler
+            self._sched = PermScheduler(cfg.adaptive_interval)
             # per-strip priority rebuild: each shard ranks its own pixels
             # (local ids), so no cross-device data moves
             from ..adaptive import build_perm
@@ -222,11 +222,8 @@ class ShardedRenderer:
         for _ in range(n_steps):
             self.state = self._step(self.state, self.scene, cam, self.sun_dir)
         if self._adaptive:
-            self._steps_since_perm += n_steps
-            if self._steps_since_perm >= self.cfg.adaptive_interval:
-                self._steps_since_perm = 0
-                self._perm_rebuilds += 1
-                phase = (self._perm_rebuilds * 0.6180339887) % 1.0
+            phase = self._sched.tick(n_steps)
+            if phase is not None:
                 self.state = dataclasses.replace(
                     self.state,
                     pixel_perm=self._build_perm(

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import sky as skymod
+from .adaptive import identity_perm
 from .camera import CameraParams
 from .config import EPSILON, INV_PI, PI, VERY_FAR, RenderConfig
 from .ops import rng
@@ -113,8 +114,7 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
         shadow_rays=jnp.asarray(0, jnp.uint32),
         moment2=jnp.zeros((p if cfg.adaptive_sampling == "on" else 1, 4),
                           jnp.float32),
-        pixel_perm=(jnp.arange(p, dtype=jnp.int32)
-                    if cfg.adaptive_sampling == "on"
+        pixel_perm=(identity_perm(p) if cfg.adaptive_sampling == "on"
                     else jnp.zeros((1,), jnp.int32)),
     )
 
@@ -128,7 +128,7 @@ def reset_accumulation(state: RenderState) -> RenderState:
         moment2=jnp.zeros_like(state.moment2),
         # adaptive perm (if any) back to identity — the old pose's
         # priorities are meaningless for the new view
-        pixel_perm=(jnp.arange(state.pixel_perm.shape[0], dtype=jnp.int32)
+        pixel_perm=(identity_perm(state.pixel_perm.shape[0])
                     if state.pixel_perm.shape[0] > 1 else state.pixel_perm),
         n_carried=jnp.asarray(0, jnp.int32))
 
@@ -444,8 +444,17 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # --- shared NEE samples ---
     sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
-    seed, sun_sample = cone_sample(jnp.broadcast_to(sun_dir, (n, 3)),
-                                   sun_extent, seed)
+    if scene.has_envmap:
+        # STATIC skip: no analytic sun under an envmap.  Omitting the
+        # cone sample / sun radiance (instead of masking them at runtime)
+        # removes their per-step cost entirely; the sun-strategy colour
+        # terms below multiply by these zeros and constant-fold away.
+        # (The seed chain shifts relative to atmosphere scenes — envmap
+        # scenes carry no golden-compat constraint.)
+        sun_sample = jnp.broadcast_to(sun_dir, (n, 3))
+    else:
+        seed, sun_sample = cone_sample(jnp.broadcast_to(sun_dir, (n, 3)),
+                                       sun_extent, seed)
     sun_cos = dot(normal, sun_sample)
     # 50/50 sun vs area-light NEE, a coin per ray (kernel.cu:414/550).
     # PACKET-PURE variants (one strategy per 1024-slot block, so connect
@@ -515,7 +524,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     area = 4.0 * PI * light_r * light_r
     solid_angle = cos_light * area / jnp.maximum(ldist2, 1e-20)
 
-    sun_radiance = skymod.sun(sun_sample, sun_dir, sky_params)
+    sun_radiance = (jnp.zeros((n, 3), jnp.float32) if scene.has_envmap
+                    else skymod.sun(sun_sample, sun_dir, sky_params))
 
     # DIFF NEE weights (kernel.cu:410-447)
     diff_sun_color = inv_p_sun * direct * sun_radiance \
@@ -731,6 +741,16 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # below naturally leaves them there), the front slots are fresh
     # primaries
     adaptive = cfg.adaptive_sampling == "on"
+    if adaptive and state.pixel_perm.shape[0] != cfg.width * local_height:
+        # fail fast at trace time (C12 policy): a [1]-dummy perm here means
+        # the state predates adaptive mode (e.g. an old checkpoint loaded
+        # into an adaptive-on renderer) — raygen would clamp every fresh
+        # ray to pixel 0 and silently render black
+        raise ValueError(
+            f"adaptive_sampling='on' but state.pixel_perm has "
+            f"{state.pixel_perm.shape[0]} entries (expected "
+            f"{cfg.width * local_height}); re-init with init_state(cfg) or "
+            "load the checkpoint with adaptive off")
     gen = _raygen(cfg, camera, state.start_position, state.frame,
                   local_height, row_offset,
                   perm=state.pixel_perm if adaptive else None)
@@ -895,8 +915,9 @@ class Renderer:
             cfg.fuse_step_chains == "auto"
             and jax.default_backend() not in ("cpu",))
         self._adaptive = cfg.adaptive_sampling == "on"
-        self._steps_since_perm = 0
-        self._perm_rebuilds = 0
+        if self._adaptive:
+            from .adaptive import PermScheduler
+            self._sched = PermScheduler(cfg.adaptive_interval)
         self.state = init_state(cfg)
 
     def set_sun(self, sun_position):
@@ -920,14 +941,9 @@ class Renderer:
                 self.state = self._step(self.state, self.scene, cam,
                                         self.sun_dir)
         if self._adaptive:
-            self._steps_since_perm += n_steps
-            if self._steps_since_perm >= self.cfg.adaptive_interval:
-                self._steps_since_perm = 0
-                self._perm_rebuilds += 1
+            phase = self._sched.tick(n_steps)
+            if phase is not None:
                 from .adaptive import build_perm
-                # golden-ratio phase: rotates which low-priority ranks the
-                # power-law visit curve skips between rebuilds
-                phase = (self._perm_rebuilds * 0.6180339887) % 1.0
                 self.state = dataclasses.replace(
                     self.state,
                     pixel_perm=build_perm(self.state.accum,

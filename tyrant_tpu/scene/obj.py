@@ -81,14 +81,17 @@ def load_obj_scene(path: str) -> ObjMesh:
                 p = line.split()
                 vns.append((float(p[1]), float(p[2]), float(p[3])))
             elif line.startswith("mtllib "):
-                mp = os.path.join(base, line.split(None, 1)[1].strip())
-                if os.path.exists(mp):
+                rest = line.split(None, 1)[1].strip() \
+                    if len(line.split(None, 1)) > 1 else ""
+                mp = os.path.join(base, rest)
+                if rest and os.path.exists(mp):
                     try:
                         mats.update(_parse_mtl(mp))
                     except Exception:
                         pass  # malformed MTL: shade untextured (degrade)
             elif line.startswith("usemtl "):
-                cur_mat = line.split(None, 1)[1].strip()
+                parts = line.split(None, 1)
+                cur_mat = parts[1].strip() if len(parts) > 1 else None
             elif line.startswith("f "):
                 idx = []
                 uvi = []
@@ -154,9 +157,20 @@ def load_obj_scene(path: str) -> ObjMesh:
             tp = rec[1]
             if tp and os.path.exists(tp):
                 if tp not in tex_paths:
-                    tex_paths[tp] = len(textures)
-                    textures.append(load_texture(tp))
-                tri_tex[i] = tex_paths[tp]
+                    try:
+                        tex_paths[tp] = len(textures)
+                        textures.append(load_texture(tp))
+                    except Exception as e:
+                        # undecodable image (or no PIL): shade this
+                        # material untextured instead of failing the
+                        # whole geometry load
+                        import sys
+                        print(f"warning: texture {tp!r} failed to load "
+                              f"({e}); shading untextured",
+                              file=sys.stderr)
+                        tex_paths[tp] = -1
+                if tex_paths[tp] >= 0:
+                    tri_tex[i] = tex_paths[tp]
         if not textures:
             textures = None
             tri_tex = None

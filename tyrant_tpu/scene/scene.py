@@ -366,7 +366,7 @@ class Scene:
                 attr[:t, 13:15] = uv[:, 2] - uv[:, 0]
                 attr[:t, 15] = np.asarray(self.tri_tex, np.int32)[perm]
                 tex_data = jnp.asarray(atlas.data)
-                tex_meta = tuple((float(o), float(h), float(w))
+                tex_meta = tuple((int(o), int(h), int(w))
                                  for o, h, w in atlas.meta)
             else:
                 tex_data = jnp.ones((1, 4), jnp.float32)

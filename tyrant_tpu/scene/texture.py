@@ -52,8 +52,11 @@ class TextureAtlas:
 
     data  [N+1, 4] f32 — texel rgb + pad; row 0 is a white fallback so
           untextured/degenerate taps read neutral albedo
-    meta  [K, 3] f32 — (offset, height, width) per texture, offsets into
-          ``data`` starting at 1
+    meta  [K, 3] i64 — (offset, height, width) per texture, offsets into
+          ``data`` starting at 1.  Integer dtype: offsets beyond 2^24
+          would silently round in f32 and shift every tap of later
+          textures; the device sampler folds these in as exact Python
+          ints (compile-time constants).
     """
 
     data: np.ndarray
@@ -62,8 +65,13 @@ class TextureAtlas:
     @classmethod
     def pack(cls, images: list) -> "TextureAtlas":
         total = 1 + sum(int(im.shape[0] * im.shape[1]) for im in images)
+        if total > (1 << 31) - 2:
+            # the device tap index is i32
+            raise ValueError(
+                f"texture atlas of {total} texels exceeds the int32 "
+                "addressing limit; reduce texture resolutions")
         data = np.ones((total, 4), np.float32)
-        meta = np.zeros((max(len(images), 1), 3), np.float32)
+        meta = np.zeros((max(len(images), 1), 3), np.int64)
         off = 1
         for k, im in enumerate(images):
             h, w = im.shape[0], im.shape[1]
