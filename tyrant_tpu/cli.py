@@ -36,6 +36,9 @@ def _add_common(p):
     p.add_argument("--scale", type=float, default=1.0, help="mesh unit scale")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="firefly clamp: per-bounce radiance bound (0 = off)")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-aware a-trous denoise of the displayed "
+                        "image (AOV-guided, denoise.py)")
     p.add_argument("--tonemap", default="reinhard",
                    choices=["reinhard", "aces"])
     p.add_argument("--exposure", type=float, default=1.0)
@@ -65,7 +68,9 @@ def _build(args):
                        texture_filter=getattr(args, "texture_filter",
                                               "bilinear"),
                        tonemap=getattr(args, "tonemap", "reinhard"),
-                       exposure=getattr(args, "exposure", 1.0))
+                       exposure=getattr(args, "exposure", 1.0),
+                       denoise="on" if getattr(args, "denoise", False)
+                       else "off")
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()

@@ -133,6 +133,14 @@ class RenderConfig:
     # radiance before the curve.
     tonemap: str = "reinhard"
     exposure: float = 1.0
+    # Edge-aware à-trous denoiser for the displayed image
+    # (beyond-reference; denoise.py): "on" runs one deterministic AOV
+    # pass per pose (render.render_aovs) and filters the radiance mean
+    # with albedo/normal/depth edge stops before tonemapping.  The
+    # accumulation buffer itself is never touched — converged renders are
+    # unaffected by toggling this.
+    denoise: str = "off"
+    denoise_iterations: int = 4
     # Texture filtering for scenes with albedo textures (beyond-reference,
     # scene/texture.py): "bilinear" = 4 atlas taps (4 row gathers/2M),
     # "nearest" = 1 tap.  No cost for untextured scenes (the branch is
@@ -158,6 +166,7 @@ class RenderConfig:
                 ("fuse_step_chains", ("auto", "on", "off")),
                 ("texture_filter", ("bilinear", "nearest")),
                 ("tonemap", ("reinhard", "aces")),
+                ("denoise", ("on", "off")),
                 ("adaptive_sampling", ("on", "off"))):
             v = getattr(self, field)
             if v not in allowed:

@@ -21,14 +21,20 @@ def resolve(accum: jnp.ndarray, width: int, height: int,
     "aces" (Narkowicz's ACES filmic fit — beyond-reference production
     option).  ``exposure`` scales radiance before the curve."""
     counts = jnp.maximum(accum[:, 3:4], 1e-8)
-    cl = accum[:, :3] / counts * exposure
+    cl = accum[:, :3] / counts
+    return tonemap_image(cl, operator, exposure).reshape(height, width, 3)
+
+
+def tonemap_image(cl: jnp.ndarray, operator: str = "reinhard",
+                  exposure: float = 1.0) -> jnp.ndarray:
+    """Linear radiance [..., 3] -> display [0, 1] (curve + gamma 1/2.2)."""
+    cl = cl * exposure
     if operator == "aces":
         a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
         cl = (cl * (a * cl + b)) / (cl * (c * cl + d) + e)
     else:
         cl = cl / (cl + 1.0)
-    img = jnp.power(jnp.clip(cl, 0.0, 1.0), 1.0 / 2.2)
-    return img.reshape(height, width, 3)
+    return jnp.power(jnp.clip(cl, 0.0, 1.0), 1.0 / 2.2)
 
 
 def to_uint8(img: jnp.ndarray) -> jnp.ndarray:

@@ -684,6 +684,80 @@ def _connect(scene: SceneData, shadow, packet_tables=None, wave=False):
 
 
 # --------------------------------------------------------------------------
+# AOV pass (beyond-reference): noise-free feature buffers for denoising
+# --------------------------------------------------------------------------
+
+def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
+                packet_tables=None):
+    """One deterministic primary-ray pass -> {albedo, normal, depth}.
+
+    Pixel-CENTER rays (no stratified jitter, no lens sampling), so the
+    feature buffers are noise-free — exactly what an edge-stopping
+    denoiser wants as guides (denoise.py).  Costs one extend pass per
+    pose.  Returns [H, W, 3] albedo/normal and [H, W] depth (misses:
+    sky albedo 1, normal 0, depth VERY_FAR)."""
+    w, h = cfg.width, cfg.height
+    p = w * h
+    pix = jnp.arange(p, dtype=jnp.int32)
+    x = (pix % w).astype(jnp.float32)
+    y = (pix // w).astype(jnp.float32)
+    ni = (x + 0.5) / w - 0.5
+    nj = (h - (y + 0.5)) / h - 0.5
+    d = normalize(camera.direction[None]
+                  + ni[:, None] * camera.right[None]
+                  + nj[:, None] * camera.up[None])
+    o = jnp.broadcast_to(camera.position[None], (p, 3))
+
+    t, ident, is_tri, _tn = _intersect_scene(o, d, scene,
+                                             packet_tables=packet_tables)
+    hit = t < VERY_FAR
+    t_safe = jnp.where(hit, t, 0.0)
+    hp = o + d * t_safe[:, None]
+
+    sid = jnp.clip(ident, 0, scene.sphere_center.shape[0] - 1)
+    is_sphere = hit & ~is_tri
+    stbl = scene.sphere_table
+    srow = jnp.broadcast_to(stbl[0][None], (p, stbl.shape[1]))
+    for s in range(1, stbl.shape[0]):
+        srow = jnp.where((sid == s)[:, None], stbl[s][None], srow)
+    normal_sphere = (hp - srow[:, 0:3]) / srow[:, 3][:, None]
+
+    tid = jnp.clip(ident, 0, scene.tri_shade.shape[0] - 1)
+    trow = scene.tri_shade[tid]
+    normal_tri = trow[:, 0:3]
+    color_tri = trow[:, 4:7]  # white for default-material scenes
+    if scene.has_textures or scene.smooth_normals:
+        arow = scene.tri_attr[tid]
+        p_rel = hp - arow[:, 0:3]
+        bu = dot(p_rel, arow[:, 3:6])
+        bv = dot(p_rel, arow[:, 6:9])
+        if scene.has_textures:
+            uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
+                + bv[:, None] * arow[:, 13:15]
+            texid = arow[:, 15].astype(jnp.int32)
+            alb = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
+                                  cfg.texture_filter)
+            color_tri = color_tri * jnp.where((texid >= 0)[:, None],
+                                              alb, 1.0)
+        if scene.smooth_normals:
+            ns = arow[:, 16:19] + bu[:, None] * arow[:, 19:22] \
+                + bv[:, None] * arow[:, 22:25]
+            nlen = jnp.sqrt(jnp.maximum(dot(ns, ns), 1e-20))
+            normal_tri = jnp.where((arow[:, 25] > 0.5)[:, None],
+                                   ns / nlen[:, None], normal_tri)
+
+    normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
+    outward = dot(normal, d) < 0
+    normal = jnp.where(outward[:, None], normal, -normal)
+    normal = jnp.where(hit[:, None], normal, 0.0)
+    albedo = jnp.where(is_sphere[:, None], srow[:, 4:7], color_tri)
+    albedo = jnp.where(hit[:, None], albedo, 1.0)
+    return dict(albedo=albedo.reshape(h, w, 3),
+                normal=normal.reshape(h, w, 3),
+                depth=jnp.where(hit, t, VERY_FAR).reshape(h, w))
+
+
+# --------------------------------------------------------------------------
 # the full step
 # --------------------------------------------------------------------------
 
@@ -933,6 +1007,7 @@ class Renderer:
             self.state = reset_accumulation(self.state)
         self._last_pose = pose
         cam = camera.to_device(self.cfg)
+        self._last_cam = cam  # for the denoiser's per-pose AOV pass
         if self._fuse and n_steps > 1:
             self.state = self._chain(n_steps)(self.state, self.scene, cam,
                                               self.sun_dir)
@@ -971,7 +1046,33 @@ class Renderer:
             self._chain_cache[k] = fn
         return fn
 
-    def image(self):
-        from .ops.tonemap import resolve
-        return resolve(self.state.accum, self.cfg.width, self.cfg.height,
-                       operator=self.cfg.tonemap, exposure=self.cfg.exposure)
+    def image(self, denoise: bool | None = None):
+        """Resolve the accumulation buffer to a display image.  With
+        cfg.denoise="on" (or denoise=True) the radiance mean is filtered
+        by the AOV-guided à-trous denoiser first (denoise.py); the
+        accumulation buffer itself is untouched."""
+        from .ops.tonemap import resolve, tonemap_image
+        use_dn = (self.cfg.denoise == "on") if denoise is None else denoise
+        if not use_dn or getattr(self, "_last_cam", None) is None:
+            return resolve(self.state.accum, self.cfg.width,
+                           self.cfg.height, operator=self.cfg.tonemap,
+                           exposure=self.cfg.exposure)
+        aovs = self._pose_aovs()
+        counts = jnp.maximum(self.state.accum[:, 3:4], 1e-8)
+        mean = (self.state.accum[:, :3] / counts).reshape(
+            self.cfg.height, self.cfg.width, 3)
+        from .denoise import atrous_denoise
+        den = atrous_denoise(mean, aovs["albedo"], aovs["normal"],
+                             aovs["depth"],
+                             iterations=self.cfg.denoise_iterations)
+        return tonemap_image(den, self.cfg.tonemap, self.cfg.exposure)
+
+    def _pose_aovs(self):
+        """Noise-free feature buffers, cached per camera pose."""
+        cache = getattr(self, "_aov_cache", None)
+        if cache is not None and cache[0] == self._last_pose:
+            return cache[1]
+        aovs = render_aovs(self.scene, self._last_cam, self.cfg,
+                           packet_tables=self.packet_tables)
+        self._aov_cache = (self._last_pose, aovs)
+        return aovs
