@@ -102,13 +102,30 @@ def sphere_surface_sample(center, radius, seed):
     """
     seed, u = rng.random_float(seed)
     seed, v = rng.random_float(seed)
+    return seed, sphere_surface_from_uniforms(center, radius, u, v)
+
+
+def sphere_surface_from_uniforms(center, radius, u, v):
+    """Deterministic half of :func:`sphere_surface_sample` — same mapping
+    from two uniforms, for call sites that share one draw pair across
+    several candidate light shapes (render._shade mixed NEE)."""
     cos_phi = 2.0 * u - 1.0
     sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
     theta = 2.0 * PI * v
     offset = jnp.stack([sin_phi * jnp.sin(theta),
                         cos_phi,
                         sin_phi * jnp.cos(theta)], axis=-1)
-    return seed, center + radius * offset
+    return center + radius * offset
+
+
+def triangle_sample_from_uniforms(v0, e1, e2, u, v):
+    """Uniform point on a triangle (sqrt warp): p = v0 + b1 e1 + b2 e2
+    with b1 = 1 - sqrt(u), b2 = v * sqrt(u).  For emissive-triangle NEE
+    (beyond-reference: the reference samples only spheres[6])."""
+    su = jnp.sqrt(jnp.maximum(u, 0.0))
+    b1 = 1.0 - su
+    b2 = v * su
+    return v0 + b1[..., None] * e1 + b2[..., None] * e2
 
 
 def cosine_hemisphere_sample(normal, seed):

@@ -37,7 +37,9 @@ from .ops.intersect import intersect_spheres, ray_sphere
 from .ops.sampling import (concentric_sample_disk, cone_sample,
                            cosine_hemisphere_sample, dot, normalize,
                            phong_lobe_sample, reflect,
-                           sphere_surface_sample)
+                           sphere_surface_from_uniforms,
+                           sphere_surface_sample,
+                           triangle_sample_from_uniforms)
 from .ops.traverse import any_hit, closest_hit
 from .scene.scene import DIFF, LIGHT, PHONG, REFR, SPEC, SceneData
 
@@ -432,6 +434,12 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # --- LIGHT (kernel.cu:393-401) ---
     emission = srow[:, 7:10]
+    if scene.n_tri_lights:
+        # emissive TRIANGLES (beyond-reference): a LIGHT-typed triangle
+        # emits its (texture-modulated) colour, two-sided
+        emission = jnp.where(is_sphere[:, None], emission,
+                             jnp.where((refl_tri == LIGHT)[:, None],
+                                       color_tri, 0.0))
     is_light = hit & (refl == LIGHT)
     last_spec_in = rays["last_specular"]
     color = jnp.where((is_light & last_spec_in)[:, None],
@@ -483,20 +491,26 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         inv_p_light = 1.0
 
     lights = getattr(scene, "light_indices", ())
-    has_light = scene.light_index >= 0
-    if len(lights) > 1:
-        # Multiple emissive spheres (the reference's own TODO at
-        # kernel.cu:560: "Hardcoded spheres[6] as only light source. Use
-        # light array."): pick one uniformly per ray and weight the
-        # estimator by the light count.  A SIDE seed stream keeps the main
-        # shade RNG untouched so single-light scenes stay bit-identical.
+    n_tri_l = scene.n_tri_lights
+    has_light = jnp.asarray(True) if n_tri_l else scene.light_index >= 0
+    if len(lights) > 1 or n_tri_l:
+        # Multiple lights — emissive spheres AND emissive triangles
+        # (beyond-reference; the reference's own TODO at kernel.cu:560:
+        # "Hardcoded spheres[6] as only light source. Use light array."):
+        # pick one uniformly per ray and weight the estimator by the
+        # light count.  A SIDE seed stream keeps the main shade RNG
+        # untouched so single-light scenes stay bit-identical, and ONE
+        # uniform pair feeds whichever shape was picked (the sphere
+        # mapping matches sphere_surface_sample exactly).
+        total_lights = len(lights) + n_tri_l
         _, lu = rng.random_float(
             rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
-        pick = jnp.minimum((lu * len(lights)).astype(jnp.int32),
-                           len(lights) - 1)
-        light_c = jnp.broadcast_to(scene.sphere_center[lights[0]], (n, 3))
-        light_r = jnp.broadcast_to(scene.sphere_radius[lights[0]], (n,))
-        light_e = jnp.broadcast_to(scene.sphere_emission[lights[0]], (n, 3))
+        pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
+                           total_lights - 1)
+        base = lights[0] if lights else 0
+        light_c = jnp.broadcast_to(scene.sphere_center[base], (n, 3))
+        light_r = jnp.broadcast_to(scene.sphere_radius[base], (n,))
+        light_e = jnp.broadcast_to(scene.sphere_emission[base], (n, 3))
         for k in range(1, len(lights)):
             sel = pick == k
             light_c = jnp.where(sel[:, None],
@@ -504,8 +518,33 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             light_r = jnp.where(sel, scene.sphere_radius[lights[k]], light_r)
             light_e = jnp.where(sel[:, None],
                                 scene.sphere_emission[lights[k]], light_e)
-        n_lights = float(len(lights))
-        seed, lp = sphere_surface_sample(light_c, light_r[:, None], seed)
+        n_lights = float(total_lights)
+        seed, lu1 = rng.random_float(seed)
+        seed, lu2 = rng.random_float(seed)
+        lp = sphere_surface_from_uniforms(light_c, light_r[:, None],
+                                          lu1, lu2)
+        n_l = normalize(lp - light_c)
+        area = 4.0 * PI * light_r * light_r
+        if n_tri_l:
+            tl = scene.tri_lights
+            idx = jnp.clip(pick - len(lights), 0, tl.shape[0] - 1)
+            row = jnp.take(tl, idx, axis=0)  # [n, 13]
+            lp_tri = triangle_sample_from_uniforms(
+                row[:, 0:3], row[:, 3:6], row[:, 6:9], lu1, lu2)
+            tn = jnp.cross(row[:, 3:6], row[:, 6:9])
+            tn = tn / jnp.maximum(
+                jnp.sqrt(jnp.maximum(dot(tn, tn), 1e-30)), 1e-30)[:, None]
+            is_tl = pick >= len(lights)
+            lp = jnp.where(is_tl[:, None], lp_tri, lp)
+            light_e = jnp.where(is_tl[:, None], row[:, 9:12], light_e)
+            area = jnp.where(is_tl, row[:, 12], area)
+            # two-sided emitter: orient the light normal toward the
+            # shading point so cos_light >= 0 from either side (matches
+            # the direct-hit emission, which the normal flip at the top
+            # of shade already makes two-sided)
+            to_surf = o - lp
+            sgn = jnp.sign(dot(tn, to_surf) + 1e-30)
+            n_l = jnp.where(is_tl[:, None], tn * sgn[:, None], n_l)
     else:
         li = jnp.maximum(scene.light_index, 0)
         light_c = scene.sphere_center[li]
@@ -514,14 +553,14 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         n_lights = 1.0
         seed, lp = sphere_surface_sample(jnp.broadcast_to(light_c, (n, 3)),
                                          light_r, seed)
+        n_l = normalize(lp - light_c)
+        area = 4.0 * PI * light_r * light_r
     lvec = lp - o
     ldist2 = dot(lvec, lvec)
     ldist = jnp.sqrt(jnp.maximum(ldist2, 1e-20))
     ldir = lvec / ldist[:, None]
-    n_l = normalize(lp - light_c)
     cos_surf = dot(normal, ldir)
     cos_light = dot(n_l, -ldir)
-    area = 4.0 * PI * light_r * light_r
     solid_angle = cos_light * area / jnp.maximum(ldist2, 1e-20)
 
     sun_radiance = (jnp.zeros((n, 3), jnp.float32) if scene.has_envmap
@@ -562,7 +601,12 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         jnp.where(choose_sun[:, None], diff_sun_color, diff_light_color),
         jnp.where(choose_sun[:, None], phong_sun_color, phong_light_color))
     # sun shadows use the ShadowQueue default max distance (variables.h:41)
-    shadow_maxd = jnp.where(choose_sun, VERY_FAR, ldist)
+    # tri lights live IN the BVH: shrink the shadow range a hair so the
+    # occlusion test cannot hit the sampled emitter itself at t == ldist
+    # (sphere lights are not BVH geometry, so the sphere-only path keeps
+    # the exact reference semantics — static gate, goldens unchanged)
+    ldist_occ = ldist * (1.0 - 1e-3) if n_tri_l else ldist
+    shadow_maxd = jnp.where(choose_sun, VERY_FAR, ldist_occ)
 
     # --- bounce directions ---
     # DIFF cosine hemisphere (kernel.cu:450-467); only resampled when

@@ -138,6 +138,12 @@ class SceneData:
     # rays (unbiased); NEE keeps targeting the analytic lights.
     env_data: jnp.ndarray = None
     env_meta: tuple = ()
+    # Emissive-triangle lights (beyond-reference: the reference's only NEE
+    # target is a sphere, kernel.cu:421/561): per-light rows
+    # [K_pad, 13] = v0.xyz, e1.xyz, e2.xyz, emission.rgb, area.  Dummy
+    # [1, 13] zeros when none; count is STATIC aux.
+    tri_lights: jnp.ndarray = None
+    n_tri_lights: int = 0
 
     @property
     def has_envmap(self) -> bool:
@@ -152,17 +158,18 @@ class SceneData:
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
                  self.tri_shade, self.sphere_table, self.tri_attr,
-                 self.tex_data, self.env_data),
+                 self.tex_data, self.env_data, self.tri_lights),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
-                 self.smooth_normals, self.env_meta))
+                 self.smooth_normals, self.env_meta, self.n_tri_lights))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves[:11], tri_default_mat=aux[0],
                    light_indices=aux[1], tex_meta=aux[2],
                    smooth_normals=aux[3], env_meta=aux[4],
+                   n_tri_lights=aux[5],
                    tri_attr=leaves[11], tex_data=leaves[12],
-                   env_data=leaves[13])
+                   env_data=leaves[13], tri_lights=leaves[14])
 
 
 @dataclasses.dataclass
@@ -384,6 +391,26 @@ class Scene:
             tex_data = jnp.ones((1, 4), jnp.float32)
             tex_meta = ()
 
+        # emissive-triangle light table (beyond-reference): LIGHT-typed
+        # triangles become NEE targets; they emit their tri_color
+        if self.tri_refl is not None and self.bvh is not None \
+                and (np.asarray(self.tri_refl) == LIGHT).any():
+            lm = np.asarray(self.tri_refl) == LIGHT
+            lv0 = self.tri_vert[lm]
+            le1 = self.tri_e1[lm]
+            le2 = self.tri_e2[lm]
+            lem = (np.ones((lm.sum(), 3), np.float32)
+                   if self.tri_color is None else
+                   np.asarray(self.tri_color, np.float32)[lm])
+            larea = 0.5 * np.linalg.norm(np.cross(le1, le2), axis=1)
+            tl = np.concatenate(
+                [lv0, le1, le2, lem, larea[:, None]], axis=1)
+            tri_lights = jnp.asarray(tl.astype(np.float32))
+            n_tri_lights = int(lm.sum())
+        else:
+            tri_lights = jnp.zeros((1, 13), jnp.float32)
+            n_tri_lights = 0
+
         if self.envmap is not None:
             em = np.asarray(self.envmap, np.float32)
             eh, ew = em.shape[0], em.shape[1]
@@ -424,6 +451,8 @@ class Scene:
             smooth_normals=has_smooth,
             env_data=env_data,
             env_meta=env_meta,
+            tri_lights=tri_lights,
+            n_tri_lights=n_tri_lights,
         )
 
 
