@@ -97,7 +97,8 @@ def simulate_packet(rows, o, d, treelet_rows, leaf_width=6):
             stack.append(second[0])  # near (popped first)
     return dict(visits=visits, deep=deep, leaf_passes=leaf_passes,
                 tri_tests=tri_tests,
-                hit_frac=float((t_best < VERY_FAR).mean()))
+                hit_frac=float((t_best < VERY_FAR).mean()),
+                t_best=t_best)
 
 
 def main():
