@@ -295,6 +295,34 @@ class Scene:
                    else np.asarray(tri_vn, np.float32),
                    envmap=envmap)
 
+    @classmethod
+    def from_instances(cls, meshes, instances,
+                       spheres: Optional[Spheres] = None,
+                       bvh_cfg: BVHConfig = BVHConfig(),
+                       builder: str = "auto", envmap=None) -> "Scene":
+        """Instanced scene (beyond-reference; the reference loads exactly
+        one mesh, static_mesh.cpp:6).
+
+        meshes: list of ``instancing.MeshAsset`` (or path strings, loaded
+        via ``MeshAsset.load``).  instances: list of ``(mesh_id, transform)``
+        with a [4,4] or [3,4] affine transform.  Instances are FLATTENED
+        into world space and one BVH is built over the union — the
+        TPU-native choice (one fat-row table, no per-packet TLAS hop;
+        rationale in scene/instancing.py)."""
+        from .instancing import MeshAsset, flatten_instances
+        meshes = [MeshAsset.load(m) if isinstance(m, str) else m
+                  for m in meshes]
+        flat = flatten_instances(meshes, instances)
+        s = cls.from_triangles(
+            flat.v0, flat.v1, flat.v2, spheres=spheres, bvh_cfg=bvh_cfg,
+            builder=builder, tri_refl=flat.tri_refl,
+            tri_color=flat.tri_color, tri_uv=flat.tri_uv,
+            tri_tex=flat.tri_tex, textures=flat.textures,
+            tri_vn=flat.tri_vn, envmap=envmap)
+        s.stats["instances"] = len(instances)
+        s.stats["unique_meshes"] = len(meshes)
+        return s
+
     def to_device(self) -> SceneData:
         """Upload to device arrays (the Scene.cpp:55-65 analog)."""
         if self.bvh is None:
