@@ -111,6 +111,10 @@ def cmd_render(args):
     img = np.asarray(to_uint8(r.image()))
     _write_png(args.out, img)
     print(f"wrote {args.out}", file=sys.stderr)
+    if args.hdr:
+        from .utils.pfm import write_pfm
+        write_pfm(args.hdr, np.asarray(r.radiance()))
+        print(f"wrote {args.hdr} (linear radiance)", file=sys.stderr)
 
 
 def cmd_bench(args):
@@ -177,6 +181,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--out", default="out.png")
+    p.add_argument("--hdr", default=None, metavar="OUT.pfm",
+                   help="also write the linear radiance as PFM (HDR)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="3-pose benchmark (PERFORMANCE_TEST)")

@@ -1090,6 +1090,14 @@ class Renderer:
             self._chain_cache[k] = fn
         return fn
 
+    def radiance(self):
+        """Linear HDR radiance mean [H, W, 3] f32 — no tonemap, no
+        denoise.  The archival quantity for PFM/EXR export
+        (utils/pfm.py); ``image()`` is the display resolve."""
+        counts = jnp.maximum(self.state.accum[:, 3:4], 1e-8)
+        return (self.state.accum[:, :3] / counts).reshape(
+            self.cfg.height, self.cfg.width, 3)
+
     def image(self, denoise: bool | None = None):
         """Resolve the accumulation buffer to a display image.  With
         cfg.denoise="on" (or denoise=True) the radiance mean is filtered

@@ -27,8 +27,8 @@ import numpy as np
 def load_texture(path: str) -> np.ndarray:
     """Decode an image file to a linear-light float32 [H, W, 3] array.
 
-    PNG/JPEG/BMP/... via PIL; .npy files (already-linear float arrays) are
-    loaded directly.  Rows run top-to-bottom in file order; OBJ vt
+    PNG/JPEG/BMP/... via PIL; .npy files (already-linear float arrays) and
+    .pfm HDR images (utils/pfm.py) are loaded directly.  Rows run top-to-bottom in file order; OBJ vt
     coordinates put v=0 at the BOTTOM, which :func:`TextureAtlas.sample`
     accounts for (v flip at sample time, not load time).
     """
@@ -38,6 +38,10 @@ def load_texture(path: str) -> np.ndarray:
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         return np.ascontiguousarray(arr[:, :, :3])
+    if path.endswith(".pfm"):
+        # HDR input (already linear) — the natural envmap container
+        from ..utils.pfm import read_pfm
+        return read_pfm(path)
     from PIL import Image
     img = Image.open(path).convert("RGB")
     arr = np.asarray(img, np.uint8).astype(np.float32) / 255.0
