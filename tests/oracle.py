@@ -19,7 +19,7 @@ INV_PI = 1.0 / PI
 EPS = 1e-3
 VERY_FAR = 1e20
 MAX_BOUNCES = 5
-DIFF, SPEC, REFR, PHONG, LIGHT = 0, 1, 2, 3, 4
+DIFF, SPEC, REFR, PHONG, LIGHT, GGX = 0, 1, 2, 3, 4, 5
 
 # --- sky model (numpy rewrite of sunsky.cu) ---
 K = np.array([0.686, 0.678, 0.666])
@@ -117,13 +117,18 @@ def tri_hit(o, d, v0, e1, e2):
 
 
 class OracleScene:
-    def __init__(self, spheres, tris=None, light_index=6):
+    def __init__(self, spheres, tris=None, light_index=6, roughness=None):
         # spheres: list of (radius, center, color, emission, refl)
         self.radius = np.array([s[0] for s in spheres], float)
         self.center = np.array([s[1] for s in spheres], float)
         self.color = np.array([s[2] for s in spheres], float)
         self.emission = np.array([s[3] for s in spheres], float)
         self.refl = np.array([s[4] for s in spheres], int)
+        # GGX perceptual roughness per sphere (same clamp as
+        # Scene.to_device)
+        self.rough = np.clip(
+            np.full(len(spheres), 0.3) if roughness is None
+            else np.asarray(roughness, float), 0.03, 1.0)
         if tris is None:
             self.tv = np.zeros((0, 3))
             self.te1 = np.zeros((0, 3))
@@ -191,6 +196,60 @@ def cone_sample_np(dirn, extent, r1, r2):
         + z[..., None] * d
 
 
+def ggx_d_np(nh, alpha):
+    a2 = alpha * alpha
+    c = nh * nh * (a2 - 1.0) + 1.0
+    return a2 / np.maximum(PI * c * c, 1e-12)
+
+
+def ggx_g1_np(nx, alpha):
+    a2 = alpha * alpha
+    nx = np.maximum(nx, 0.0)
+    return 2.0 * nx / np.maximum(nx + np.sqrt(a2 + (1.0 - a2) * nx * nx),
+                                 1e-12)
+
+
+def ggx_eval_np(normal, view, ldir, alpha, f0):
+    h = norm(view + ldir)
+    nh = np.maximum(np.sum(normal * h, -1), 0.0)
+    nv = np.sum(normal * view, -1)
+    nl = np.sum(normal * ldir, -1)
+    hv = np.maximum(np.sum(h * view, -1), 0.0)
+    d_term = ggx_d_np(nh, alpha)
+    g_term = ggx_g1_np(nv, alpha) * ggx_g1_np(nl, alpha)
+    fres = f0 + (1.0 - f0) * (1.0 - hv)[:, None] ** 5
+    denom = np.maximum(4.0 * np.maximum(nv, 0) * np.maximum(nl, 0), 1e-8)
+    return fres * (d_term * g_term / denom)[:, None]
+
+
+def ggx_vndf_sample_np(view, normal, alpha, u1, u2):
+    """Heitz 2018 VNDF sampling (numpy mirror of ops/sampling.py)."""
+    tu, tv = onb(normal)
+    v = np.stack([np.sum(view * tu, -1), np.sum(view * tv, -1),
+                  np.sum(view * normal, -1)], -1)
+    h = np.stack([alpha * v[:, 0], alpha * v[:, 1], v[:, 2]], -1)
+    h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    lensq = h[:, 0] ** 2 + h[:, 1] ** 2
+    inv = 1.0 / np.sqrt(np.maximum(lensq, 1e-20))
+    t1 = np.where((lensq > 1e-16)[:, None],
+                  np.stack([-h[:, 1] * inv, h[:, 0] * inv,
+                            np.zeros_like(inv)], -1),
+                  np.array([1.0, 0.0, 0.0])[None])
+    t2 = np.cross(h, t1)
+    r = np.sqrt(np.maximum(u1, 0.0))
+    phi = 2 * PI * u2
+    p1 = r * np.cos(phi)
+    p2 = r * np.sin(phi)
+    s = 0.5 * (1.0 + h[:, 2])
+    p2 = (1.0 - s) * np.sqrt(np.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    pz = np.sqrt(np.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[:, None] * t1 + p2[:, None] * t2 + pz[:, None] * h
+    m = np.stack([alpha * nh[:, 0], alpha * nh[:, 1],
+                  np.maximum(nh[:, 2], 0.0)], -1)
+    m = m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-20)
+    return m[:, 0:1] * tu + m[:, 1:2] * tv + m[:, 2:3] * normal
+
+
 def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                   width, height, paths_per_pixel, sun_dir,
                   focal_distance=1.0, lens_radius=0.0, seed=0,
@@ -254,17 +313,19 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         normal = np.empty((len(hi), 3))
         refl = np.full(len(hi), DIFF)
         objc = np.ones((len(hi), 3))
+        rgh = np.full(len(hi), 0.3)
         if is_s.any():
             si = idh[is_s]
             normal[is_s] = (oh[is_s] - scene.center[si]) / scene.radius[si][:, None]
             refl[is_s] = scene.refl[si]
             objc[is_s] = scene.color[si]
+            rgh[is_s] = scene.rough[si]
         it = ~is_s
         if it.any():
             ti = idh[it]
             normal[it] = norm(np.cross(scene.te1[ti], scene.te2[ti]))
 
-        mul = is_s & (refl != REFR) & (refl != LIGHT)
+        mul = is_s & (refl != REFR) & (refl != LIGHT) & (refl != GGX)
         direct[hi[mul]] *= objc[mul]
         dcur = direct[hi]
 
@@ -340,10 +401,25 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                                  (cos_surf > 0) & (cos_light > 0))
         ok_ph = isp & np.where(choose_sun, (sun_cos > 0) & (pc_sun > EPS),
                                (cos_surf > 0) & (cos_light > 0) & (pc_l > EPS))
-        sok = ok_diff | ok_ph
+        # GGX NEE (beyond-reference)
+        isg = refl == GGX
+        view = -dh
+        galpha = rgh * rgh
+        f_gs = ggx_eval_np(normal, view, sun_s, galpha, objc)
+        f_gl = ggx_eval_np(normal, view, ldir, galpha, objc)
+        sc_ggx = np.where(
+            choose_sun[:, None],
+            2 * dcur * sunrad * f_gs * (sun_cos * 1e-5)[:, None],
+            le * (2 * n_lights) * dcur * f_gl
+            * (sangle * cos_surf)[:, None])
+        ok_ggx = isg & np.where(choose_sun, sun_cos > 0,
+                                (cos_surf > 0) & (cos_light > 0))
+        sok = ok_diff | ok_ph | ok_ggx
         if sok.any():
             occ = scene.occluded(oh[sok], shadow_dir[sok], shadow_maxd[sok])
-            contrib = np.where(isd[sok][:, None], sc_diff[sok], sc_ph[sok])
+            contrib = np.where(
+                isd[sok][:, None], sc_diff[sok],
+                np.where(isg[sok][:, None], sc_ggx[sok], sc_ph[sok]))
             add = np.where(occ[:, None], 0.0, contrib)
             np.add.at(color_out, hi[sok], add)
 
@@ -405,6 +481,22 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             dacc[~okacc] = wi[~okacc]
             nd[isp] = dacc
             oh[isp] += wi * EPS
+
+        # GGX bounce: VNDF half-vector sample, weight F * G1(l)
+        if isg.any():
+            k = int(isg.sum())
+            gu1 = rng.uniform(size=k)
+            gu2 = rng.uniform(size=k)
+            gh = ggx_vndf_sample_np(view[isg], normal[isg], galpha[isg],
+                                    gu1, gu2)
+            gd = dh[isg] - 2 * np.sum(dh[isg] * gh, -1)[:, None] * gh
+            gnl = np.sum(normal[isg] * gd, -1)
+            ghv = np.maximum(np.sum(gh * view[isg], -1), 0.0)
+            gF = objc[isg] + (1 - objc[isg]) * (1 - ghv)[:, None] ** 5
+            gw = np.where((gnl > EPS)[:, None],
+                          gF * ggx_g1_np(gnl, galpha[isg])[:, None], 0.0)
+            nd[isg] = gd
+            dcur[isg] *= gw
 
         # Russian roulette
         pmax = np.minimum(1.0, dcur.max(-1))

@@ -146,6 +146,72 @@ def cosine_hemisphere_sample(normal, seed):
     return seed, normalize(d)
 
 
+def ggx_d(n_dot_h, alpha):
+    """GGX / Trowbridge-Reitz normal distribution D(h).
+
+    Beyond-reference material model (the reference's glossy lobe is the
+    normalised Phong of kernel.cu:516-596); standard single-scatter
+    microfacet formulation, alpha = roughness^2 (perceptual mapping)."""
+    a2 = alpha * alpha
+    c = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(PI * c * c, 1e-12)
+
+
+def ggx_g1(n_dot_x, alpha):
+    """Smith GGX masking/shadowing term G1 for one direction.
+
+    Separable Smith: G2(v, l) = G1(v) * G1(l).  Clamps below-horizon
+    directions to 0."""
+    a2 = alpha * alpha
+    nx = jnp.maximum(n_dot_x, 0.0)
+    return 2.0 * nx / jnp.maximum(
+        nx + jnp.sqrt(a2 + (1.0 - a2) * nx * nx), 1e-12)
+
+
+def ggx_vndf_sample_from_uniforms(view, normal, alpha, u1, u2):
+    """Sample a GGX half-vector from the visible-normal distribution.
+
+    Heitz, "Sampling the GGX Distribution of Visible Normals" (JCGT 2018).
+    ``view`` points AWAY from the surface (``-ray_direction``), ``normal``
+    is the face-forwarded shading normal, ``alpha`` the squared perceptual
+    roughness; ``u1``/``u2`` are uniforms in [0, 1).  Returns the sampled
+    half-vector in WORLD space.  With this sampler the estimator weight for
+    the reflected direction l is F(h.v) * G1(n.l) (separable Smith), since
+    pdf(l) = G1(n.v) * D(h) * (v.h) / (4 (n.v) (v.h))."""
+    tu, tv = orthonormal_basis(normal)
+    vx = dot(view, tu)
+    vy = dot(view, tv)
+    vz = dot(view, normal)
+    # stretch the view vector into the hemisphere configuration
+    h = jnp.stack([alpha * vx, alpha * vy, vz], -1)
+    h = h / jnp.sqrt(jnp.maximum(dot(h, h), 1e-20))[..., None]
+    # orthonormal frame around the stretched view
+    lensq = h[..., 0] * h[..., 0] + h[..., 1] * h[..., 1]
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where((lensq > 1e-16)[..., None],
+                   jnp.stack([-h[..., 1] * inv_len, h[..., 0] * inv_len,
+                              jnp.zeros_like(inv_len)], -1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], h.dtype),
+                                    h.shape))
+    t2 = cross(h, t1)
+    # disk sample warped toward the configuration's visible half
+    r = jnp.sqrt(jnp.maximum(u1, 0.0))
+    phi = 2.0 * PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + h[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    pz = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + pz[..., None] * h
+    # unstretch back to the ellipsoid
+    m = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                   jnp.maximum(nh[..., 2], 0.0)], -1)
+    m = m / jnp.sqrt(jnp.maximum(dot(m, m), 1e-20))[..., None]
+    # local -> world
+    return (m[..., 0:1] * tu + m[..., 1:2] * tv
+            + m[..., 2:3] * normal)
+
+
 def phong_lobe_sample(w, phong_exponent, seed):
     """Sample around the ideal reflection vector ``w`` with a cos^n lobe.
 

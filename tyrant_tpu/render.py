@@ -35,15 +35,35 @@ from .config import EPSILON, INV_PI, PI, VERY_FAR, RenderConfig
 from .ops import rng
 from .ops.intersect import intersect_spheres, ray_sphere
 from .ops.sampling import (concentric_sample_disk, cone_sample,
-                           cosine_hemisphere_sample, dot, normalize,
+                           cosine_hemisphere_sample, dot, ggx_d, ggx_g1,
+                           ggx_vndf_sample_from_uniforms, normalize,
                            phong_lobe_sample, reflect,
                            sphere_surface_from_uniforms,
                            sphere_surface_sample,
                            triangle_sample_from_uniforms)
 from .ops.traverse import any_hit, closest_hit
-from .scene.scene import DIFF, LIGHT, PHONG, REFR, SPEC, SceneData
+from .scene.scene import DIFF, GGX, LIGHT, PHONG, REFR, SPEC, SceneData
 
 PHONG_EXPONENT = 40.0  # kernel.cu:520
+
+
+def _ggx_eval(normal, view, light_dir, alpha, f0):
+    """Single-scatter GGX BRDF value f(v, l), [n, 3] (beyond-reference).
+
+    ``view`` and ``light_dir`` point away from the surface; ``f0`` is the
+    conductor reflectance at normal incidence (the surface colour).
+    Separable Smith G2 = G1(v) * G1(l), Schlick Fresnel."""
+    h = normalize(view + light_dir)
+    nh = jnp.maximum(dot(normal, h), 0.0)
+    nv = dot(normal, view)
+    nl = dot(normal, light_dir)
+    hv = jnp.maximum(dot(h, view), 0.0)
+    d_term = ggx_d(nh, alpha)
+    g_term = ggx_g1(nv, alpha) * ggx_g1(nl, alpha)
+    fres = f0 + (1.0 - f0) * jnp.power(1.0 - hv, 5.0)[:, None]
+    denom = jnp.maximum(
+        4.0 * jnp.maximum(nv, 0.0) * jnp.maximum(nl, 0.0), 1e-8)
+    return fres * (d_term * g_term / denom)[:, None]
 
 # survivor-ordering spatial grid resolution (see render_step compaction)
 _KEY_GRID = 8
@@ -381,12 +401,14 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         normal_tri = tri_normal / jnp.maximum(nlen, 1e-30)[:, None]
         refl_tri = DIFF
         color_tri = 1.0
+        rough_tri = 0.3  # default-material triangles are never GGX
     else:
         tid = jnp.clip(ident, 0, scene.tri_shade.shape[0] - 1)
         trow = scene.tri_shade[tid]  # [N, 8]
         normal_tri = trow[:, 0:3]
         refl_tri = trow[:, 3].astype(jnp.int32)
         color_tri = trow[:, 4:7]
+        rough_tri = trow[:, 7]
         if scene.has_textures or scene.smooth_normals:
             # per-triangle attribute row (beyond-reference): barycentrics
             # recovered from the pre-offset hit point ``o`` via the
@@ -426,6 +448,13 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
     mul_mask = hit & (refl != REFR) & (refl != LIGHT)
+    if scene.has_ggx:
+        # GGX (beyond-reference): obj_color is the conductor F0, applied
+        # through the Fresnel term — not premultiplied into throughput
+        mul_mask = mul_mask & (refl != GGX)
+        is_ggx = hit & (refl == GGX)
+        ggx_rough = jnp.where(is_sphere, srow[:, 11], rough_tri)
+        ggx_alpha = ggx_rough * ggx_rough  # perceptual -> distribution
     direct = rays["direct"] * jnp.where(mul_mask[:, None], obj_color, 1.0)
 
     outside = dot(normal, d) < 0
@@ -600,6 +629,24 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         is_diff[:, None],
         jnp.where(choose_sun[:, None], diff_sun_color, diff_light_color),
         jnp.where(choose_sun[:, None], phong_sun_color, phong_light_color))
+    if scene.has_ggx:
+        # GGX NEE (beyond-reference): same sun/light estimator shape as
+        # DIFF/PHONG with the microfacet BRDF evaluated toward the sample
+        view = -d
+        f_ggx_sun = _ggx_eval(normal, view, sun_sample, ggx_alpha, obj_color)
+        ggx_sun_color = inv_p_sun * direct * sun_radiance * f_ggx_sun \
+            * (sun_cos * 1e-5)[:, None]
+        ggx_sun_ok = choose_sun & (sun_cos > 0)
+        f_ggx_l = _ggx_eval(normal, view, ldir, ggx_alpha, obj_color)
+        ggx_light_color = light_e2 * (inv_p_light * n_lights) * direct \
+            * f_ggx_l * (solid_angle * cos_surf)[:, None]
+        ggx_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) \
+            & has_light
+        shadow_ok = shadow_ok | (is_ggx & (ggx_sun_ok | ggx_light_ok))
+        shadow_color = jnp.where(
+            is_ggx[:, None],
+            jnp.where(choose_sun[:, None], ggx_sun_color, ggx_light_color),
+            shadow_color)
     # sun shadows use the ShadowQueue default max distance (variables.h:41)
     # tri lights live IN the BVH: shrink the shadow range a hair so the
     # occlusion test cannot hit the sampled emitter itself at t == ldist
@@ -659,6 +706,28 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     new_dir = jnp.where(is_refr[:, None], refr_new_dir, new_dir)
     new_dir = jnp.where(is_phong[:, None], phong_dir, new_dir)
     # LIGHT keeps its direction (kernel.cu:405 falls through)
+
+    if scene.has_ggx:
+        # GGX bounce (beyond-reference): VNDF-sampled half-vector; the
+        # estimator weight for the reflected direction is F(h.v) * G1(n.l)
+        # (ops/sampling.py ggx_vndf_sample_from_uniforms).  A SIDE seed
+        # stream keeps the main shade RNG chain untouched, so non-GGX
+        # materials in the same scene shade identically.
+        gseed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x66C5)
+        gseed, gu1 = rng.random_float(gseed)
+        _, gu2 = rng.random_float(gseed)
+        ggx_h = ggx_vndf_sample_from_uniforms(view, normal, ggx_alpha,
+                                              gu1, gu2)
+        ggx_dir = reflect(d, ggx_h)
+        ggx_nl = dot(normal, ggx_dir)
+        ggx_hv = jnp.maximum(dot(ggx_h, view), 0.0)
+        ggx_f = obj_color \
+            + (1.0 - obj_color) * jnp.power(1.0 - ggx_hv, 5.0)[:, None]
+        # below-horizon samples get weight 0: throughput dies, RR terminates
+        ggx_w = jnp.where((ggx_nl > eps)[:, None],
+                          ggx_f * ggx_g1(ggx_nl, ggx_alpha)[:, None], 0.0)
+        new_dir = jnp.where(is_ggx[:, None], ggx_dir, new_dir)
+        direct = direct * jnp.where(is_ggx[:, None], ggx_w, 1.0)
 
     new_last_spec = (hit & (refl == SPEC)) | (is_refr & refr_reflects)
 

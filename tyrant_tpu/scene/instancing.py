@@ -56,6 +56,7 @@ class MeshAsset:
     tri_tex: Optional[np.ndarray] = None
     textures: Optional[list] = None
     tri_vn: Optional[np.ndarray] = None
+    tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -74,6 +75,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     from .scene import _ply_has_normals, load_mesh
 
     tri_uv = tri_tex = textures = tri_color = tri_vn = None
+    tri_refl = tri_rough = None
     if path.endswith(".obj"):
         from .obj import load_obj_scene
         m = load_obj_scene(path)
@@ -81,6 +83,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         tri_uv, tri_tex, textures = m.uvs, m.tri_tex, m.textures
         tri_color = m.tri_color
         tri_vn = m.normals
+        tri_refl, tri_rough = m.tri_refl, m.tri_rough
     elif path.endswith(".ply") and _ply_has_normals(path):
         from .ply import load_ply_full
         vertices, faces, vnorm = load_ply_full(path)
@@ -92,7 +95,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     return MeshAsset(v0=vertices[faces[:, 0]], v1=vertices[faces[:, 1]],
                      v2=vertices[faces[:, 2]], tri_color=tri_color,
                      tri_uv=tri_uv, tri_tex=tri_tex, textures=textures,
-                     tri_vn=tri_vn)
+                     tri_vn=tri_vn, tri_refl=tri_refl, tri_rough=tri_rough)
 
 
 def _as_affine(m) -> tuple[np.ndarray, np.ndarray]:
@@ -142,6 +145,7 @@ def flatten_instances(meshes: Sequence[MeshAsset],
     """
     any_refl = any(m.tri_refl is not None for m in meshes)
     any_color = any(m.tri_color is not None for m in meshes)
+    any_rough = any(m.tri_rough is not None for m in meshes)
     any_uv = any(m.tri_uv is not None for m in meshes)
     any_vn = any(m.tri_vn is not None for m in meshes)
     any_tex = any(m.textures for m in meshes)
@@ -155,6 +159,7 @@ def flatten_instances(meshes: Sequence[MeshAsset],
 
     out_v0, out_v1, out_v2 = [], [], []
     out_refl, out_color, out_uv, out_tex, out_vn = [], [], [], [], []
+    out_rough = []
     for mesh_id, xf in instances:
         m = meshes[mesh_id]
         a, t = _as_affine(xf)
@@ -189,6 +194,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         if any_color:
             out_color.append(m.tri_color if m.tri_color is not None
                              else np.ones((n, 3), np.float32))
+        if any_rough:
+            out_rough.append(m.tri_rough if m.tri_rough is not None
+                             else np.full(n, 0.3, np.float32))
         if any_uv or any_tex:
             out_uv.append(uv)
             tt = (m.tri_tex.astype(np.int64) + tex_offset[mesh_id]
@@ -205,4 +213,5 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         tri_uv=cat(out_uv) if (any_uv or any_tex) else None,
         tri_tex=cat(out_tex) if (any_uv or any_tex) else None,
         textures=textures if any_tex else None,
-        tri_vn=cat(out_vn) if any_vn else None)
+        tri_vn=cat(out_vn) if any_vn else None,
+        tri_rough=cat(out_rough) if any_rough else None)

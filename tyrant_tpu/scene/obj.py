@@ -30,10 +30,21 @@ class ObjMesh:
     tri_tex: np.ndarray | None  # [F] i32 texture index, -1 = none (or None)
     textures: list | None       # list of [H, W, 3] f32 linear images
     normals: np.ndarray | None = None  # [F, 3, 3] f32 per-corner vn
+    tri_refl: np.ndarray | None = None  # [F] i32 material type (or None)
+    tri_rough: np.ndarray | None = None  # [F] f32 GGX roughness (or None)
+
+
+# scene.scene.GGX, duplicated to avoid a circular import (scene.py imports
+# this module inside Scene.load)
+_GGX = 5
 
 
 def _parse_mtl(path: str):
-    """Returns {material name: (Kd rgb tuple, map_Kd path or None)}."""
+    """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm]}.
+
+    ``Pr`` (roughness) and ``Pm`` (metallic) are the common PBR extension
+    keys; a metallic material (Pm > 0.5) shades as the GGX rough conductor
+    (beyond-reference, see ops/sampling.py ggx_*)."""
     mats = {}
     cur = None
     base = os.path.dirname(path)
@@ -44,13 +55,17 @@ def _parse_mtl(path: str):
                 continue
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
-                mats[cur] = [(1.0, 1.0, 1.0), None]
+                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
             elif parts[0] == "map_Kd" and cur and len(parts) > 1:
                 # last token: map_Kd may carry -o/-s options we ignore
                 mats[cur][1] = os.path.join(base, parts[-1])
+            elif parts[0] == "Pr" and cur and len(parts) > 1:
+                mats[cur][2] = float(parts[1])
+            elif parts[0] == "Pm" and cur and len(parts) > 1:
+                mats[cur][3] = float(parts[1])
     return mats
 
 
@@ -143,10 +158,16 @@ def load_obj_scene(path: str) -> ObjMesh:
     tri_color = None
     tri_tex = None
     textures = None
+    tri_refl = None
+    tri_rough = None
     if mats and any(m is not None for m in face_mat):
         from .texture import load_texture
         tri_color = np.ones((f_count, 3), np.float32)
         tri_tex = np.full(f_count, -1, np.int32)
+        any_metal = any(rec[3] > 0.5 for rec in mats.values())
+        if any_metal:
+            tri_refl = np.zeros(f_count, np.int32)
+            tri_rough = np.full(f_count, 0.3, np.float32)
         tex_paths: dict = {}
         textures = []
         for i, name in enumerate(face_mat):
@@ -154,6 +175,9 @@ def load_obj_scene(path: str) -> ObjMesh:
             if rec is None:
                 continue
             tri_color[i] = rec[0]
+            if any_metal and rec[3] > 0.5:
+                tri_refl[i] = _GGX
+                tri_rough[i] = rec[2] if rec[2] is not None else 0.3
             tp = rec[1]
             if tp and os.path.exists(tp):
                 if tp not in tex_paths:
@@ -177,7 +201,7 @@ def load_obj_scene(path: str) -> ObjMesh:
 
     return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
                    tri_color=tri_color, tri_tex=tri_tex, textures=textures,
-                   normals=normals)
+                   normals=normals, tri_refl=tri_refl, tri_rough=tri_rough)
 
 
 def load_obj(path: str):

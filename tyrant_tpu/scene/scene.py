@@ -28,8 +28,10 @@ from ..ops.traverse import BVHDevice
 from . import ply
 from .bvh import BVHArrays, build_bvh, bvh_stats
 
-# Reflection types, kernel.cu:67-71
-DIFF, SPEC, REFR, PHONG, LIGHT = 0, 1, 2, 3, 4
+# Reflection types, kernel.cu:67-71.  GGX is beyond-reference: an
+# importance-sampled rough-conductor microfacet BSDF (VNDF sampling,
+# separable Smith; ops/sampling.py ggx_*) with per-surface roughness.
+DIFF, SPEC, REFR, PHONG, LIGHT, GGX = 0, 1, 2, 3, 4, 5
 
 
 @dataclasses.dataclass
@@ -40,7 +42,10 @@ class Spheres:
     radius: np.ndarray    # [S] f32
     color: np.ndarray     # [S, 3] f32
     emission: np.ndarray  # [S, 3] f32
-    refl: np.ndarray      # [S] i32 (DIFF/SPEC/REFR/PHONG/LIGHT)
+    refl: np.ndarray      # [S] i32 (DIFF/SPEC/REFR/PHONG/LIGHT/GGX)
+    # perceptual roughness for GGX spheres (alpha = roughness^2);
+    # ignored by the other material types.  None -> 0.3 everywhere.
+    roughness: Optional[np.ndarray] = None  # [S] f32
 
     @classmethod
     def default_seven(cls) -> "Spheres":
@@ -96,10 +101,10 @@ class SceneData:
     # regardless of row width (scripts/gather_micro.py), so everything shade
     # needs per hit is packed into ONE row per geometry kind:
     #   tri_shade  [T+pad, 8]: geometric normal.xyz (pre-normalised
-    #       cross(e1,e2), kernel.cu:380-383), refl, color.rgb, pad
+    #       cross(e1,e2), kernel.cu:380-383), refl, color.rgb, roughness
     #   sphere_table [S, 12]: center.xyz, radius, color.rgb, emission.rgb,
-    #       refl, pad — fetched by a select chain, not a gather (XLA lowers
-    #       tiny-table gathers at full gather cost)
+    #       refl, roughness — fetched by a select chain, not a gather (XLA
+    #       lowers tiny-table gathers at full gather cost)
     tri_shade: jnp.ndarray
     sphere_table: jnp.ndarray
     # Per-triangle attribute rows (beyond-reference: textures +
@@ -144,6 +149,10 @@ class SceneData:
     # [1, 13] zeros when none; count is STATIC aux.
     tri_lights: jnp.ndarray = None
     n_tri_lights: int = 0
+    # STATIC flag: any GGX-typed surface in the scene.  Gates the GGX
+    # shade terms at trace time so non-GGX scenes compile the identical
+    # program as before (zero cost, goldens bitwise stable).
+    has_ggx: bool = False
 
     @property
     def has_envmap(self) -> bool:
@@ -160,14 +169,15 @@ class SceneData:
                  self.tri_shade, self.sphere_table, self.tri_attr,
                  self.tex_data, self.env_data, self.tri_lights),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
-                 self.smooth_normals, self.env_meta, self.n_tri_lights))
+                 self.smooth_normals, self.env_meta, self.n_tri_lights,
+                 self.has_ggx))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves[:11], tri_default_mat=aux[0],
                    light_indices=aux[1], tex_meta=aux[2],
                    smooth_normals=aux[3], env_meta=aux[4],
-                   n_tri_lights=aux[5],
+                   n_tri_lights=aux[5], has_ggx=aux[6],
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14])
 
@@ -189,6 +199,7 @@ class Scene:
     textures: Optional[list] = None         # list of [H, W, 3] f32 linear
     tri_vn: Optional[np.ndarray] = None     # [T, 3, 3] per-corner normals
     envmap: Optional[np.ndarray] = None     # [H, W, 3] equirect radiance
+    tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -223,14 +234,17 @@ class Scene:
             return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
+        tri_refl = tri_rough = None
         if path.endswith(".obj"):
-            # full OBJ record: UVs + MTL Kd/map_Kd + vn (beyond-reference)
+            # full OBJ record: UVs + MTL Kd/map_Kd/Pr/Pm + vn
+            # (beyond-reference)
             from .obj import load_obj_scene
             m = load_obj_scene(path)
             vertices, faces = m.vertices, m.faces
             tri_uv, tri_tex, textures = m.uvs, m.tri_tex, m.textures
             tri_color = m.tri_color
             tri_vn = m.normals
+            tri_refl, tri_rough = m.tri_refl, m.tri_rough
         elif path.endswith(".ply") and _ply_has_normals(path):
             # vertex normals present: the python loader extracts them for
             # smooth shading (the native fast path returns positions only)
@@ -256,7 +270,8 @@ class Scene:
         stats["triangles"] = int(tri_vert.shape[0])
         return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats,
                    tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
-                   textures=textures, tri_vn=tri_vn, envmap=envmap)
+                   textures=textures, tri_vn=tri_vn, envmap=envmap,
+                   tri_refl=tri_refl, tri_rough=tri_rough)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
@@ -264,7 +279,7 @@ class Scene:
                        builder: str = "auto",
                        tri_refl=None, tri_color=None,
                        tri_uv=None, tri_tex=None, textures=None,
-                       tri_vn=None, envmap=None) -> "Scene":
+                       tri_vn=None, envmap=None, tri_rough=None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
@@ -293,7 +308,9 @@ class Scene:
                    textures=textures,
                    tri_vn=None if tri_vn is None
                    else np.asarray(tri_vn, np.float32),
-                   envmap=envmap)
+                   envmap=envmap,
+                   tri_rough=None if tri_rough is None
+                   else np.asarray(tri_rough, np.float32))
 
     @classmethod
     def from_instances(cls, meshes, instances,
@@ -318,7 +335,7 @@ class Scene:
             builder=builder, tri_refl=flat.tri_refl,
             tri_color=flat.tri_color, tri_uv=flat.tri_uv,
             tri_tex=flat.tri_tex, textures=flat.textures,
-            tri_vn=flat.tri_vn, envmap=envmap)
+            tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
         return s
@@ -342,6 +359,7 @@ class Scene:
                 leaf_packed=jnp.zeros((1, 9 * 6), jnp.float32))
             tri_refl = np.zeros(4, np.int32)
             tri_color = np.ones((4, 3), np.float32)
+            tri_rough = np.full(4, 0.3, np.float32)
         else:
             bvh_dev = BVHDevice.from_host(self.bvh, self.tri_vert,
                                           self.tri_e1, self.tri_e2)
@@ -351,9 +369,12 @@ class Scene:
                     else self.tri_refl)[perm]
             color = (np.ones((t, 3), np.float32) if self.tri_color is None
                      else self.tri_color)[perm]
+            rough = (np.full(t, 0.3, np.float32) if self.tri_rough is None
+                     else np.asarray(self.tri_rough, np.float32))[perm]
             pad = bvh_dev.tri_packed.shape[0] - t
             tri_refl = np.concatenate([refl, np.zeros(pad, np.int32)])
             tri_color = np.concatenate([color, np.ones((pad, 3), np.float32)])
+            tri_rough = np.concatenate([rough, np.full(pad, 0.3, np.float32)])
         light_list = tuple(int(i)
                            for i in np.nonzero(self.spheres.refl == LIGHT)[0])
         light_idx = light_list[0] if light_list else -1
@@ -367,6 +388,9 @@ class Scene:
         tri_shade[:, 0:3] = normal
         tri_shade[:, 3] = tri_refl.astype(np.float32)
         tri_shade[:, 4:7] = tri_color
+        # GGX perceptual roughness (clamped: alpha -> 0 degenerates D(h)
+        # to a delta the estimator can't importance-sample stably)
+        tri_shade[:, 7] = np.clip(tri_rough, 0.03, 1.0)
 
         # texture atlas + per-triangle attribute rows (beyond-reference:
         # textures AND smooth vertex normals share one [T+pad, 32] gather
@@ -457,6 +481,10 @@ class Scene:
         sphere_table[:, 4:7] = s.color
         sphere_table[:, 7:10] = s.emission
         sphere_table[:, 10] = s.refl.astype(np.float32)
+        sphere_table[:, 11] = np.clip(
+            np.full(s.count, 0.3, np.float32) if s.roughness is None
+            else np.asarray(s.roughness, np.float32), 0.03, 1.0)
+        has_ggx = bool((s.refl == GGX).any() or (tri_refl == GGX).any())
 
         return SceneData(
             bvh=bvh_dev,
@@ -481,6 +509,7 @@ class Scene:
             env_meta=env_meta,
             tri_lights=tri_lights,
             n_tri_lights=n_tri_lights,
+            has_ggx=has_ggx,
         )
 
 
