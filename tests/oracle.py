@@ -209,13 +209,20 @@ def ggx_g1_np(nx, alpha):
                                  1e-12)
 
 
+def ggx_d_vec_np(normal, h, alpha):
+    cr = np.cross(normal, h)
+    sin2 = np.sum(cr * cr, -1)
+    a2 = alpha * alpha
+    c = sin2 + a2 * np.maximum(1.0 - sin2, 0.0)
+    return a2 / np.maximum(PI * c * c, 1e-12)
+
+
 def ggx_eval_np(normal, view, ldir, alpha, f0):
     h = norm(view + ldir)
-    nh = np.maximum(np.sum(normal * h, -1), 0.0)
     nv = np.sum(normal * view, -1)
     nl = np.sum(normal * ldir, -1)
     hv = np.maximum(np.sum(h * view, -1), 0.0)
-    d_term = ggx_d_np(nh, alpha)
+    d_term = ggx_d_vec_np(normal, h, alpha)
     g_term = ggx_g1_np(nv, alpha) * ggx_g1_np(nl, alpha)
     fres = f0 + (1.0 - f0) * (1.0 - hv)[:, None] ** 5
     denom = np.maximum(4.0 * np.maximum(nv, 0) * np.maximum(nl, 0), 1e-8)
@@ -253,7 +260,7 @@ def ggx_vndf_sample_np(view, normal, alpha, u1, u2):
 def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                   width, height, paths_per_pixel, sun_dir,
                   focal_distance=1.0, lens_radius=0.0, seed=0,
-                  max_bounces=MAX_BOUNCES):
+                  max_bounces=MAX_BOUNCES, mis=False):
     """Renders [H*W, 4] accumulation (rgb sum + terminated count)."""
     rng = np.random.default_rng(seed)
     P = width * height
@@ -277,6 +284,7 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
     last_spec = np.ones(n, bool)
     bounces = np.zeros(n, int)
     alive = np.ones(n, bool)
+    bpdf = np.ones(n)  # MIS: pdf of the BSDF sample that made each ray
     color_out = np.zeros((n, 3))
     terminated = np.zeros(n)
 
@@ -296,8 +304,18 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         mi = idxs[miss]
         if len(mi):
             mdir = dd[miss]
-            skycol = np.where(last_spec[mi][:, None],
-                              sunsky_np(mdir, sun_dir), sky_np(mdir, sun_dir))
+            if mis:
+                sky_only = sky_np(mdir, sun_dir)
+                both = sunsky_np(mdir, sun_dir)
+                in_cone = mdir @ sun_dir > SUN_ANGULAR_COS
+                p_sun_sa = 0.5 / (2 * PI * sun_extent)
+                wsun = np.where(last_spec[mi] | ~in_cone, 1.0,
+                                bpdf[mi] / (bpdf[mi] + p_sun_sa))
+                skycol = sky_only + wsun[:, None] * (both - sky_only)
+            else:
+                skycol = np.where(last_spec[mi][:, None],
+                                  sunsky_np(mdir, sun_dir),
+                                  sky_np(mdir, sun_dir))
             color_out[mi] += direct[mi] * skycol
             terminated[mi] += 1
             alive[mi] = False
@@ -339,11 +357,25 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             li_ids = idh[isl]
             spec_mask = last_spec[hi[isl]]
             emitted = scene.emission[li_ids] * dcur[isl]
-            color_out[hi[isl][spec_mask]] += emitted[spec_mask]
-            # zero throughput where light hit on a non-specular path
-            zmask = isl.copy()
-            zmask[np.nonzero(isl)[0][spec_mask]] = False
-            dcur[zmask] = 0.0
+            if mis:
+                # balance heuristic vs the NEE pdf of sampling this point
+                cosl = np.maximum(-np.sum(normal[isl] * dh[isl], -1), 1e-6)
+                area_h = 4 * PI * scene.radius[li_ids] ** 2
+                tl = (float(len(scene.light_indices))
+                      if len(scene.light_indices) > 1 else 1.0)
+                p_hit = (0.5 / tl) * th[isl] ** 2 \
+                    / np.maximum(cosl * area_h, 1e-12)
+                bi = bpdf[hi[isl]]
+                wh = np.where(spec_mask, 1.0,
+                              bi / np.maximum(bi + p_hit, 1e-12))
+                np.add.at(color_out, hi[isl], emitted * wh[:, None])
+                dcur[isl] = 0.0
+            else:
+                color_out[hi[isl][spec_mask]] += emitted[spec_mask]
+                # zero throughput where light hit on a non-specular path
+                zmask = isl.copy()
+                zmask[np.nonzero(isl)[0][spec_mask]] = False
+                dcur[zmask] = 0.0
 
         last_spec[hi] = False
         m = len(hi)
@@ -414,12 +446,33 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             * (sangle * cos_surf)[:, None])
         ok_ggx = isg & np.where(choose_sun, sun_cos > 0,
                                 (cos_surf > 0) & (cos_light > 0))
+        def pdf_toward(ddir):
+            """BSDF solid-angle pdf toward ddir (MIS; 0 for delta lobes)."""
+            c = np.sum(normal * ddir, -1)
+            p = np.where(isd, np.maximum(c, 0) * INV_PI, 0.0)
+            pcq = np.maximum(np.sum(ddir * w, -1), 0.0)
+            p = np.where(isp, (pe + 1) * 0.5 * INV_PI * pcq ** pe, p)
+            nv = np.maximum(np.sum(normal * view, -1), 1e-6)
+            hh = norm(view + ddir)
+            pg = ggx_g1_np(nv, galpha) \
+                * ggx_d_vec_np(normal, hh, galpha) / (4 * nv)
+            return np.where(isg, pg, p)
+
         sok = ok_diff | ok_ph | ok_ggx
         if sok.any():
             occ = scene.occluded(oh[sok], shadow_dir[sok], shadow_maxd[sok])
             contrib = np.where(
                 isd[sok][:, None], sc_diff[sok],
                 np.where(isg[sok][:, None], sc_ggx[sok], sc_ph[sok]))
+            if mis:
+                p_sun_sa = 0.5 / (2 * PI * sun_extent)
+                w_sun_nee = p_sun_sa / (p_sun_sa + pdf_toward(sun_s))
+                p_l_sa = (0.5 / n_lights) * ld2 \
+                    / np.maximum(cos_light * (4 * PI * lr * lr), 1e-12)
+                w_l_nee = p_l_sa / np.maximum(p_l_sa + pdf_toward(ldir),
+                                              1e-12)
+                w_nee = np.where(choose_sun, w_sun_nee, w_l_nee)
+                contrib = contrib * w_nee[sok][:, None]
             add = np.where(occ[:, None], 0.0, contrib)
             np.add.at(color_out, hi[sok], add)
 
@@ -497,6 +550,9 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                           gF * ggx_g1_np(gnl, galpha[isg])[:, None], 0.0)
             nd[isg] = gd
             dcur[isg] *= gw
+
+        if mis:
+            bpdf[hi] = np.maximum(pdf_toward(nd), 1e-8)
 
         # Russian roulette
         pmax = np.minimum(1.0, dcur.max(-1))

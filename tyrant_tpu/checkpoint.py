@@ -23,11 +23,12 @@ from .render import RenderState
 
 _FIELDS = ["accum", "origin", "direction", "direct", "pending", "pixel",
            "bounces", "last_specular", "n_carried", "start_position",
-           "frame", "shadow_rays", "moment2", "pixel_perm"]
+           "frame", "shadow_rays", "moment2", "pixel_perm", "bsdf_pdf"]
 # fields added after round 1; absent from old checkpoints — default on load
 _OPTIONAL = {"shadow_rays": np.asarray(0, np.uint32),
              "moment2": np.zeros((1, 4), np.float32),
-             "pixel_perm": np.zeros((1,), np.int32)}
+             "pixel_perm": np.zeros((1,), np.int32),
+             "bsdf_pdf": np.ones((1,), np.float32)}
 
 
 def save_state(path: str, state: RenderState, metadata: dict | None = None):

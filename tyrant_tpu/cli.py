@@ -48,6 +48,10 @@ def _add_common(p):
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive sampling: direct the ray budget at "
                         "high-variance pixels (adaptive.py)")
+    p.add_argument("--mis", action="store_true",
+                   help="multiple importance sampling: balance-heuristic "
+                        "NEE/BSDF weighting (lower variance on glossy "
+                        "surfaces near emitters)")
     p.add_argument("--texture-filter", default="bilinear",
                    choices=["bilinear", "nearest"],
                    help="albedo texture filtering (textured OBJ scenes)")
@@ -70,7 +74,8 @@ def _build(args):
                        tonemap=getattr(args, "tonemap", "reinhard"),
                        exposure=getattr(args, "exposure", 1.0),
                        denoise="on" if getattr(args, "denoise", False)
-                       else "off")
+                       else "off",
+                       mis="on" if getattr(args, "mis", False) else "off")
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()

@@ -152,6 +152,14 @@ class RenderConfig:
     # semantics — the default; clamping introduces bounded bias in exchange
     # for bounded per-sample variance).
     radiance_clamp: float = 0.0
+    # Multiple importance sampling (beyond-reference): balance-heuristic
+    # weighting between NEE and BSDF sampling for area lights and the sun
+    # disc, instead of the reference's lastSpecular double-count guard
+    # (kernel.cu:393-401).  Same expected image for area lights, far lower
+    # variance on glossy (PHONG/GGX) surfaces near emitters, and
+    # BSDF-sampled paths recover emitter highlights NEE under-samples.
+    # "off" keeps the reference estimator (golden-stable default).
+    mis: str = "off"
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",
@@ -167,7 +175,8 @@ class RenderConfig:
                 ("texture_filter", ("bilinear", "nearest")),
                 ("tonemap", ("reinhard", "aces")),
                 ("denoise", ("on", "off")),
-                ("adaptive_sampling", ("on", "off"))):
+                ("adaptive_sampling", ("on", "off")),
+                ("mis", ("on", "off"))):
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(f"unknown {field} {v!r}; expected one of "

@@ -157,6 +157,20 @@ def ggx_d(n_dot_h, alpha):
     return a2 / jnp.maximum(PI * c * c, 1e-12)
 
 
+def ggx_d_vec(normal, h, alpha):
+    """D(h) evaluated from the vectors, f32-stable at low roughness.
+
+    The scalar form's ``(n.h)^2 (a^2 - 1) + 1`` cancels catastrophically
+    when n.h -> 1 (the lobe peak, exactly where D is largest); computing
+    sin^2 via the cross product instead keeps full precision there:
+    c = sin^2 + a^2 cos^2."""
+    cr = cross(normal, h)
+    sin2 = dot(cr, cr)
+    a2 = alpha * alpha
+    c = sin2 + a2 * jnp.maximum(1.0 - sin2, 0.0)
+    return a2 / jnp.maximum(PI * c * c, 1e-12)
+
+
 def ggx_g1(n_dot_x, alpha):
     """Smith GGX masking/shadowing term G1 for one direction.
 

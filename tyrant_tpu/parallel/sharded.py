@@ -74,6 +74,8 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
             jnp.tile(jnp.arange(p_local, dtype=jnp.int32), n_dev)
             if cfg.adaptive_sampling == "on"
             else jnp.zeros((n_dev,), jnp.int32)),
+        bsdf_pdf=sharded(jnp.ones(
+            (n_dev * (n if cfg.mis == "on" else 1),), jnp.float32)),
     )
 
 
@@ -104,7 +106,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             start_position=state.start_position[0],
             frame=state.frame[0],
             shadow_rays=state.shadow_rays[0],
-            moment2=state.moment2, pixel_perm=state.pixel_perm)
+            moment2=state.moment2, pixel_perm=state.pixel_perm,
+            bsdf_pdf=state.bsdf_pdf)
         if table_rows is not None:
             import types
             tables = types.SimpleNamespace(rows=table_rows, fits=tables_fit)
@@ -123,7 +126,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             start_position=out.start_position[None],
             frame=out.frame[None],
             shadow_rays=out.shadow_rays[None],
-            moment2=out.moment2, pixel_perm=out.pixel_perm)
+            moment2=out.moment2, pixel_perm=out.pixel_perm,
+            bsdf_pdf=out.bsdf_pdf)
 
     try:
         shard_map = jax.shard_map

@@ -35,7 +35,7 @@ from .config import EPSILON, INV_PI, PI, VERY_FAR, RenderConfig
 from .ops import rng
 from .ops.intersect import intersect_spheres, ray_sphere
 from .ops.sampling import (concentric_sample_disk, cone_sample,
-                           cosine_hemisphere_sample, dot, ggx_d, ggx_g1,
+                           cosine_hemisphere_sample, dot, ggx_d_vec, ggx_g1,
                            ggx_vndf_sample_from_uniforms, normalize,
                            phong_lobe_sample, reflect,
                            sphere_surface_from_uniforms,
@@ -54,11 +54,10 @@ def _ggx_eval(normal, view, light_dir, alpha, f0):
     conductor reflectance at normal incidence (the surface colour).
     Separable Smith G2 = G1(v) * G1(l), Schlick Fresnel."""
     h = normalize(view + light_dir)
-    nh = jnp.maximum(dot(normal, h), 0.0)
     nv = dot(normal, view)
     nl = dot(normal, light_dir)
     hv = jnp.maximum(dot(h, view), 0.0)
-    d_term = ggx_d(nh, alpha)
+    d_term = ggx_d_vec(normal, h, alpha)
     g_term = ggx_g1(nv, alpha) * ggx_g1(nl, alpha)
     fres = f0 + (1.0 - f0) * jnp.power(1.0 - hv, 5.0)[:, None]
     denom = jnp.maximum(
@@ -106,12 +105,18 @@ class RenderState:
         default_factory=lambda: jnp.zeros((1, 4), jnp.float32))
     pixel_perm: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.zeros((1,), jnp.int32))
+    # MIS (cfg.mis="on"): solid-angle pdf of the BSDF sample that produced
+    # each carried ray, consumed by the balance heuristic when the ray hits
+    # an emitter / the sun disc.  [1]-dummy when the feature is off.
+    bsdf_pdf: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.ones((1,), jnp.float32))
 
     def tree_flatten(self):
         return ((self.accum, self.origin, self.direction, self.direct,
                  self.pending, self.pixel, self.bounces, self.last_specular,
                  self.n_carried, self.start_position, self.frame,
-                 self.shadow_rays, self.moment2, self.pixel_perm), None)
+                 self.shadow_rays, self.moment2, self.pixel_perm,
+                 self.bsdf_pdf), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -138,6 +143,7 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
                           jnp.float32),
         pixel_perm=(identity_perm(p) if cfg.adaptive_sampling == "on"
                     else jnp.zeros((1,), jnp.int32)),
+        bsdf_pdf=jnp.ones((n if cfg.mis == "on" else 1,), jnp.float32),
     )
 
 
@@ -471,9 +477,40 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                                        color_tri, 0.0))
     is_light = hit & (refl == LIGHT)
     last_spec_in = rays["last_specular"]
-    color = jnp.where((is_light & last_spec_in)[:, None],
-                      direct * emission, 0.0)
-    direct = jnp.where((is_light & ~last_spec_in)[:, None], 0.0, direct)
+    mis = cfg.mis == "on"
+    if mis:
+        # MIS emitter-hit weighting (beyond-reference): instead of the
+        # reference's lastSpecular double-count guard (kernel.cu:393-401),
+        # weight BSDF-sampled emitter hits by the balance heuristic between
+        # the pdf that produced this ray and the NEE pdf of sampling this
+        # emitter point from the previous vertex.  Glossy reflections of
+        # emitters (which NEE under-samples at low roughness) come back at
+        # far lower variance; paths terminate at emitters.
+        lights_t = getattr(scene, "light_indices", ())
+        multi_l = len(lights_t) > 1 or scene.n_tri_lights
+        total_l = (float(len(lights_t) + scene.n_tri_lights)
+                   if multi_l else 1.0)
+        p_strat_light = 1.0 if scene.has_envmap else 0.5
+        pdf_in = rays["bsdf_pdf"]
+        # normal is face-forwarded, so -dot(normal, d) is the emitter-side
+        # cosine the NEE pdf uses (two-sided tri emitters sample the same
+        # sgn-oriented normal)
+        cos_l_hit = jnp.maximum(-dot(normal, d), 1e-6)
+        sph_area = 4.0 * PI * srow[:, 3] * srow[:, 3]
+        # rough_tri is tri_shade lane 7, which LIGHT triangles reuse for
+        # their surface area (scene.py to_device)
+        area_hit = jnp.where(is_sphere, sph_area, rough_tri)
+        p_hit_sa = (p_strat_light / total_l) * (t_safe * t_safe) \
+            / jnp.maximum(cos_l_hit * area_hit, 1e-12)
+        w_hit = jnp.where(last_spec_in, 1.0,
+                          pdf_in / jnp.maximum(pdf_in + p_hit_sa, 1e-12))
+        color = jnp.where(is_light[:, None],
+                          direct * emission * w_hit[:, None], 0.0)
+        direct = jnp.where(is_light[:, None], 0.0, direct)
+    else:
+        color = jnp.where((is_light & last_spec_in)[:, None],
+                          direct * emission, 0.0)
+        direct = jnp.where((is_light & ~last_spec_in)[:, None], 0.0, direct)
 
     slot = jnp.arange(n, dtype=jnp.int32)
     # row_offset: per-shard stream decorrelation (see _raygen)
@@ -647,6 +684,40 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             is_ggx[:, None],
             jnp.where(choose_sun[:, None], ggx_sun_color, ggx_light_color),
             shadow_color)
+
+    def _bsdf_pdf_toward(ddir):
+        """Solid-angle pdf of this vertex's BSDF sampler producing ``ddir``
+        (MIS balance heuristic; 0 for delta BSDFs — their paths carry
+        last_specular instead)."""
+        c = dot(normal, ddir)
+        p = jnp.where(is_diff, jnp.maximum(c, 0.0) * INV_PI, 0.0)
+        pc = jnp.maximum(dot(ddir, w_refl), 0.0)
+        p = jnp.where(is_phong,
+                      (pe + 1.0) * 0.5 * INV_PI * jnp.power(pc, pe), p)
+        if scene.has_ggx:
+            view_l = -d
+            h_l = normalize(view_l + ddir)
+            nv_l = jnp.maximum(dot(normal, view_l), 1e-6)
+            p_ggx = ggx_g1(nv_l, ggx_alpha) \
+                * ggx_d_vec(normal, h_l, ggx_alpha) / (4.0 * nv_l)
+            p = jnp.where(is_ggx, p_ggx, p)
+        return p
+
+    if mis:
+        # NEE-side balance weights: each strategy's contribution is scaled
+        # by p_strategy / (p_strategy + p_bsdf(direction)); the emitter-hit
+        # side above applies the complementary weight, so the pair sums
+        # to 1 per (vertex, emitter) and the combination stays unbiased.
+        p_sun_sa = (0.0 if scene.has_envmap
+                    else (1.0 / inv_p_sun) / (2.0 * PI * sun_extent))
+        w_nee_sun = p_sun_sa / jnp.maximum(
+            p_sun_sa + _bsdf_pdf_toward(sun_sample), 1e-12)
+        p_l_sa = (1.0 / inv_p_light) / n_lights * ldist2 \
+            / jnp.maximum(cos_light * area, 1e-12)
+        w_nee_light = p_l_sa / jnp.maximum(
+            p_l_sa + _bsdf_pdf_toward(ldir), 1e-12)
+        w_nee = jnp.where(choose_sun, w_nee_sun, w_nee_light)
+        shadow_color = shadow_color * w_nee[:, None]
     # sun shadows use the ShadowQueue default max distance (variables.h:41)
     # tri lights live IN the BVH: shrink the shadow range a hair so the
     # occlusion test cannot hit the sampled emitter itself at t == ldist
@@ -730,6 +801,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         direct = direct * jnp.where(is_ggx[:, None], ggx_w, 1.0)
 
     new_last_spec = (hit & (refl == SPEC)) | (is_refr & refr_reflects)
+    if mis:
+        # pdf of the direction we just sampled, carried into the next
+        # vertex for the emitter-hit side of the balance heuristic (delta
+        # BSDFs ride new_last_spec instead; the floor only guards /0)
+        next_bsdf_pdf = jnp.maximum(_bsdf_pdf_toward(new_dir), 1e-8)
 
     origin_out = o \
         + jnp.where((is_refr & ~refr_reflects)[:, None],
@@ -746,11 +822,23 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # --- miss: sky radiance (kernel.cu:613-617) ---
     if scene.has_envmap:
         # environment map replaces the analytic atmosphere on the miss
-        # path (beyond-reference; 1 or 4 flat-row taps per ray)
+        # path (beyond-reference; 1 or 4 flat-row taps per ray).  The env
+        # light is BSDF-sampled only (NEE targets the area lights), so no
+        # MIS weight applies on this path.
         miss_col = _sample_envmap(scene, d, cfg.texture_filter)
     else:
         sky_v, sunsky_v = skymod.sky_and_sunsky(d, sun_dir, sky_params)
-        miss_col = jnp.where(last_spec_in[:, None], sunsky_v, sky_v)
+        if mis:
+            # sun-disc MIS: the NEE sun strategy cone-samples the disc, so
+            # a BSDF ray that lands inside the cone gets the balance
+            # weight; the sky dome outside the cone is BSDF-only (w = 1).
+            in_cone = dot(d, sun_dir) > sky_params.sun_angular_diameter_cos
+            w_sun = jnp.where(
+                last_spec_in | ~in_cone, 1.0,
+                pdf_in / jnp.maximum(pdf_in + p_sun_sa, 1e-12))
+            miss_col = sky_v + w_sun[:, None] * (sunsky_v - sky_v)
+        else:
+            miss_col = jnp.where(last_spec_in[:, None], sunsky_v, sky_v)
     color = color + jnp.where(hit[:, None], 0.0, rays["direct"] * miss_col)
 
     terminated = (~hit) | (hit & ~survive)
@@ -758,6 +846,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     next_rays = dict(origin=origin_out, direction=new_dir, direct=direct_out,
                      pixel=rays["pixel"], bounces=rays["bounces"] + 1,
                      last_specular=new_last_spec)
+    if mis:
+        next_rays["bsdf_pdf"] = next_bsdf_pdf
     shadow = dict(origin=o, direction=shadow_dir, color=shadow_color,
                   max_dist=shadow_maxd, valid=shadow_ok,
                   pixel=rays["pixel"])
@@ -957,6 +1047,11 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         bounces=merge(state.bounces, gen["bounces"]),
         last_specular=merge(state.last_specular, gen["last_specular"]),
     )
+    if cfg.mis == "on":
+        # fresh primaries are specular-born (pdf unused); carried rays
+        # keep the pdf of the BSDF sample that produced them
+        rays["bsdf_pdf"] = merge(state.bsdf_pdf,
+                                 jnp.ones((n,), jnp.float32))
     # the generation index only advanced by the top-off amount
     # (set_wavefront_globals, kernel.cu:230-236)
     generated = n - state.n_carried
@@ -1008,11 +1103,17 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     packed = (next_rays["pixel"] << 5) | (next_rays["bounces"] << 1) \
         | next_rays["last_specular"].astype(jnp.int32)
     o, d, dr = next_rays["origin"], next_rays["direction"], next_rays["direct"]
+    sort_ops = [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                dr[:, 0], dr[:, 1], dr[:, 2], pend[:, 0], pend[:, 1],
+                pend[:, 2], packed]
+    if cfg.mis == "on":
+        # +1 payload operand; sort cost saturates >= 9 operands
+        # (docs/PERFORMANCE.md step-plumbing micros), so this is ~free
+        sort_ops.append(next_rays["bsdf_pdf"])
+    sorted_ops = jax.lax.sort(tuple(sort_ops), num_keys=1)
     (key_s, ox, oy, oz, dx, dy, dz, r0, r1, r2, p0, p1, p2,
-     packed_s) = jax.lax.sort(
-        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         dr[:, 0], dr[:, 1], dr[:, 2], pend[:, 0], pend[:, 1], pend[:, 2],
-         packed), num_keys=1)
+     packed_s) = sorted_ops[:14]
+    bsdf_pdf_s = sorted_ops[14] if cfg.mis == "on" else state.bsdf_pdf
     n_carried = jnp.sum(survive).astype(jnp.int32)
 
     # 7. flush terminated rays' pending radiance (+1 completed-path count)
@@ -1060,6 +1161,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         + jnp.sum(shadow["valid"]).astype(jnp.uint32),
         moment2=moment2,
         pixel_perm=state.pixel_perm,
+        bsdf_pdf=bsdf_pdf_s,
     )
 
 

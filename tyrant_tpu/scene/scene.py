@@ -391,6 +391,11 @@ class Scene:
         # GGX perceptual roughness (clamped: alpha -> 0 degenerates D(h)
         # to a delta the estimator can't importance-sample stably)
         tri_shade[:, 7] = np.clip(tri_rough, 0.03, 1.0)
+        # LIGHT triangles reuse lane 7 for their surface area (the MIS
+        # emitter-hit pdf needs it; a triangle is never both LIGHT and GGX)
+        is_lt = tri_refl == LIGHT
+        if is_lt.any():
+            tri_shade[is_lt, 7] = 0.5 * norm[is_lt, 0]
 
         # texture atlas + per-triangle attribute rows (beyond-reference:
         # textures AND smooth vertex normals share one [T+pad, 32] gather
