@@ -1,0 +1,61 @@
+"""MIS step-cost A/B: what does cfg.mis="on" add to the 2M step?
+
+The MIS estimator adds, per shade: 3 extra solid-angle pdf evaluations
+(_bsdf_pdf_toward for the sun sample, the light sample, and the sampled
+bounce direction), the emitter-hit balance weight, and one extra sort
+payload operand (measured free past the 9-operand saturation,
+docs/PERFORMANCE.md step-plumbing micros).
+
+Usage: python scripts/mis_cost.py [--rays N] [--scene dragon]
+"""
+
+import argparse
+import dataclasses
+import functools
+import os
+import sys
+import time
+
+print = functools.partial(print, flush=True)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=2 * 1_048_576)
+    ap.add_argument("--scene", default="dragon")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from tyrant_tpu.bench.harness import _camera_for_pose
+    from tyrant_tpu.config import RenderConfig
+    from tyrant_tpu.render import Renderer
+    from tyrant_tpu.scene.scene import Scene
+
+    scene = Scene.load("/root/reference/PathTracer/Data/dragon.ply")
+    cam = _camera_for_pose(0)
+
+    for mode in ("off", "on"):
+        cfg = dataclasses.replace(
+            RenderConfig(num_rays=args.rays), mis=mode)
+        r = Renderer(scene, cfg, donate=True)
+        r.step(cam, args.steps)          # reach steady state + compile
+        float(jnp.sum(r.state.accum))
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            r.step(cam, 1)
+            float(jnp.sum(r.state.accum))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        print(f"mis={mode}: median {ts[len(ts)//2]*1e3:.1f} ms/step "
+              f"(all {['%.1f' % (t*1e3) for t in ts]})")
+
+
+if __name__ == "__main__":
+    main()

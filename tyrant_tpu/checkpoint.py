@@ -23,12 +23,15 @@ from .render import RenderState
 
 _FIELDS = ["accum", "origin", "direction", "direct", "pending", "pixel",
            "bounces", "last_specular", "n_carried", "start_position",
-           "frame", "shadow_rays", "moment2", "pixel_perm", "bsdf_pdf"]
+           "frame", "shadow_rays", "moment2", "pixel_perm", "bsdf_pdf",
+           "sample_base", "sample_idx"]
 # fields added after round 1; absent from old checkpoints — default on load
 _OPTIONAL = {"shadow_rays": np.asarray(0, np.uint32),
              "moment2": np.zeros((1, 4), np.float32),
              "pixel_perm": np.zeros((1,), np.int32),
-             "bsdf_pdf": np.ones((1,), np.float32)}
+             "bsdf_pdf": np.ones((1,), np.float32),
+             "sample_base": np.asarray(0, np.uint32),
+             "sample_idx": np.zeros((1,), np.uint32)}
 
 
 def save_state(path: str, state: RenderState, metadata: dict | None = None):

@@ -52,6 +52,11 @@ def _add_common(p):
                    help="multiple importance sampling: balance-heuristic "
                         "NEE/BSDF weighting (lower variance on glossy "
                         "surfaces near emitters)")
+    p.add_argument("--sampler", default="xorshift",
+                   choices=["xorshift", "sobol"],
+                   help="sample generator: reference-style xorshift "
+                        "streams, or shuffled Owen-scrambled Sobol "
+                        "(lower noise at equal ray budget)")
     p.add_argument("--texture-filter", default="bilinear",
                    choices=["bilinear", "nearest"],
                    help="albedo texture filtering (textured OBJ scenes)")
@@ -75,7 +80,8 @@ def _build(args):
                        exposure=getattr(args, "exposure", 1.0),
                        denoise="on" if getattr(args, "denoise", False)
                        else "off",
-                       mis="on" if getattr(args, "mis", False) else "off")
+                       mis="on" if getattr(args, "mis", False) else "off",
+                       sampler=getattr(args, "sampler", "xorshift"))
     spheres = None
     if args.no_spheres:
         s = Spheres.default_seven()

@@ -160,6 +160,15 @@ class RenderConfig:
     # BSDF-sampled paths recover emitter highlights NEE under-samples.
     # "off" keeps the reference estimator (golden-stable default).
     mis: str = "off"
+    # Sample generator (beyond-reference).  "xorshift" = the reference's
+    # per-ray Marsaglia stream (kernel.cu:23-65 semantics; golden-stable
+    # default).  "sobol" = shuffled Owen-scrambled 2-D Sobol (ops/sobol.py):
+    # pixel jitter, lens, NEE and bounce dimensions become low-discrepancy
+    # per pixel, cutting low-sample-count noise at equal ray budget.  The
+    # per-pixel sample index is derived from the round-robin raygen counter,
+    # which the adaptive allocator's priority permutation repeats pixels
+    # within — the two features are mutually exclusive by validation.
+    sampler: str = "xorshift"
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",
@@ -176,11 +185,17 @@ class RenderConfig:
                 ("tonemap", ("reinhard", "aces")),
                 ("denoise", ("on", "off")),
                 ("adaptive_sampling", ("on", "off")),
-                ("mis", ("on", "off"))):
+                ("mis", ("on", "off")),
+                ("sampler", ("xorshift", "sobol"))):
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(f"unknown {field} {v!r}; expected one of "
                                  f"{allowed}")
+        if self.sampler == "sobol" and self.adaptive_sampling == "on":
+            raise ValueError(
+                "sampler='sobol' requires adaptive_sampling='off': the "
+                "low-discrepancy sample index assumes round-robin pixel "
+                "visits, which the adaptive priority permutation repeats")
         if self.adaptive_interval < 1:
             raise ValueError("adaptive_interval must be >= 1")
         if self.adaptive_gamma < 0.0:

@@ -78,18 +78,23 @@ def cone_sample(direction, extent, seed):
     Reference: sunsky.cu:170-185 ``getConeSample`` (uses RandomFloat2).
     Returns (new_seed, sample_direction).
     """
+    seed, rx = rng.random_float2(seed)
+    seed, ry = rng.random_float2(seed)
+    return seed, cone_sample_from_uniforms(direction, extent, rx, ry)
+
+
+def cone_sample_from_uniforms(direction, extent, rx, ry):
+    """Deterministic half of :func:`cone_sample` — same uniform->cone
+    mapping, for low-discrepancy call sites (ops/sobol.py draws)."""
     d = normalize(direction)
     o1 = normalize(ortho(d))
     o2 = normalize(cross(d, o1))
-    seed, rx = rng.random_float2(seed)
-    seed, ry = rng.random_float2(seed)
     phi = rx * 2.0 * PI
     z = 1.0 - ry * extent
     oneminus = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    out = (jnp.cos(phi) * oneminus)[..., None] * o1 \
+    return (jnp.cos(phi) * oneminus)[..., None] * o1 \
         + (jnp.sin(phi) * oneminus)[..., None] * o2 \
         + z[..., None] * d
-    return seed, out
 
 
 def sphere_surface_sample(center, radius, seed):
@@ -137,13 +142,19 @@ def cosine_hemisphere_sample(normal, seed):
     """
     seed, r1u = rng.random_float(seed)
     seed, r2 = rng.random_float(seed)
+    return seed, cosine_hemisphere_from_uniforms(normal, r1u, r2)
+
+
+def cosine_hemisphere_from_uniforms(normal, r1u, r2):
+    """Deterministic half of :func:`cosine_hemisphere_sample` — same
+    uniform->direction mapping, for low-discrepancy call sites."""
     r1 = 2.0 * PI * r1u
     r2s = jnp.sqrt(r2)
     u, v = orthonormal_basis(normal)
     d = u * (jnp.cos(r1) * r2s)[..., None] \
         + v * (jnp.sin(r1) * r2s)[..., None] \
         + normal * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[..., None]
-    return seed, normalize(d)
+    return normalize(d)
 
 
 def ggx_d(n_dot_h, alpha):

@@ -76,6 +76,9 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
             else jnp.zeros((n_dev,), jnp.int32)),
         bsdf_pdf=sharded(jnp.ones(
             (n_dev * (n if cfg.mis == "on" else 1),), jnp.float32)),
+        sample_base=sharded(jnp.zeros((n_dev,), jnp.uint32)),
+        sample_idx=sharded(jnp.zeros(
+            (n_dev * (n if cfg.sampler == "sobol" else 1),), jnp.uint32)),
     )
 
 
@@ -107,7 +110,9 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             frame=state.frame[0],
             shadow_rays=state.shadow_rays[0],
             moment2=state.moment2, pixel_perm=state.pixel_perm,
-            bsdf_pdf=state.bsdf_pdf)
+            bsdf_pdf=state.bsdf_pdf,
+            sample_base=state.sample_base[0],
+            sample_idx=state.sample_idx)
         if table_rows is not None:
             import types
             tables = types.SimpleNamespace(rows=table_rows, fits=tables_fit)
@@ -127,7 +132,9 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             frame=out.frame[None],
             shadow_rays=out.shadow_rays[None],
             moment2=out.moment2, pixel_perm=out.pixel_perm,
-            bsdf_pdf=out.bsdf_pdf)
+            bsdf_pdf=out.bsdf_pdf,
+            sample_base=out.sample_base[None],
+            sample_idx=out.sample_idx)
 
     try:
         shard_map = jax.shard_map

@@ -35,6 +35,8 @@ from .config import EPSILON, INV_PI, PI, VERY_FAR, RenderConfig
 from .ops import rng
 from .ops.intersect import intersect_spheres, ray_sphere
 from .ops.sampling import (concentric_sample_disk, cone_sample,
+                           cone_sample_from_uniforms,
+                           cosine_hemisphere_from_uniforms,
                            cosine_hemisphere_sample, dot, ggx_d_vec, ggx_g1,
                            ggx_vndf_sample_from_uniforms, normalize,
                            phong_lobe_sample, reflect,
@@ -110,13 +112,22 @@ class RenderState:
     # an emitter / the sun disc.  [1]-dummy when the feature is off.
     bsdf_pdf: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.ones((1,), jnp.float32))
+    # Sobol sampling (cfg.sampler="sobol", ops/sobol.py): number of full
+    # round-robin passes the raygen counter has completed (per-pixel sample
+    # index = sample_base + scan wrap count — derived arithmetically, zero
+    # gathers), plus each carried ray's own sample index for the bounce
+    # dimensions.  [1]-dummy when the sampler is "xorshift".
+    sample_base: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.uint32))
+    sample_idx: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1,), jnp.uint32))
 
     def tree_flatten(self):
         return ((self.accum, self.origin, self.direction, self.direct,
                  self.pending, self.pixel, self.bounces, self.last_specular,
                  self.n_carried, self.start_position, self.frame,
                  self.shadow_rays, self.moment2, self.pixel_perm,
-                 self.bsdf_pdf), None)
+                 self.bsdf_pdf, self.sample_base, self.sample_idx), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -144,6 +155,9 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
         pixel_perm=(identity_perm(p) if cfg.adaptive_sampling == "on"
                     else jnp.zeros((1,), jnp.int32)),
         bsdf_pdf=jnp.ones((n if cfg.mis == "on" else 1,), jnp.float32),
+        sample_base=jnp.zeros((), jnp.uint32),
+        sample_idx=jnp.zeros((n if cfg.sampler == "sobol" else 1,),
+                             jnp.uint32),
     )
 
 
@@ -158,6 +172,8 @@ def reset_accumulation(state: RenderState) -> RenderState:
         # priorities are meaningless for the new view
         pixel_perm=(identity_perm(state.pixel_perm.shape[0])
                     if state.pixel_perm.shape[0] > 1 else state.pixel_perm),
+        # sobol: restart every pixel's sample sequence for the new pose
+        sample_base=jnp.zeros_like(state.sample_base),
         n_carried=jnp.asarray(0, jnp.int32))
 
 
@@ -166,7 +182,7 @@ def reset_accumulation(state: RenderState) -> RenderState:
 # --------------------------------------------------------------------------
 
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
-            local_height: int, row_offset, perm=None):
+            local_height: int, row_offset, perm=None, sample_base=None):
     n = cfg.num_rays
     w, h_global = cfg.width, cfg.height
     total_local = w * local_height
@@ -203,14 +219,29 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     x = x_i.astype(jnp.float32)
     y = (y_i + row_offset).astype(jnp.float32)
 
-    # row_offset enters the seed so every shard of the multi-chip path draws
-    # an independent stream (identical seeds would correlate jitter/lens/NEE
-    # noise across image strips)
-    seed = rng.seed_from(frame, gen_index, row_offset, 0x5EED)
-    seed, uv = rng.random_2d_stratified(seed)
-    # NB the reference subtracts the jitter (kernel.cu:268-269)
-    px = x - uv[..., 0]
-    py = y - uv[..., 1]
+    sample_idx = None
+    if cfg.sampler == "sobol":
+        # per-pixel sample index, arithmetically: the round-robin scan
+        # visits every pixel once per pass, so pixel p's k-th path is the
+        # one generated on wrap k of the counter (any visit-order bijection
+        # — raster or tiled8 — preserves this)
+        sample_idx = (sample_base
+                      + ((start_position + gen_index)
+                         // total_local).astype(jnp.uint32))
+        from .ops import sobol
+        ju, jv = sobol.sample_2d(
+            sample_idx, rng.seed_from(pixel, row_offset, 0x50B01))
+        px = x - ju
+        py = y - jv
+    else:
+        # row_offset enters the seed so every shard of the multi-chip path
+        # draws an independent stream (identical seeds would correlate
+        # jitter/lens/NEE noise across image strips)
+        seed = rng.seed_from(frame, gen_index, row_offset, 0x5EED)
+        seed, uv = rng.random_2d_stratified(seed)
+        # NB the reference subtracts the jitter (kernel.cu:268-269)
+        px = x - uv[..., 0]
+        py = y - uv[..., 1]
     ni = px / w - 0.5
     nj = (h_global - py) / h_global - 0.5
 
@@ -220,21 +251,29 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     # DoF (kernel.cu:283-293), incl. the x3 slider scale (kernel.cu:286)
     conv = camera.position[None] + (camera.focal_distance
                                     * cfg.focal_distance_scale) * dir_fp
-    seed, l0 = rng.random_float(seed)
-    seed, l1 = rng.random_float(seed)
+    if cfg.sampler == "sobol":
+        from .ops import sobol
+        l0, l1 = sobol.sample_2d(
+            sample_idx, rng.seed_from(pixel, row_offset, 0x50B02))
+    else:
+        seed, l0 = rng.random_float(seed)
+        seed, l1 = rng.random_float(seed)
     p_lens = camera.lens_radius * concentric_sample_disk(
         jnp.stack([l0, l1], axis=-1))
     origin = camera.position[None] \
         + p_lens[:, 0:1] * camera.right[None] \
         + p_lens[:, 1:2] * camera.up[None]
     direction = normalize(conv - origin)
-    return dict(origin=origin, direction=direction,
-                direct=jnp.ones((n, 3), jnp.float32),
-                pending=jnp.zeros((n, 3), jnp.float32),
-                pixel=pixel.astype(jnp.int32),
-                bounces=jnp.zeros((n,), jnp.int32),
-                # RayQueue default: lastSpecular = true (variables.h:33)
-                last_specular=jnp.ones((n,), bool))
+    out = dict(origin=origin, direction=direction,
+               direct=jnp.ones((n, 3), jnp.float32),
+               pending=jnp.zeros((n, 3), jnp.float32),
+               pixel=pixel.astype(jnp.int32),
+               bounces=jnp.zeros((n,), jnp.int32),
+               # RayQueue default: lastSpecular = true (variables.h:33)
+               last_specular=jnp.ones((n,), bool))
+    if sample_idx is not None:
+        out["sample_idx"] = sample_idx
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -516,6 +555,27 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # row_offset: per-shard stream decorrelation (see _raygen)
     seed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x5ADE)
 
+    use_sobol = cfg.sampler == "sobol"
+    if use_sobol:
+        # Low-discrepancy bounce dimensions (ops/sobol.py): each draw is
+        # keyed by (pixel, bounce depth, purpose) and indexed by the ray's
+        # per-pixel sample index, so path sample k of pixel p consumes
+        # point k of one fixed Sobol sequence per integration dimension.
+        # The phong rejection loop keeps the xorshift chain (a variable-
+        # count rejection loop has no per-sample dimension assignment).
+        from .ops import sobol as sobolmod
+        s_idx = rays["sample_idx"]
+
+        def sob2(purpose):
+            return sobolmod.sample_2d(s_idx, rng.seed_from(
+                rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
+                0x50B0))
+
+        def sob1(purpose):
+            return sobolmod.sample_1d(s_idx, rng.seed_from(
+                rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
+                0x50B0))
+
     # --- shared NEE samples ---
     sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
     if scene.has_envmap:
@@ -526,6 +586,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # (The seed chain shifts relative to atmosphere scenes — envmap
         # scenes carry no golden-compat constraint.)
         sun_sample = jnp.broadcast_to(sun_dir, (n, 3))
+    elif use_sobol:
+        c_u, c_v = sob2(2)
+        sun_sample = cone_sample_from_uniforms(
+            jnp.broadcast_to(sun_dir, (n, 3)), sun_extent, c_u, c_v)
     else:
         seed, sun_sample = cone_sample(jnp.broadcast_to(sun_dir, (n, 3)),
                                        sun_extent, seed)
@@ -544,8 +608,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # (side seed stream: an equally independent coin that leaves the main
     # shade stream untouched, so the cross-round golden snapshot only moves
     # when shading itself changes)
-    _, cs_u = rng.random_float(
-        rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xC0F1))
+    if use_sobol:
+        cs_u = sob1(3)
+    else:
+        _, cs_u = rng.random_float(
+            rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xC0F1))
     choose_sun = cs_u < 0.5
     # NEE strategy weights = 1 / strategy probability.  With an
     # environment map (beyond-reference) there is no analytic sun to
@@ -569,8 +636,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # uniform pair feeds whichever shape was picked (the sphere
         # mapping matches sphere_surface_sample exactly).
         total_lights = len(lights) + n_tri_l
-        _, lu = rng.random_float(
-            rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
+        if use_sobol:
+            lu = sob1(4)
+        else:
+            _, lu = rng.random_float(
+                rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
         pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
                            total_lights - 1)
         base = lights[0] if lights else 0
@@ -585,8 +655,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             light_e = jnp.where(sel[:, None],
                                 scene.sphere_emission[lights[k]], light_e)
         n_lights = float(total_lights)
-        seed, lu1 = rng.random_float(seed)
-        seed, lu2 = rng.random_float(seed)
+        if use_sobol:
+            lu1, lu2 = sob2(5)
+        else:
+            seed, lu1 = rng.random_float(seed)
+            seed, lu2 = rng.random_float(seed)
         lp = sphere_surface_from_uniforms(light_c, light_r[:, None],
                                           lu1, lu2)
         n_l = normalize(lp - light_c)
@@ -617,8 +690,13 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         light_r = scene.sphere_radius[li]
         light_e = scene.sphere_emission[li]
         n_lights = 1.0
-        seed, lp = sphere_surface_sample(jnp.broadcast_to(light_c, (n, 3)),
-                                         light_r, seed)
+        if use_sobol:
+            lu1, lu2 = sob2(5)
+            lp = sphere_surface_from_uniforms(
+                jnp.broadcast_to(light_c, (n, 3)), light_r, lu1, lu2)
+        else:
+            seed, lp = sphere_surface_sample(
+                jnp.broadcast_to(light_c, (n, 3)), light_r, seed)
         n_l = normalize(lp - light_c)
         area = 4.0 * PI * light_r * light_r
     lvec = lp - o
@@ -729,7 +807,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # --- bounce directions ---
     # DIFF cosine hemisphere (kernel.cu:450-467); only resampled when
     # bounces < MAX (the ray dies in RR otherwise)
-    seed, diff_dir = cosine_hemisphere_sample(normal, seed)
+    if use_sobol:
+        b_u, b_v = sob2(6)  # shared bounce-direction pair (diff | GGX)
+        diff_dir = cosine_hemisphere_from_uniforms(normal, b_u, b_v)
+    else:
+        seed, diff_dir = cosine_hemisphere_sample(normal, seed)
     diff_new_dir = jnp.where((rays["bounces"] < cfg.max_bounces)[:, None],
                              diff_dir, d)
 
@@ -746,7 +828,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     tir = sin_t2 > 1.0
     fresnel = jnp.where(tir, 1.0,
                         r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cos_i, 0.0), 5.0))
-    seed, fr = rng.random_float(seed)
+    if use_sobol:
+        fr = sob1(7)
+    else:
+        seed, fr = rng.random_float(seed)
     refr_reflects = fr < fresnel
     cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
     refr_dir = nr[:, None] * d + (nr * cos_i - cos_t)[:, None] * normal
@@ -784,9 +869,13 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # (ops/sampling.py ggx_vndf_sample_from_uniforms).  A SIDE seed
         # stream keeps the main shade RNG chain untouched, so non-GGX
         # materials in the same scene shade identically.
-        gseed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x66C5)
-        gseed, gu1 = rng.random_float(gseed)
-        _, gu2 = rng.random_float(gseed)
+        if use_sobol:
+            gu1, gu2 = b_u, b_v  # same purpose (bounce dir), same pair
+        else:
+            gseed = rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                                  0x66C5)
+            gseed, gu1 = rng.random_float(gseed)
+            _, gu2 = rng.random_float(gseed)
         ggx_h = ggx_vndf_sample_from_uniforms(view, normal, ggx_alpha,
                                               gu1, gu2)
         ggx_dir = reflect(d, ggx_h)
@@ -814,7 +903,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # --- Russian roulette (kernel.cu:599-611) ---
     p = jnp.minimum(1.0, jnp.max(direct, axis=-1))
-    seed, rr = rng.random_float(seed)
+    if use_sobol:
+        rr = sob1(8)
+    else:
+        seed, rr = rng.random_float(seed)
     survive = hit & (rays["bounces"] < cfg.max_bounces) & (p > eps) & (rr <= p)
     direct_out = jnp.where(survive[:, None],
                            direct / jnp.maximum(p, 1e-20)[:, None], direct)
@@ -848,6 +940,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                      last_specular=new_last_spec)
     if mis:
         next_rays["bsdf_pdf"] = next_bsdf_pdf
+    if use_sobol:
+        # a ray keeps its sample index for its whole path (dimensions are
+        # distinguished by bounce depth, not by re-indexing)
+        next_rays["sample_idx"] = rays["sample_idx"]
     shadow = dict(origin=o, direction=shadow_dir, color=shadow_color,
                   max_dist=shadow_maxd, valid=shadow_ok,
                   pixel=rays["pixel"])
@@ -1030,7 +1126,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
             "load the checkpoint with adaptive off")
     gen = _raygen(cfg, camera, state.start_position, state.frame,
                   local_height, row_offset,
-                  perm=state.pixel_perm if adaptive else None)
+                  perm=state.pixel_perm if adaptive else None,
+                  sample_base=state.sample_base)
     slot = jnp.arange(n, dtype=jnp.int32)
     keep = slot >= (n - state.n_carried)
 
@@ -1052,11 +1149,16 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         # keep the pdf of the BSDF sample that produced them
         rays["bsdf_pdf"] = merge(state.bsdf_pdf,
                                  jnp.ones((n,), jnp.float32))
+    if cfg.sampler == "sobol":
+        rays["sample_idx"] = merge(state.sample_idx, gen["sample_idx"])
     # the generation index only advanced by the top-off amount
     # (set_wavefront_globals, kernel.cu:230-236)
     generated = n - state.n_carried
     total_local = cfg.width * local_height
     start_next = (state.start_position + generated) % total_local
+    # sobol sample-index bookkeeping: count completed round-robin passes
+    sample_base_next = state.sample_base + (
+        (state.start_position + generated) // total_local).astype(jnp.uint32)
 
     # 2. extend
     wave = _pick_wave(cfg, packet_tables)
@@ -1110,10 +1212,20 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         # +1 payload operand; sort cost saturates >= 9 operands
         # (docs/PERFORMANCE.md step-plumbing micros), so this is ~free
         sort_ops.append(next_rays["bsdf_pdf"])
+    if cfg.sampler == "sobol":
+        sort_ops.append(next_rays["sample_idx"])  # same free-operand note
     sorted_ops = jax.lax.sort(tuple(sort_ops), num_keys=1)
     (key_s, ox, oy, oz, dx, dy, dz, r0, r1, r2, p0, p1, p2,
      packed_s) = sorted_ops[:14]
-    bsdf_pdf_s = sorted_ops[14] if cfg.mis == "on" else state.bsdf_pdf
+    extra = 14
+    bsdf_pdf_s = state.bsdf_pdf
+    if cfg.mis == "on":
+        bsdf_pdf_s = sorted_ops[extra]
+        extra += 1
+    sample_idx_s = state.sample_idx
+    if cfg.sampler == "sobol":
+        sample_idx_s = sorted_ops[extra]
+        extra += 1
     n_carried = jnp.sum(survive).astype(jnp.int32)
 
     # 7. flush terminated rays' pending radiance (+1 completed-path count)
@@ -1162,6 +1274,8 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         moment2=moment2,
         pixel_perm=state.pixel_perm,
         bsdf_pdf=bsdf_pdf_s,
+        sample_base=sample_base_next,
+        sample_idx=sample_idx_s,
     )
 
 
