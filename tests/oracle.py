@@ -19,7 +19,7 @@ INV_PI = 1.0 / PI
 EPS = 1e-3
 VERY_FAR = 1e20
 MAX_BOUNCES = 5
-DIFF, SPEC, REFR, PHONG, LIGHT, GGX = 0, 1, 2, 3, 4, 5
+DIFF, SPEC, REFR, PHONG, LIGHT, GGX, FOG = 0, 1, 2, 3, 4, 5, 6
 
 # --- sky model (numpy rewrite of sunsky.cu) ---
 K = np.array([0.686, 0.678, 0.666])
@@ -257,10 +257,50 @@ def ggx_vndf_sample_np(view, normal, alpha, u1, u2):
     return m[:, 0:1] * tu + m[:, 1:2] * tv + m[:, 2:3] * normal
 
 
+def hg_phase_np(cos_t, g):
+    if abs(g) < 1e-4:
+        return np.full_like(np.asarray(cos_t, float), 1.0 / (4 * PI))
+    den = np.maximum(1 + g * g - 2 * g * cos_t, 1e-12)
+    return (1 - g * g) / (4 * PI * den * np.sqrt(den))
+
+
+def hg_sample_np(dirs, g, u1, u2):
+    d = norm(dirs)
+    if abs(g) < 1e-4:
+        ct = 1 - 2 * u1
+    else:
+        sq = (1 - g * g) / (1 - g + 2 * g * u1)
+        ct = (1 + g * g - sq * sq) / (2 * g)
+    ct = np.clip(ct, -1, 1)
+    st = np.sqrt(np.maximum(1 - ct * ct, 0))
+    phi = 2 * PI * u2
+    u, v = onb(d)
+    return u * (np.cos(phi) * st)[:, None] + v * (np.sin(phi) * st)[:, None] \
+        + d * ct[:, None]
+
+
+def slab_overlap_np(o, d, t_limit, z_min, z_max):
+    """Overlap [ta, ta+L] of rays with the fog slab, clipped to [0, t_limit]
+    (numpy mirror of render._fog_overlap)."""
+    oz, dz = o[:, 2], d[:, 2]
+    safe = np.where(np.abs(dz) < 1e-12, 1e-12, dz)
+    t0 = (z_min - oz) / safe
+    t1 = (z_max - oz) / safe
+    ta = np.minimum(t0, t1)
+    tb = np.maximum(t0, t1)
+    par = np.abs(dz) < 1e-12
+    inside = (oz >= z_min) & (oz <= z_max)
+    ta = np.where(par, np.where(inside, 0.0, VERY_FAR), ta)
+    tb = np.where(par, np.where(inside, VERY_FAR, 0.0), tb)
+    ta = np.maximum(ta, 0.0)
+    tb = np.minimum(tb, t_limit)
+    return ta, np.maximum(tb - ta, 0.0)
+
+
 def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                   width, height, paths_per_pixel, sun_dir,
                   focal_distance=1.0, lens_radius=0.0, seed=0,
-                  max_bounces=MAX_BOUNCES, mis=False):
+                  max_bounces=MAX_BOUNCES, mis=False, fog=None):
     """Renders [H*W, 4] accumulation (rgb sum + terminated count)."""
     rng = np.random.default_rng(seed)
     P = width * height
@@ -290,6 +330,12 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
 
     li = scene.light_index
     sun_extent = 1.0 - SUN_ANGULAR_COS
+    # fog = (sigma_s, sigma_a, g, z_min, z_max) — volumetric slab medium
+    fog_on = fog is not None and (fog[0] + fog[1]) > 0
+    if fog_on:
+        f_ss, f_sa, f_g, f_zmin, f_zmax = fog
+        f_st = f_ss + f_sa
+        f_alb = f_ss / f_st
 
     for _ in range(max_bounces + 2):
         if not alive.any():
@@ -297,6 +343,15 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         idxs = np.nonzero(alive)[0]
         oo, dd = o[idxs], d[idxs]
         t, kind, ident = scene.intersect(oo, dd)
+        if fog_on:
+            # free-flight sampling against the slab overlap: a collision
+            # before the surface becomes a medium event (kind 2)
+            fta, flen = slab_overlap_np(oo, dd, t, f_zmin, f_zmax)
+            fu = rng.uniform(size=len(t))
+            fs = -np.log1p(-np.minimum(fu, 1 - 1e-12)) / f_st
+            fev = fs < flen
+            t = np.where(fev, fta + fs, t)
+            kind = np.where(fev, 2, kind)
         hit = t < VERY_FAR
 
         # --- miss ---
@@ -328,6 +383,7 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         dh = dd[hit]
 
         is_s = kd == 0
+        is_f = kd == 2  # fog medium event
         normal = np.empty((len(hi), 3))
         refl = np.full(len(hi), DIFF)
         objc = np.ones((len(hi), 3))
@@ -338,10 +394,14 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             refl[is_s] = scene.refl[si]
             objc[is_s] = scene.color[si]
             rgh[is_s] = scene.rough[si]
-        it = ~is_s
+        it = kd == 1
         if it.any():
             ti = idh[it]
             normal[it] = norm(np.cross(scene.te1[ti], scene.te2[ti]))
+        if is_f.any():
+            normal[is_f] = -dh[is_f]
+            refl[is_f] = FOG
+            direct[hi[is_f]] *= f_alb  # single-scatter albedo
 
         mul = is_s & (refl != REFR) & (refl != LIGHT) & (refl != GGX)
         direct[hi[mul]] *= objc[mul]
@@ -446,6 +506,21 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             * (sangle * cos_surf)[:, None])
         ok_ggx = isg & np.where(choose_sun, sun_cos > 0,
                                 (cos_surf > 0) & (cos_light > 0))
+        if fog_on:
+            # medium-event NEE: phase replaces BRDF*cos (see render._shade
+            # for the pi*1e-5 sun-scale derivation)
+            cs_f = np.sum(dh * sun_s, -1)
+            cl_f = np.sum(dh * ldir, -1)
+            sc_fog = np.where(
+                choose_sun[:, None],
+                2 * dcur * sunrad
+                * (hg_phase_np(cs_f, f_g) * PI * 1e-5)[:, None],
+                le * (2 * n_lights) * dcur
+                * (sangle * hg_phase_np(cl_f, f_g))[:, None])
+            ok_fog = is_f & np.where(choose_sun, True, cos_light > 0)
+        else:
+            ok_fog = np.zeros_like(ok_diff)
+
         def pdf_toward(ddir):
             """BSDF solid-angle pdf toward ddir (MIS; 0 for delta lobes)."""
             c = np.sum(normal * ddir, -1)
@@ -456,14 +531,26 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             hh = norm(view + ddir)
             pg = ggx_g1_np(nv, galpha) \
                 * ggx_d_vec_np(normal, hh, galpha) / (4 * nv)
-            return np.where(isg, pg, p)
+            p = np.where(isg, pg, p)
+            if fog_on:
+                p = np.where(is_f,
+                             hg_phase_np(np.sum(dh * ddir, -1), f_g), p)
+            return p
 
-        sok = ok_diff | ok_ph | ok_ggx
+        sok = ok_diff | ok_ph | ok_ggx | ok_fog
         if sok.any():
             occ = scene.occluded(oh[sok], shadow_dir[sok], shadow_maxd[sok])
             contrib = np.where(
                 isd[sok][:, None], sc_diff[sok],
                 np.where(isg[sok][:, None], sc_ggx[sok], sc_ph[sok]))
+            if fog_on:
+                contrib = np.where(is_f[sok][:, None], sc_fog[sok], contrib)
+                # slab transmittance along the shadow segment
+                _, shl = slab_overlap_np(
+                    oh[sok], shadow_dir[sok],
+                    np.where(choose_sun[sok], VERY_FAR, ldist[sok]),
+                    f_zmin, f_zmax)
+                contrib = contrib * np.exp(-f_st * shl)[:, None]
             if mis:
                 p_sun_sa = 0.5 / (2 * PI * sun_extent)
                 w_sun_nee = p_sun_sa / (p_sun_sa + pdf_toward(sun_s))
@@ -550,6 +637,12 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                           gF * ggx_g1_np(gnl, galpha[isg])[:, None], 0.0)
             nd[isg] = gd
             dcur[isg] *= gw
+
+        # FOG bounce: HG phase sample around the incoming direction
+        if fog_on and is_f.any():
+            k = int(is_f.sum())
+            nd[is_f] = hg_sample_np(dh[is_f], f_g, rng.uniform(size=k),
+                                    rng.uniform(size=k))
 
         if mis:
             bpdf[hi] = np.maximum(pdf_toward(nd), 1e-8)

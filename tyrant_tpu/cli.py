@@ -22,7 +22,9 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("--scene", default=None,
-                   help="mesh path (.ply); omit for spheres-only")
+                   help="mesh path (.ply/.obj/.stl) or a .json scene "
+                        "description (meshes+instances+spheres+camera+fog, "
+                        "scene/description.py); omit for spheres-only")
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--rays", type=int, default=2 * 1_048_576,
@@ -57,6 +59,18 @@ def _add_common(p):
                    help="sample generator: reference-style xorshift "
                         "streams, or shuffled Owen-scrambled Sobol "
                         "(lower noise at equal ray budget)")
+    p.add_argument("--fog", action="store_true",
+                   help="volumetric fog: homogeneous scattering slab with "
+                        "free-flight sampling + HG phase (god rays)")
+    p.add_argument("--fog-scatter", type=float, default=0.02,
+                   help="fog scattering coefficient sigma_s (1/world-unit)")
+    p.add_argument("--fog-absorb", type=float, default=0.0,
+                   help="fog absorption coefficient sigma_a")
+    p.add_argument("--fog-g", type=float, default=0.0,
+                   help="HG phase anisotropy in (-1, 1); >0 forward-scatters")
+    p.add_argument("--fog-z", type=float, nargs=2, default=(-1e8, 1e8),
+                   metavar=("ZMIN", "ZMAX"),
+                   help="fog slab height bounds (world z-up)")
     p.add_argument("--texture-filter", default="bilinear",
                    choices=["bilinear", "nearest"],
                    help="albedo texture filtering (textured OBJ scenes)")
@@ -68,6 +82,11 @@ def _build(args):
     from .camera import Camera
     from .config import RenderConfig
     from .scene.scene import Scene, Spheres
+
+    bundle = None
+    if args.scene and args.scene.endswith(".json"):
+        from .scene.description import load_description
+        bundle = load_description(args.scene, builder=args.builder)
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        num_rays=args.rays, max_bounces=args.bounces,
@@ -81,23 +100,44 @@ def _build(args):
                        denoise="on" if getattr(args, "denoise", False)
                        else "off",
                        mis="on" if getattr(args, "mis", False) else "off",
-                       sampler=getattr(args, "sampler", "xorshift"))
-    spheres = None
-    if args.no_spheres:
-        s = Spheres.default_seven()
-        # keep only the light so NEE still has a target
-        keep = s.refl == 4
-        spheres = Spheres(center=s.center[keep], radius=s.radius[keep],
-                          color=s.color[keep], emission=s.emission[keep],
-                          refl=s.refl[keep])
-    scene = Scene.load(args.scene, spheres=spheres, scale=args.scale,
-                       builder=args.builder,
-                       envmap=getattr(args, "envmap", None))
+                       sampler=getattr(args, "sampler", "xorshift"),
+                       fog="on" if getattr(args, "fog", False) else "off",
+                       fog_sigma_s=getattr(args, "fog_scatter", 0.02),
+                       fog_sigma_a=getattr(args, "fog_absorb", 0.0),
+                       fog_g=getattr(args, "fog_g", 0.0),
+                       fog_z_min=getattr(args, "fog_z", (-1e8, 1e8))[0],
+                       fog_z_max=getattr(args, "fog_z", (-1e8, 1e8))[1])
+    if bundle is not None:
+        # JSON render/fog settings apply wherever the CLI left a flag at
+        # its default; explicitly-passed (non-default) flags win
+        import dataclasses as _dc
+        ref = RenderConfig(width=cfg.width, height=cfg.height,
+                           num_rays=cfg.num_rays)
+        cfg = _dc.replace(cfg, **{
+            f: v for f, v in bundle.config.items()
+            if getattr(cfg, f) == getattr(ref, f)})
+        scene = bundle.scene
+    else:
+        spheres = None
+        if args.no_spheres:
+            s = Spheres.default_seven()
+            # keep only the light so NEE still has a target
+            keep = s.refl == 4
+            spheres = Spheres(center=s.center[keep], radius=s.radius[keep],
+                              color=s.color[keep], emission=s.emission[keep],
+                              refl=s.refl[keep])
+        scene = Scene.load(args.scene, spheres=spheres, scale=args.scale,
+                           builder=args.builder,
+                           envmap=getattr(args, "envmap", None))
     print(f"scene: {scene.stats}", file=sys.stderr)
-    cam = Camera()
+    cam = (bundle.camera if bundle is not None
+           and bundle.camera is not None else Camera())
     if args.camera:
         cam.position = np.asarray(args.camera[:3], np.float32)
         cam.horizontal_angle, cam.vertical_angle = args.camera[3:]
+    if bundle is not None and bundle.sun is not None \
+            and tuple(args.sun) == (0.05, 0.3):
+        args.sun = bundle.sun
     return cfg, scene, cam
 
 

@@ -169,6 +169,21 @@ class RenderConfig:
     # which the adaptive allocator's priority permutation repeats pixels
     # within — the two features are mutually exclusive by validation.
     sampler: str = "xorshift"
+    # Volumetric fog (beyond-reference): a homogeneous participating-medium
+    # slab z in [fog_z_min, fog_z_max] (world z-up, like the atmosphere
+    # model).  "on" adds unbiased free-flight distance sampling to every
+    # path segment: a ray that collides inside the slab scatters at a
+    # Henyey-Greenstein medium event (NEE to sun/lights from the scatter
+    # point -> crepuscular "god rays" through BVH occluders) or is absorbed;
+    # all NEE shadow rays pick up the slab transmittance.  sigma_s/sigma_a
+    # are the scattering/absorption coefficients (1/world-unit); fog_g the
+    # HG anisotropy.  Static gate: "off" compiles the identical program.
+    fog: str = "off"
+    fog_sigma_s: float = 0.02
+    fog_sigma_a: float = 0.0
+    fog_g: float = 0.0
+    fog_z_min: float = -1e8
+    fog_z_max: float = 1e8
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",
@@ -186,7 +201,8 @@ class RenderConfig:
                 ("denoise", ("on", "off")),
                 ("adaptive_sampling", ("on", "off")),
                 ("mis", ("on", "off")),
-                ("sampler", ("xorshift", "sobol"))):
+                ("sampler", ("xorshift", "sobol")),
+                ("fog", ("on", "off"))):
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(f"unknown {field} {v!r}; expected one of "
@@ -196,6 +212,12 @@ class RenderConfig:
                 "sampler='sobol' requires adaptive_sampling='off': the "
                 "low-discrepancy sample index assumes round-robin pixel "
                 "visits, which the adaptive priority permutation repeats")
+        if self.fog_sigma_s < 0.0 or self.fog_sigma_a < 0.0:
+            raise ValueError("fog coefficients must be >= 0")
+        if not -0.999 <= self.fog_g <= 0.999:
+            raise ValueError("fog_g must be in [-0.999, 0.999]")
+        if self.fog_z_min >= self.fog_z_max:
+            raise ValueError("fog_z_min must be < fog_z_max")
         if self.adaptive_interval < 1:
             raise ValueError("adaptive_interval must be >= 1")
         if self.adaptive_gamma < 0.0:

@@ -97,6 +97,37 @@ def cone_sample_from_uniforms(direction, extent, rx, ry):
         + z[..., None] * d
 
 
+def hg_phase(cos_theta, g: float):
+    """Henyey-Greenstein phase function value == its solid-angle pdf
+    (normalised so the integral over the sphere is 1).  ``g`` is a static
+    config float (beyond-reference: volumetric fog, render._shade); the
+    atmosphere model's own HG lives in sky.py with the reference's 1/4pi
+    convention (sunsky.cu:20)."""
+    if abs(g) < 1e-4:
+        return jnp.full_like(cos_theta, 1.0 / (4.0 * PI))
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_theta, 1e-12)
+    return (1.0 - g * g) / (4.0 * PI * denom * jnp.sqrt(denom))
+
+
+def hg_sample_from_uniforms(direction, g: float, u1, u2):
+    """Sample a direction from the HG phase function around ``direction``
+    (exact inverse-CDF in cos(theta); pdf == :func:`hg_phase`).  ``g`` is
+    static, so the isotropic branch is a Python-time specialisation."""
+    d = normalize(direction)
+    if abs(g) < 1e-4:
+        cos_t = 1.0 - 2.0 * u1
+    else:
+        sq = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+        cos_t = (1.0 + g * g - sq * sq) / (2.0 * g)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * PI * u2
+    u, v = orthonormal_basis(d)
+    return u * (jnp.cos(phi) * sin_t)[..., None] \
+        + v * (jnp.sin(phi) * sin_t)[..., None] \
+        + d * cos_t[..., None]
+
+
 def sphere_surface_sample(center, radius, seed):
     """Uniform point on a sphere surface (area light sampling).
 

@@ -38,7 +38,8 @@ from .ops.sampling import (concentric_sample_disk, cone_sample,
                            cone_sample_from_uniforms,
                            cosine_hemisphere_from_uniforms,
                            cosine_hemisphere_sample, dot, ggx_d_vec, ggx_g1,
-                           ggx_vndf_sample_from_uniforms, normalize,
+                           ggx_vndf_sample_from_uniforms, hg_phase,
+                           hg_sample_from_uniforms, normalize,
                            phong_lobe_sample, reflect,
                            sphere_surface_from_uniforms,
                            sphere_surface_sample,
@@ -47,6 +48,31 @@ from .ops.traverse import any_hit, closest_hit
 from .scene.scene import DIFF, GGX, LIGHT, PHONG, REFR, SPEC, SceneData
 
 PHONG_EXPONENT = 40.0  # kernel.cu:520
+
+# shade-only pseudo-material for volumetric-fog medium events
+# (beyond-reference; never stored in scene tables — see _shade)
+FOG = 6
+
+
+def _fog_overlap(origin, direction, t_limit, z_min: float, z_max: float):
+    """Parametric overlap of rays with the fog slab z in [z_min, z_max],
+    clipped to [0, t_limit].  Returns (t_enter, length); length is 0 for
+    rays that never cross the slab.  Two plane tests + selects — the slab
+    is convex, so every ray crosses it at most once."""
+    oz, dz = origin[:, 2], direction[:, 2]
+    tiny = 1e-12
+    safe_dz = jnp.where(jnp.abs(dz) < tiny, tiny, dz)
+    t0 = (z_min - oz) / safe_dz
+    t1 = (z_max - oz) / safe_dz
+    ta = jnp.minimum(t0, t1)
+    tb = jnp.maximum(t0, t1)
+    parallel = jnp.abs(dz) < tiny
+    inside = (oz >= z_min) & (oz <= z_max)
+    ta = jnp.where(parallel, jnp.where(inside, 0.0, VERY_FAR), ta)
+    tb = jnp.where(parallel, jnp.where(inside, VERY_FAR, 0.0), tb)
+    ta = jnp.maximum(ta, 0.0)
+    tb = jnp.minimum(tb, t_limit)
+    return ta, jnp.maximum(tb - ta, 0.0)
 
 
 def _ggx_eval(normal, view, light_dir, alpha, f0):
@@ -419,6 +445,33 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     n = cfg.num_rays
     eps = cfg.epsilon
     d = rays["direction"]
+    slot = jnp.arange(n, dtype=jnp.int32)
+
+    # --- volumetric fog: free-flight distance sampling (beyond-reference)
+    # One exponential draw per segment against the slab overlap [ta, ta+L]:
+    # a collision before the surface turns this segment's interaction into
+    # a MEDIUM event (is_fog) at t = ta + s.  Conditioning on "no collision"
+    # cancels the transmittance exactly (unbiased), so surface/sky branches
+    # need no extra weight; the albedo sigma_s/sigma_t is applied at scatter
+    # events through the ordinary obj_color throughput multiply below.
+    fog_on = cfg.fog == "on" and (cfg.fog_sigma_s + cfg.fog_sigma_a) > 0.0
+    if fog_on:
+        f_sigma_t = cfg.fog_sigma_s + cfg.fog_sigma_a
+        f_albedo = cfg.fog_sigma_s / f_sigma_t
+        f_ta, f_len = _fog_overlap(rays["origin"], d, t,
+                                   cfg.fog_z_min, cfg.fog_z_max)
+        if cfg.sampler == "sobol":
+            from .ops import sobol as _sbf
+            u_f = _sbf.sample_1d(rays["sample_idx"], rng.seed_from(
+                rays["pixel"], row_offset, rays["bounces"] * 16 + 9, 0x50B0))
+        else:
+            # side stream: fog-off RNG chains are untouched (goldens stable)
+            _, u_f = rng.random_float(
+                rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xF06))
+        f_s = -jnp.log1p(-jnp.minimum(u_f, 1.0 - 1e-7)) / f_sigma_t
+        is_fog = f_s < f_len
+        t = jnp.where(is_fog, f_ta + f_s, t)
+
     hit = t < VERY_FAR
     t_safe = jnp.where(hit, t, 0.0)
     o = rays["origin"] + d * t_safe[:, None]
@@ -491,6 +544,16 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     refl = jnp.where(hit, refl, DIFF)
     obj_color = jnp.where(is_sphere[:, None], srow[:, 4:7], color_tri)
 
+    if fog_on:
+        # medium events override the surface interaction: no surface
+        # normal exists (use -d so the face-forward below is a no-op and
+        # the eps offset backs off along the ray), the pseudo-material is
+        # FOG, and the throughput multiplier is the single-scatter albedo
+        is_sphere = is_sphere & ~is_fog
+        normal = jnp.where(is_fog[:, None], -d, normal)
+        refl = jnp.where(is_fog, FOG, refl)
+        obj_color = jnp.where(is_fog[:, None], f_albedo, obj_color)
+
     # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
     mul_mask = hit & (refl != REFR) & (refl != LIGHT)
     if scene.has_ggx:
@@ -551,7 +614,6 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                           direct * emission, 0.0)
         direct = jnp.where((is_light & ~last_spec_in)[:, None], 0.0, direct)
 
-    slot = jnp.arange(n, dtype=jnp.int32)
     # row_offset: per-shard stream decorrelation (see _raygen)
     seed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x5ADE)
 
@@ -762,6 +824,23 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             is_ggx[:, None],
             jnp.where(choose_sun[:, None], ggx_sun_color, ggx_light_color),
             shadow_color)
+    if fog_on:
+        # medium-event NEE: the phase function replaces the surface
+        # BRDF-times-cosine kernel (an HG event has no cosine term).  The
+        # sun strategy keeps the reference's magic radiance scale: DIFF
+        # writes sun_cos * 1e-5 for INV_PI * cos * C, so C = pi * 1e-5 and
+        # the fog analogue is phase * pi * 1e-5 — fog brightness stays
+        # consistent with how surfaces respond to the same sun.
+        fog_sun_color = inv_p_sun * direct * sun_radiance \
+            * (hg_phase(dot(d, sun_sample), cfg.fog_g) * PI * 1e-5)[:, None]
+        fog_light_color = light_e2 * (inv_p_light * n_lights) * direct \
+            * (solid_angle * hg_phase(dot(d, ldir), cfg.fog_g))[:, None]
+        fog_light_ok = ~choose_sun & (cos_light > 0) & has_light
+        shadow_ok = jnp.where(is_fog, choose_sun | fog_light_ok, shadow_ok)
+        shadow_color = jnp.where(
+            is_fog[:, None],
+            jnp.where(choose_sun[:, None], fog_sun_color, fog_light_color),
+            shadow_color)
 
     def _bsdf_pdf_toward(ddir):
         """Solid-angle pdf of this vertex's BSDF sampler producing ``ddir``
@@ -779,6 +858,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             p_ggx = ggx_g1(nv_l, ggx_alpha) \
                 * ggx_d_vec(normal, h_l, ggx_alpha) / (4.0 * nv_l)
             p = jnp.where(is_ggx, p_ggx, p)
+        if fog_on:
+            # the HG phase is its own solid-angle pdf (normalised over the
+            # sphere), so medium events MIS-combine like any other lobe
+            p = jnp.where(is_fog, hg_phase(dot(d, ddir), cfg.fog_g), p)
         return p
 
     if mis:
@@ -803,6 +886,14 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # the exact reference semantics — static gate, goldens unchanged)
     ldist_occ = ldist * (1.0 - 1e-3) if n_tri_l else ldist
     shadow_maxd = jnp.where(choose_sun, VERY_FAR, ldist_occ)
+    if fog_on:
+        # every NEE connection pays the slab transmittance along its
+        # shadow segment (sun rays: to the slab exit; light rays: to the
+        # sampled emitter point) — this is what casts the god rays
+        _, sh_len = _fog_overlap(o, shadow_dir,
+                                 jnp.where(choose_sun, VERY_FAR, ldist),
+                                 cfg.fog_z_min, cfg.fog_z_max)
+        shadow_color = shadow_color * jnp.exp(-f_sigma_t * sh_len)[:, None]
 
     # --- bounce directions ---
     # DIFF cosine hemisphere (kernel.cu:450-467); only resampled when
@@ -888,6 +979,19 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                           ggx_f * ggx_g1(ggx_nl, ggx_alpha)[:, None], 0.0)
         new_dir = jnp.where(is_ggx[:, None], ggx_dir, new_dir)
         direct = direct * jnp.where(is_ggx[:, None], ggx_w, 1.0)
+
+    if fog_on:
+        # medium-event bounce: exact HG inverse-CDF sample around the
+        # incoming direction; pdf == phase, so the estimator weight is 1
+        # (the albedo was applied through obj_color above)
+        if cfg.sampler == "sobol":
+            fu1, fu2 = sob2(10)
+        else:
+            fs = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xF09)
+            fs, fu1 = rng.random_float(fs)
+            _, fu2 = rng.random_float(fs)
+        fog_dir = hg_sample_from_uniforms(d, cfg.fog_g, fu1, fu2)
+        new_dir = jnp.where(is_fog[:, None], fog_dir, new_dir)
 
     new_last_spec = (hit & (refl == SPEC)) | (is_refr & refr_reflects)
     if mis:
