@@ -507,7 +507,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         refl_tri = trow[:, 3].astype(jnp.int32)
         color_tri = trow[:, 4:7]
         rough_tri = trow[:, 7]
-        if scene.has_textures or scene.smooth_normals:
+        if scene.has_textures or scene.smooth_normals \
+                or scene.has_normal_maps:
             # per-triangle attribute row (beyond-reference): barycentrics
             # recovered from the pre-offset hit point ``o`` via the
             # precomputed dual basis (two dots), then textures and/or
@@ -516,10 +517,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             p_rel = o - arow[:, 0:3]
             bu = dot(p_rel, arow[:, 3:6])
             bv = dot(p_rel, arow[:, 6:9])
-        if scene.has_textures:
-            # albedo texture: 1 or 4 atlas taps (cfg.texture_filter)
+        if scene.has_textures or scene.has_normal_maps:
             uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
                 + bv[:, None] * arow[:, 13:15]
+        if scene.has_textures:
+            # albedo texture: 1 or 4 atlas taps (cfg.texture_filter)
             texid = arow[:, 15].astype(jnp.int32)
             albedo = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
                                      cfg.texture_filter)
@@ -535,6 +537,25 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             ns = ns / nlen[:, None]
             normal_tri = jnp.where((arow[:, 25] > 0.5)[:, None],
                                    ns, normal_tri)
+        if scene.has_normal_maps:
+            # tangent-space normal map (beyond-reference): the UV-derived
+            # per-triangle tangent (attr lanes 27:30, scene.py to_device)
+            # is orthonormalised against the CURRENT shading normal (so it
+            # composes with smooth shading); B = cross(N, T) * handedness
+            ntexid = arow[:, 26].astype(jnp.int32)
+            nm = _sample_texture(scene, ntexid, uv_t[:, 0], uv_t[:, 1],
+                                 cfg.texture_filter)
+            n_ts = nm * 2.0 - 1.0
+            tang = arow[:, 27:30]
+            t_o = tang - normal_tri * dot(normal_tri, tang)[:, None]
+            t_len = jnp.sqrt(jnp.maximum(dot(t_o, t_o), 1e-20))
+            t_o = t_o / t_len[:, None]
+            b_o = jnp.cross(normal_tri, t_o) * arow[:, 30:31]
+            n_p = t_o * n_ts[:, 0:1] + b_o * n_ts[:, 1:2] \
+                + normal_tri * jnp.maximum(n_ts[:, 2:3], 0.0)
+            n_p = n_p / jnp.sqrt(jnp.maximum(dot(n_p, n_p), 1e-20))[:, None]
+            apply_nm = (ntexid >= 0) & (t_len > 1e-6)
+            normal_tri = jnp.where(apply_nm[:, None], n_p, normal_tri)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the
@@ -1129,14 +1150,15 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
     trow = scene.tri_shade[tid]
     normal_tri = trow[:, 0:3]
     color_tri = trow[:, 4:7]  # white for default-material scenes
-    if scene.has_textures or scene.smooth_normals:
+    if scene.has_textures or scene.smooth_normals or scene.has_normal_maps:
         arow = scene.tri_attr[tid]
         p_rel = hp - arow[:, 0:3]
         bu = dot(p_rel, arow[:, 3:6])
         bv = dot(p_rel, arow[:, 6:9])
-        if scene.has_textures:
+        if scene.has_textures or scene.has_normal_maps:
             uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
                 + bv[:, None] * arow[:, 13:15]
+        if scene.has_textures:
             texid = arow[:, 15].astype(jnp.int32)
             alb = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
                                   cfg.texture_filter)
@@ -1148,6 +1170,23 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
             nlen = jnp.sqrt(jnp.maximum(dot(ns, ns), 1e-20))
             normal_tri = jnp.where((arow[:, 25] > 0.5)[:, None],
                                    ns / nlen[:, None], normal_tri)
+        if scene.has_normal_maps:
+            # mirror of the shade-time perturbation (so the denoiser's
+            # normal AOV sees the mapped detail it should preserve)
+            ntexid = arow[:, 26].astype(jnp.int32)
+            nm = _sample_texture(scene, ntexid, uv_t[:, 0], uv_t[:, 1],
+                                 cfg.texture_filter)
+            n_ts = nm * 2.0 - 1.0
+            tang = arow[:, 27:30]
+            t_o = tang - normal_tri * dot(normal_tri, tang)[:, None]
+            t_len = jnp.sqrt(jnp.maximum(dot(t_o, t_o), 1e-20))
+            t_o = t_o / t_len[:, None]
+            b_o = jnp.cross(normal_tri, t_o) * arow[:, 30:31]
+            n_p = t_o * n_ts[:, 0:1] + b_o * n_ts[:, 1:2] \
+                + normal_tri * jnp.maximum(n_ts[:, 2:3], 0.0)
+            n_p = n_p / jnp.sqrt(jnp.maximum(dot(n_p, n_p), 1e-20))[:, None]
+            apply_nm = (ntexid >= 0) & (t_len > 1e-6)
+            normal_tri = jnp.where(apply_nm[:, None], n_p, normal_tri)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     outward = dot(normal, d) < 0

@@ -57,6 +57,7 @@ class MeshAsset:
     textures: Optional[list] = None
     tri_vn: Optional[np.ndarray] = None
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
+    tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -75,7 +76,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     from .scene import _ply_has_normals, load_mesh
 
     tri_uv = tri_tex = textures = tri_color = tri_vn = None
-    tri_refl = tri_rough = None
+    tri_refl = tri_rough = tri_ntex = None
     if path.endswith(".obj"):
         from .obj import load_obj_scene
         m = load_obj_scene(path)
@@ -84,6 +85,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         tri_color = m.tri_color
         tri_vn = m.normals
         tri_refl, tri_rough = m.tri_refl, m.tri_rough
+        tri_ntex = m.tri_ntex
     elif path.endswith(".ply") and _ply_has_normals(path):
         from .ply import load_ply_full
         vertices, faces, vnorm = load_ply_full(path)
@@ -95,7 +97,8 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     return MeshAsset(v0=vertices[faces[:, 0]], v1=vertices[faces[:, 1]],
                      v2=vertices[faces[:, 2]], tri_color=tri_color,
                      tri_uv=tri_uv, tri_tex=tri_tex, textures=textures,
-                     tri_vn=tri_vn, tri_refl=tri_refl, tri_rough=tri_rough)
+                     tri_vn=tri_vn, tri_refl=tri_refl, tri_rough=tri_rough,
+                     tri_ntex=tri_ntex)
 
 
 def _as_affine(m) -> tuple[np.ndarray, np.ndarray]:
@@ -159,7 +162,8 @@ def flatten_instances(meshes: Sequence[MeshAsset],
 
     out_v0, out_v1, out_v2 = [], [], []
     out_refl, out_color, out_uv, out_tex, out_vn = [], [], [], [], []
-    out_rough = []
+    out_rough, out_ntex = [], []
+    any_ntex = any(m.tri_ntex is not None for m in meshes)
     for mesh_id, xf in instances:
         m = meshes[mesh_id]
         a, t = _as_affine(xf)
@@ -202,6 +206,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
             tt = (m.tri_tex.astype(np.int64) + tex_offset[mesh_id]
                   if m.tri_tex is not None else np.full(n, -1, np.int64))
             out_tex.append(np.where(tt >= 0, tt, -1).astype(np.int32))
+            nt = (m.tri_ntex.astype(np.int64) + tex_offset[mesh_id]
+                  if m.tri_ntex is not None else np.full(n, -1, np.int64))
+            out_ntex.append(np.where(nt >= 0, nt, -1).astype(np.int32))
         if any_vn:
             out_vn.append(vn)
 
@@ -214,4 +221,5 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         tri_tex=cat(out_tex) if (any_uv or any_tex) else None,
         textures=textures if any_tex else None,
         tri_vn=cat(out_vn) if any_vn else None,
-        tri_rough=cat(out_rough) if any_rough else None)
+        tri_rough=cat(out_rough) if any_rough else None,
+        tri_ntex=cat(out_ntex) if any_ntex else None)

@@ -32,6 +32,7 @@ class ObjMesh:
     normals: np.ndarray | None = None  # [F, 3, 3] f32 per-corner vn
     tri_refl: np.ndarray | None = None  # [F] i32 material type (or None)
     tri_rough: np.ndarray | None = None  # [F] f32 GGX roughness (or None)
+    tri_ntex: np.ndarray | None = None  # [F] i32 normal-map id, -1 = none
 
 
 # scene.scene.GGX, duplicated to avoid a circular import (scene.py imports
@@ -40,11 +41,13 @@ _GGX = 5
 
 
 def _parse_mtl(path: str):
-    """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm]}.
+    """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm,
+    normal-map path|None]}.
 
     ``Pr`` (roughness) and ``Pm`` (metallic) are the common PBR extension
     keys; a metallic material (Pm > 0.5) shades as the GGX rough conductor
-    (beyond-reference, see ops/sampling.py ggx_*)."""
+    (beyond-reference, see ops/sampling.py ggx_*).  ``map_Kn`` / ``norm``
+    / ``map_bump`` / ``bump`` name a tangent-space normal map."""
     mats = {}
     cur = None
     base = os.path.dirname(path)
@@ -55,7 +58,7 @@ def _parse_mtl(path: str):
                 continue
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
-                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0]
+                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
@@ -66,6 +69,9 @@ def _parse_mtl(path: str):
                 mats[cur][2] = float(parts[1])
             elif parts[0] == "Pm" and cur and len(parts) > 1:
                 mats[cur][3] = float(parts[1])
+            elif parts[0] in ("map_Kn", "norm", "map_bump", "bump") \
+                    and cur and len(parts) > 1:
+                mats[cur][4] = os.path.join(base, parts[-1])
     return mats
 
 
@@ -160,16 +166,38 @@ def load_obj_scene(path: str) -> ObjMesh:
     textures = None
     tri_refl = None
     tri_rough = None
+    tri_ntex = None
     if mats and any(m is not None for m in face_mat):
         from .texture import load_texture
         tri_color = np.ones((f_count, 3), np.float32)
         tri_tex = np.full(f_count, -1, np.int32)
+        tri_ntex = np.full(f_count, -1, np.int32)
         any_metal = any(rec[3] > 0.5 for rec in mats.values())
         if any_metal:
             tri_refl = np.zeros(f_count, np.int32)
             tri_rough = np.full(f_count, 0.3, np.float32)
         tex_paths: dict = {}
         textures = []
+
+        def tex_id(tp, srgb):
+            # one atlas for albedo AND normal maps; normal maps decode raw
+            # (their channels are vector components, not radiance), so the
+            # dedup key includes the decode mode
+            key = (tp, srgb)
+            if key not in tex_paths:
+                try:
+                    tex_paths[key] = len(textures)
+                    textures.append(load_texture(tp, srgb=srgb))
+                except Exception as e:
+                    # undecodable image (or no PIL): shade this
+                    # material untextured instead of failing the
+                    # whole geometry load
+                    import sys
+                    print(f"warning: texture {tp!r} failed to load "
+                          f"({e}); shading untextured", file=sys.stderr)
+                    tex_paths[key] = -1
+            return tex_paths[key]
+
         for i, name in enumerate(face_mat):
             rec = mats.get(name) if name else None
             if rec is None:
@@ -178,30 +206,21 @@ def load_obj_scene(path: str) -> ObjMesh:
             if any_metal and rec[3] > 0.5:
                 tri_refl[i] = _GGX
                 tri_rough[i] = rec[2] if rec[2] is not None else 0.3
-            tp = rec[1]
-            if tp and os.path.exists(tp):
-                if tp not in tex_paths:
-                    try:
-                        tex_paths[tp] = len(textures)
-                        textures.append(load_texture(tp))
-                    except Exception as e:
-                        # undecodable image (or no PIL): shade this
-                        # material untextured instead of failing the
-                        # whole geometry load
-                        import sys
-                        print(f"warning: texture {tp!r} failed to load "
-                              f"({e}); shading untextured",
-                              file=sys.stderr)
-                        tex_paths[tp] = -1
-                if tex_paths[tp] >= 0:
-                    tri_tex[i] = tex_paths[tp]
+            if rec[1] and os.path.exists(rec[1]):
+                tri_tex[i] = tex_id(rec[1], srgb=True)
+            if rec[4] and os.path.exists(rec[4]):
+                tri_ntex[i] = tex_id(rec[4], srgb=False)
         if not textures:
             textures = None
             tri_tex = None
+            tri_ntex = None
+        elif (tri_ntex < 0).all():
+            tri_ntex = None
 
     return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
                    tri_color=tri_color, tri_tex=tri_tex, textures=textures,
-                   normals=normals, tri_refl=tri_refl, tri_rough=tri_rough)
+                   normals=normals, tri_refl=tri_refl, tri_rough=tri_rough,
+                   tri_ntex=tri_ntex)
 
 
 def load_obj(path: str):

@@ -136,6 +136,12 @@ class SceneData:
     tex_meta: tuple = ()
     # STATIC (pytree aux): tri_attr carries interpolated vertex normals
     smooth_normals: bool = False
+    # STATIC (pytree aux): any triangle has an albedo texture / a
+    # tangent-space normal map (beyond-reference).  Normal maps ride the
+    # same atlas and attribute row: lane 26 = map id, 27:30 = the
+    # UV-derived tangent, 30 = bitangent handedness.
+    has_albedo_tex: bool = False
+    has_normal_maps: bool = False
     # Environment-map lighting (beyond-reference): equirectangular radiance
     # map replacing the analytic atmosphere on the miss path.  env_data is
     # the same flat-row layout as tex_data; env_meta = (height, width)
@@ -160,7 +166,9 @@ class SceneData:
 
     @property
     def has_textures(self) -> bool:
-        return len(self.tex_meta) > 0
+        """Albedo textures present (gates the shade-time colour taps;
+        normal maps are gated separately by ``has_normal_maps``)."""
+        return self.has_albedo_tex
 
     def tree_flatten(self):
         return ((self.bvh, self.sphere_center, self.sphere_radius,
@@ -170,7 +178,7 @@ class SceneData:
                  self.tex_data, self.env_data, self.tri_lights),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
-                 self.has_ggx))
+                 self.has_ggx, self.has_albedo_tex, self.has_normal_maps))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -178,6 +186,7 @@ class SceneData:
                    light_indices=aux[1], tex_meta=aux[2],
                    smooth_normals=aux[3], env_meta=aux[4],
                    n_tri_lights=aux[5], has_ggx=aux[6],
+                   has_albedo_tex=aux[7], has_normal_maps=aux[8],
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14])
 
@@ -200,6 +209,7 @@ class Scene:
     tri_vn: Optional[np.ndarray] = None     # [T, 3, 3] per-corner normals
     envmap: Optional[np.ndarray] = None     # [H, W, 3] equirect radiance
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
+    tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -234,9 +244,9 @@ class Scene:
             return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
-        tri_refl = tri_rough = None
+        tri_refl = tri_rough = tri_ntex = None
         if path.endswith(".obj"):
-            # full OBJ record: UVs + MTL Kd/map_Kd/Pr/Pm + vn
+            # full OBJ record: UVs + MTL Kd/map_Kd/Pr/Pm/map_Kn + vn
             # (beyond-reference)
             from .obj import load_obj_scene
             m = load_obj_scene(path)
@@ -245,6 +255,7 @@ class Scene:
             tri_color = m.tri_color
             tri_vn = m.normals
             tri_refl, tri_rough = m.tri_refl, m.tri_rough
+            tri_ntex = m.tri_ntex
         elif path.endswith(".ply") and _ply_has_normals(path):
             # vertex normals present: the python loader extracts them for
             # smooth shading (the native fast path returns positions only)
@@ -271,7 +282,7 @@ class Scene:
         return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats,
                    tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
                    textures=textures, tri_vn=tri_vn, envmap=envmap,
-                   tri_refl=tri_refl, tri_rough=tri_rough)
+                   tri_refl=tri_refl, tri_rough=tri_rough, tri_ntex=tri_ntex)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
@@ -279,7 +290,8 @@ class Scene:
                        builder: str = "auto",
                        tri_refl=None, tri_color=None,
                        tri_uv=None, tri_tex=None, textures=None,
-                       tri_vn=None, envmap=None, tri_rough=None) -> "Scene":
+                       tri_vn=None, envmap=None, tri_rough=None,
+                       tri_ntex=None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
@@ -310,7 +322,9 @@ class Scene:
                    else np.asarray(tri_vn, np.float32),
                    envmap=envmap,
                    tri_rough=None if tri_rough is None
-                   else np.asarray(tri_rough, np.float32))
+                   else np.asarray(tri_rough, np.float32),
+                   tri_ntex=None if tri_ntex is None
+                   else np.asarray(tri_ntex, np.int32))
 
     @classmethod
     def from_instances(cls, meshes, instances,
@@ -335,7 +349,8 @@ class Scene:
             builder=builder, tri_refl=flat.tri_refl,
             tri_color=flat.tri_color, tri_uv=flat.tri_uv,
             tri_tex=flat.tri_tex, textures=flat.textures,
-            tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough)
+            tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough,
+            tri_ntex=flat.tri_ntex)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
         return s
@@ -400,11 +415,14 @@ class Scene:
         # texture atlas + per-triangle attribute rows (beyond-reference:
         # textures AND smooth vertex normals share one [T+pad, 32] gather
         # row; see texture.py for the one-gather-per-tap atlas design)
-        has_tex = (self.textures is not None and len(self.textures) > 0
-                   and self.tri_uv is not None and self.tri_tex is not None
-                   and self.bvh is not None)
+        has_atlas = (self.textures is not None and len(self.textures) > 0
+                     and self.tri_uv is not None and self.bvh is not None)
+        has_tex = has_atlas and self.tri_tex is not None \
+            and (np.asarray(self.tri_tex) >= 0).any()
+        has_nmap = has_atlas and self.tri_ntex is not None \
+            and (np.asarray(self.tri_ntex) >= 0).any()
         has_smooth = self.tri_vn is not None and self.bvh is not None
-        if has_tex or has_smooth:
+        if has_tex or has_smooth or has_nmap:
             perm = self.bvh.perm
             e1 = self.tri_e1[perm].astype(np.float64)
             e2 = self.tri_e2[perm].astype(np.float64)
@@ -421,20 +439,47 @@ class Scene:
             attr[:t, 3:6] = s1
             attr[:t, 6:9] = s2
             attr[:, 15] = -1.0
-            if has_tex:
+            attr[:, 26] = -1.0
+            if has_tex or has_nmap:
                 from .texture import TextureAtlas
                 atlas = TextureAtlas.pack(self.textures)
                 uv = np.asarray(self.tri_uv, np.float32)[perm]  # [T, 3, 2]
                 attr[:t, 9:11] = uv[:, 0]
                 attr[:t, 11:13] = uv[:, 1] - uv[:, 0]
                 attr[:t, 13:15] = uv[:, 2] - uv[:, 0]
-                attr[:t, 15] = np.asarray(self.tri_tex, np.int32)[perm]
+                if has_tex:
+                    attr[:t, 15] = np.asarray(self.tri_tex, np.int32)[perm]
                 tex_data = jnp.asarray(atlas.data)
                 tex_meta = tuple((int(o), int(h), int(w))
                                  for o, h, w in atlas.meta)
             else:
                 tex_data = jnp.ones((1, 4), jnp.float32)
                 tex_meta = ()
+            if has_nmap:
+                # tangent-space normal maps (beyond-reference): the
+                # UV-derived tangent T = (dv2*e1 - dv1*e2)/det and the
+                # bitangent handedness are packed per triangle; shade
+                # orthonormalises T against the (possibly smooth) shading
+                # normal and builds B = cross(N, T) * handedness.
+                # Degenerate UV parameterisations disable the map (-1).
+                du1 = (uv[:, 1] - uv[:, 0]).astype(np.float64)
+                du2 = (uv[:, 2] - uv[:, 0]).astype(np.float64)
+                det_uv = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+                ok_uv = np.abs(det_uv) > 1e-12
+                inv = 1.0 / np.where(ok_uv, det_uv, 1.0)
+                tang = (du2[:, 1:2] * e1 - du1[:, 1:2] * e2) * inv[:, None]
+                bitan = (du1[:, 0:1] * e2 - du2[:, 0:1] * e1) * inv[:, None]
+                tlen = np.linalg.norm(tang, axis=1)
+                ok_uv &= tlen > 1e-12
+                tang = tang / np.maximum(tlen, 1e-30)[:, None]
+                geo_n = np.cross(e1, e2)
+                handed = np.where(
+                    np.sum(np.cross(geo_n, tang) * bitan, axis=1) >= 0.0,
+                    1.0, -1.0)
+                ntex = np.asarray(self.tri_ntex, np.int32)[perm]
+                attr[:t, 26] = np.where(ok_uv, ntex, -1)
+                attr[:t, 27:30] = tang.astype(np.float32)
+                attr[:t, 30] = handed.astype(np.float32)
             if has_smooth:
                 vn = np.asarray(self.tri_vn, np.float32)[perm]  # [T, 3, 3]
                 ok = (np.linalg.norm(vn, axis=2) > 1e-8).all(axis=1)
@@ -506,10 +551,13 @@ class Scene:
             tri_attr=tri_attr,
             tex_data=tex_data,
             tri_default_mat=(self.tri_refl is None and self.tri_color is None
-                             and not has_tex and not has_smooth),
+                             and not has_tex and not has_smooth
+                             and not has_nmap),
             light_indices=light_list,
             tex_meta=tex_meta,
             smooth_normals=has_smooth,
+            has_albedo_tex=has_tex,
+            has_normal_maps=has_nmap,
             env_data=env_data,
             env_meta=env_meta,
             tri_lights=tri_lights,

@@ -24,13 +24,18 @@ import dataclasses
 import numpy as np
 
 
-def load_texture(path: str) -> np.ndarray:
-    """Decode an image file to a linear-light float32 [H, W, 3] array.
+def load_texture(path: str, srgb: bool = True) -> np.ndarray:
+    """Decode an image file to a float32 [H, W, 3] array.
 
     PNG/JPEG/BMP/... via PIL; .npy files (already-linear float arrays) and
     .pfm HDR images (utils/pfm.py) are loaded directly.  Rows run top-to-bottom in file order; OBJ vt
     coordinates put v=0 at the BOTTOM, which :func:`TextureAtlas.sample`
     accounts for (v flip at sample time, not load time).
+
+    ``srgb=True`` (albedo images) gamma-decodes 8-bit inputs to linear
+    light; ``srgb=False`` keeps raw [0,1] values — required for DATA
+    textures like tangent-space normal maps, whose channels encode vector
+    components, not radiance.
     """
     if path.endswith(".npy"):
         arr = np.load(path)
@@ -45,6 +50,8 @@ def load_texture(path: str) -> np.ndarray:
     from PIL import Image
     img = Image.open(path).convert("RGB")
     arr = np.asarray(img, np.uint8).astype(np.float32) / 255.0
+    if not srgb:
+        return arr
     # sRGB -> linear (gamma 2.2 approximation; the tonemap resolve applies
     # the matching 1/2.2 on output, ops/tonemap.py)
     return arr ** 2.2
