@@ -508,7 +508,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         color_tri = trow[:, 4:7]
         rough_tri = trow[:, 7]
         if scene.has_textures or scene.smooth_normals \
-                or scene.has_normal_maps:
+                or scene.has_normal_maps or scene.has_rough_maps:
             # per-triangle attribute row (beyond-reference): barycentrics
             # recovered from the pre-offset hit point ``o`` via the
             # precomputed dual basis (two dots), then textures and/or
@@ -517,7 +517,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             p_rel = o - arow[:, 0:3]
             bu = dot(p_rel, arow[:, 3:6])
             bv = dot(p_rel, arow[:, 6:9])
-        if scene.has_textures or scene.has_normal_maps:
+        if scene.has_textures or scene.has_normal_maps \
+                or scene.has_rough_maps:
             uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
                 + bv[:, None] * arow[:, 13:15]
         if scene.has_textures:
@@ -556,6 +557,15 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             n_p = n_p / jnp.sqrt(jnp.maximum(dot(n_p, n_p), 1e-20))[:, None]
             apply_nm = (ntexid >= 0) & (t_len > 1e-6)
             normal_tri = jnp.where(apply_nm[:, None], n_p, normal_tri)
+        if scene.has_rough_maps:
+            # per-texel GGX roughness (MTL map_Pr, beyond-reference): the
+            # red channel overrides the material's scalar Pr, same clamp
+            # as the host path (alpha -> 0 degenerates D(h))
+            rtexid = arow[:, 31].astype(jnp.int32)
+            rmap = _sample_texture(scene, rtexid, uv_t[:, 0], uv_t[:, 1],
+                                   cfg.texture_filter)[:, 0]
+            rough_tri = jnp.where(rtexid >= 0,
+                                  jnp.clip(rmap, 0.03, 1.0), rough_tri)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the

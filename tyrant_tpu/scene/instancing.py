@@ -58,6 +58,7 @@ class MeshAsset:
     tri_vn: Optional[np.ndarray] = None
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
     tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
+    tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -76,7 +77,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     from .scene import _ply_has_normals, load_mesh
 
     tri_uv = tri_tex = textures = tri_color = tri_vn = None
-    tri_refl = tri_rough = tri_ntex = None
+    tri_refl = tri_rough = tri_ntex = tri_rtex = None
     if path.endswith(".obj"):
         from .obj import load_obj_scene
         m = load_obj_scene(path)
@@ -86,6 +87,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         tri_vn = m.normals
         tri_refl, tri_rough = m.tri_refl, m.tri_rough
         tri_ntex = m.tri_ntex
+        tri_rtex = m.tri_rtex
     elif path.endswith(".ply") and _ply_has_normals(path):
         from .ply import load_ply_full
         vertices, faces, vnorm = load_ply_full(path)
@@ -98,7 +100,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
                      v2=vertices[faces[:, 2]], tri_color=tri_color,
                      tri_uv=tri_uv, tri_tex=tri_tex, textures=textures,
                      tri_vn=tri_vn, tri_refl=tri_refl, tri_rough=tri_rough,
-                     tri_ntex=tri_ntex)
+                     tri_ntex=tri_ntex, tri_rtex=tri_rtex)
 
 
 def _as_affine(m) -> tuple[np.ndarray, np.ndarray]:
@@ -162,8 +164,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
 
     out_v0, out_v1, out_v2 = [], [], []
     out_refl, out_color, out_uv, out_tex, out_vn = [], [], [], [], []
-    out_rough, out_ntex = [], []
+    out_rough, out_ntex, out_rtex = [], [], []
     any_ntex = any(m.tri_ntex is not None for m in meshes)
+    any_rtex = any(m.tri_rtex is not None for m in meshes)
     for mesh_id, xf in instances:
         m = meshes[mesh_id]
         a, t = _as_affine(xf)
@@ -209,6 +212,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
             nt = (m.tri_ntex.astype(np.int64) + tex_offset[mesh_id]
                   if m.tri_ntex is not None else np.full(n, -1, np.int64))
             out_ntex.append(np.where(nt >= 0, nt, -1).astype(np.int32))
+            rt = (m.tri_rtex.astype(np.int64) + tex_offset[mesh_id]
+                  if m.tri_rtex is not None else np.full(n, -1, np.int64))
+            out_rtex.append(np.where(rt >= 0, rt, -1).astype(np.int32))
         if any_vn:
             out_vn.append(vn)
 
@@ -222,4 +228,5 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         textures=textures if any_tex else None,
         tri_vn=cat(out_vn) if any_vn else None,
         tri_rough=cat(out_rough) if any_rough else None,
-        tri_ntex=cat(out_ntex) if any_ntex else None)
+        tri_ntex=cat(out_ntex) if any_ntex else None,
+        tri_rtex=cat(out_rtex) if any_rtex else None)

@@ -33,6 +33,7 @@ class ObjMesh:
     tri_refl: np.ndarray | None = None  # [F] i32 material type (or None)
     tri_rough: np.ndarray | None = None  # [F] f32 GGX roughness (or None)
     tri_ntex: np.ndarray | None = None  # [F] i32 normal-map id, -1 = none
+    tri_rtex: np.ndarray | None = None  # [F] i32 roughness-map id, -1 = none
 
 
 # scene.scene.GGX, duplicated to avoid a circular import (scene.py imports
@@ -42,7 +43,7 @@ _GGX = 5
 
 def _parse_mtl(path: str):
     """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm,
-    normal-map path|None]}.
+    normal-map path|None, roughness-map path|None]}.
 
     ``Pr`` (roughness) and ``Pm`` (metallic) are the common PBR extension
     keys; a metallic material (Pm > 0.5) shades as the GGX rough conductor
@@ -58,7 +59,7 @@ def _parse_mtl(path: str):
                 continue
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
-                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None]
+                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None, None]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
@@ -72,6 +73,8 @@ def _parse_mtl(path: str):
             elif parts[0] in ("map_Kn", "norm", "map_bump", "bump") \
                     and cur and len(parts) > 1:
                 mats[cur][4] = os.path.join(base, parts[-1])
+            elif parts[0] == "map_Pr" and cur and len(parts) > 1:
+                mats[cur][5] = os.path.join(base, parts[-1])
     return mats
 
 
@@ -167,11 +170,13 @@ def load_obj_scene(path: str) -> ObjMesh:
     tri_refl = None
     tri_rough = None
     tri_ntex = None
+    tri_rtex = None
     if mats and any(m is not None for m in face_mat):
         from .texture import load_texture
         tri_color = np.ones((f_count, 3), np.float32)
         tri_tex = np.full(f_count, -1, np.int32)
         tri_ntex = np.full(f_count, -1, np.int32)
+        tri_rtex = np.full(f_count, -1, np.int32)
         any_metal = any(rec[3] > 0.5 for rec in mats.values())
         if any_metal:
             tri_refl = np.zeros(f_count, np.int32)
@@ -210,17 +215,28 @@ def load_obj_scene(path: str) -> ObjMesh:
                 tri_tex[i] = tex_id(rec[1], srgb=True)
             if rec[4] and os.path.exists(rec[4]):
                 tri_ntex[i] = tex_id(rec[4], srgb=False)
+            if rec[5] and os.path.exists(rec[5]):
+                tri_rtex[i] = tex_id(rec[5], srgb=False)
+                if tri_refl is None:
+                    # a roughness map implies a GGX surface even without Pm
+                    tri_refl = np.zeros(f_count, np.int32)
+                    tri_rough = np.full(f_count, 0.3, np.float32)
+                tri_refl[i] = _GGX
         if not textures:
             textures = None
             tri_tex = None
             tri_ntex = None
-        elif (tri_ntex < 0).all():
-            tri_ntex = None
+            tri_rtex = None
+        else:
+            if (tri_ntex < 0).all():
+                tri_ntex = None
+            if (tri_rtex < 0).all():
+                tri_rtex = None
 
     return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
                    tri_color=tri_color, tri_tex=tri_tex, textures=textures,
                    normals=normals, tri_refl=tri_refl, tri_rough=tri_rough,
-                   tri_ntex=tri_ntex)
+                   tri_ntex=tri_ntex, tri_rtex=tri_rtex)
 
 
 def load_obj(path: str):

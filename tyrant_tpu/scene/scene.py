@@ -142,6 +142,10 @@ class SceneData:
     # UV-derived tangent, 30 = bitangent handedness.
     has_albedo_tex: bool = False
     has_normal_maps: bool = False
+    # STATIC (pytree aux): any GGX triangle has a roughness texture
+    # (MTL map_Pr; attr lane 31 = map id, red channel = perceptual
+    # roughness, clamped like the scalar path)
+    has_rough_maps: bool = False
     # Environment-map lighting (beyond-reference): equirectangular radiance
     # map replacing the analytic atmosphere on the miss path.  env_data is
     # the same flat-row layout as tex_data; env_meta = (height, width)
@@ -178,7 +182,8 @@ class SceneData:
                  self.tex_data, self.env_data, self.tri_lights),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
-                 self.has_ggx, self.has_albedo_tex, self.has_normal_maps))
+                 self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
+                 self.has_rough_maps))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -187,6 +192,7 @@ class SceneData:
                    smooth_normals=aux[3], env_meta=aux[4],
                    n_tri_lights=aux[5], has_ggx=aux[6],
                    has_albedo_tex=aux[7], has_normal_maps=aux[8],
+                   has_rough_maps=aux[9],
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14])
 
@@ -210,6 +216,7 @@ class Scene:
     envmap: Optional[np.ndarray] = None     # [H, W, 3] equirect radiance
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
     tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
+    tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -244,7 +251,7 @@ class Scene:
             return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
-        tri_refl = tri_rough = tri_ntex = None
+        tri_refl = tri_rough = tri_ntex = tri_rtex = None
         if path.endswith(".obj"):
             # full OBJ record: UVs + MTL Kd/map_Kd/Pr/Pm/map_Kn + vn
             # (beyond-reference)
@@ -256,6 +263,7 @@ class Scene:
             tri_vn = m.normals
             tri_refl, tri_rough = m.tri_refl, m.tri_rough
             tri_ntex = m.tri_ntex
+            tri_rtex = m.tri_rtex
         elif path.endswith(".ply") and _ply_has_normals(path):
             # vertex normals present: the python loader extracts them for
             # smooth shading (the native fast path returns positions only)
@@ -282,7 +290,8 @@ class Scene:
         return cls(spheres, tri_vert, tri_e1, tri_e2, bvh, stats,
                    tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
                    textures=textures, tri_vn=tri_vn, envmap=envmap,
-                   tri_refl=tri_refl, tri_rough=tri_rough, tri_ntex=tri_ntex)
+                   tri_refl=tri_refl, tri_rough=tri_rough,
+                   tri_ntex=tri_ntex, tri_rtex=tri_rtex)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
@@ -291,7 +300,7 @@ class Scene:
                        tri_refl=None, tri_color=None,
                        tri_uv=None, tri_tex=None, textures=None,
                        tri_vn=None, envmap=None, tri_rough=None,
-                       tri_ntex=None) -> "Scene":
+                       tri_ntex=None, tri_rtex=None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
@@ -324,7 +333,9 @@ class Scene:
                    tri_rough=None if tri_rough is None
                    else np.asarray(tri_rough, np.float32),
                    tri_ntex=None if tri_ntex is None
-                   else np.asarray(tri_ntex, np.int32))
+                   else np.asarray(tri_ntex, np.int32),
+                   tri_rtex=None if tri_rtex is None
+                   else np.asarray(tri_rtex, np.int32))
 
     @classmethod
     def from_instances(cls, meshes, instances,
@@ -350,7 +361,7 @@ class Scene:
             tri_color=flat.tri_color, tri_uv=flat.tri_uv,
             tri_tex=flat.tri_tex, textures=flat.textures,
             tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough,
-            tri_ntex=flat.tri_ntex)
+            tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
         return s
@@ -421,8 +432,10 @@ class Scene:
             and (np.asarray(self.tri_tex) >= 0).any()
         has_nmap = has_atlas and self.tri_ntex is not None \
             and (np.asarray(self.tri_ntex) >= 0).any()
+        has_rmap = has_atlas and self.tri_rtex is not None \
+            and (np.asarray(self.tri_rtex) >= 0).any()
         has_smooth = self.tri_vn is not None and self.bvh is not None
-        if has_tex or has_smooth or has_nmap:
+        if has_tex or has_smooth or has_nmap or has_rmap:
             perm = self.bvh.perm
             e1 = self.tri_e1[perm].astype(np.float64)
             e2 = self.tri_e2[perm].astype(np.float64)
@@ -440,7 +453,8 @@ class Scene:
             attr[:t, 6:9] = s2
             attr[:, 15] = -1.0
             attr[:, 26] = -1.0
-            if has_tex or has_nmap:
+            attr[:, 31] = -1.0
+            if has_tex or has_nmap or has_rmap:
                 from .texture import TextureAtlas
                 atlas = TextureAtlas.pack(self.textures)
                 uv = np.asarray(self.tri_uv, np.float32)[perm]  # [T, 3, 2]
@@ -480,6 +494,8 @@ class Scene:
                 attr[:t, 26] = np.where(ok_uv, ntex, -1)
                 attr[:t, 27:30] = tang.astype(np.float32)
                 attr[:t, 30] = handed.astype(np.float32)
+            if has_rmap:
+                attr[:t, 31] = np.asarray(self.tri_rtex, np.int32)[perm]
             if has_smooth:
                 vn = np.asarray(self.tri_vn, np.float32)[perm]  # [T, 3, 3]
                 ok = (np.linalg.norm(vn, axis=2) > 1e-8).all(axis=1)
@@ -552,12 +568,13 @@ class Scene:
             tex_data=tex_data,
             tri_default_mat=(self.tri_refl is None and self.tri_color is None
                              and not has_tex and not has_smooth
-                             and not has_nmap),
+                             and not has_nmap and not has_rmap),
             light_indices=light_list,
             tex_meta=tex_meta,
             smooth_normals=has_smooth,
             has_albedo_tex=has_tex,
             has_normal_maps=has_nmap,
+            has_rough_maps=has_rmap,
             env_data=env_data,
             env_meta=env_meta,
             tri_lights=tri_lights,
