@@ -77,9 +77,11 @@ class RenderConfig:
     bvh: BVHConfig = dataclasses.field(default_factory=BVHConfig)
     # How the ImGui focal-distance slider is scaled (kernel.cu:286).
     focal_distance_scale: float = 3.0
-    # Dense-batch dtype for ray payloads.  f32 keeps exact parity with the
-    # reference; bf16 is an opt-in speed knob for variance-tolerant buffers.
-    dtype: str = "float32"
+    # NB there is deliberately no ray-payload dtype knob: bf16 payloads were
+    # evaluated and rejected by measurement — sort cost saturates above ~9
+    # operands (payload slimming buys nothing) and gathers are row-COUNT
+    # bound, not byte bound (docs/PERFORMANCE.md step-plumbing micros and
+    # gather wall), so halving payload bytes moves no stage.
     # pixel-visit order for raygen: "scan" (reference, kernel.cu:263) or
     # "tiled8" (8x8 screen tiles -> coherent ray packets)
     raygen_order: str = "tiled8"

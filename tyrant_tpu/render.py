@@ -49,9 +49,11 @@ from .scene.scene import DIFF, GGX, LIGHT, PHONG, REFR, SPEC, SceneData
 
 PHONG_EXPONENT = 40.0  # kernel.cu:520
 
-# shade-only pseudo-material for volumetric-fog medium events
-# (beyond-reference; never stored in scene tables — see _shade)
+# shade-only pseudo-materials (beyond-reference; never stored in scene
+# tables — see _shade): FOG = volumetric-fog medium event, PASS =
+# alpha-cutout pass-through (MTL map_d, sub-threshold texel alpha)
 FOG = 6
+PASS = 7
 
 
 def _fog_overlap(origin, direction, t_limit, z_min: float, z_max: float):
@@ -358,13 +360,15 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
 # textures (beyond-reference; scene/texture.py for the design rationale)
 # --------------------------------------------------------------------------
 
-def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str):
+def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str,
+                    channels: int = 3):
     """Sample the flat texel atlas: repeat wrap, v=0 at image bottom.
 
     Per-texture (offset, height, width) come from the STATIC ``tex_meta``
     tuple via a select chain (K is small; a gathered meta row would pay the
     ~12 ms/2M gather wall).  Each tap is one row gather of ``tex_data``:
-    1 tap nearest, 4 taps bilinear."""
+    1 tap nearest, 4 taps bilinear.  ``channels=4`` also returns the
+    cutout-alpha lane (same gathers — rows are fetched whole)."""
     meta = scene.tex_meta
     off = jnp.full_like(texid, int(meta[0][0]))
     th = jnp.full_like(texid, int(meta[0][1]))
@@ -381,7 +385,7 @@ def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str):
     def tap(xi, yi):
         idx = off + (th - 1 - yi) * tw + xi
         idx = jnp.clip(jnp.where(texid >= 0, idx, 0), 0, n_rows - 1)
-        return jnp.take(scene.tex_data, idx, axis=0)[:, :3]
+        return jnp.take(scene.tex_data, idx, axis=0)[:, :channels]
 
     if filter_mode == "nearest":
         x = jnp.minimum((u * tw).astype(jnp.int32), tw - 1)
@@ -522,12 +526,17 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
                 + bv[:, None] * arow[:, 13:15]
         if scene.has_textures:
-            # albedo texture: 1 or 4 atlas taps (cfg.texture_filter)
+            # albedo texture: 1 or 4 atlas taps (cfg.texture_filter);
+            # with cutout maps in the scene the SAME taps also return the
+            # alpha lane (rows gather whole — no extra cost)
             texid = arow[:, 15].astype(jnp.int32)
-            albedo = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
-                                     cfg.texture_filter)
+            nch = 4 if scene.has_alpha_tex else 3
+            albedo4 = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
+                                      cfg.texture_filter, channels=nch)
             color_tri = color_tri * jnp.where((texid >= 0)[:, None],
-                                              albedo, 1.0)
+                                              albedo4[:, :3], 1.0)
+            if scene.has_alpha_tex:
+                cut_alpha = jnp.where(texid >= 0, albedo4[:, 3], 1.0)
         if scene.smooth_normals:
             # smooth shading: normal interpolated across the triangle
             # (the reference requests Assimp GenSmoothNormals then never
@@ -585,8 +594,21 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         refl = jnp.where(is_fog, FOG, refl)
         obj_color = jnp.where(is_fog[:, None], f_albedo, obj_color)
 
+    if scene.has_alpha_tex:
+        # alpha cutout (MTL map_d): sub-threshold hits become PASS-through
+        # pseudo-material — no shading, no NEE, no colour multiply; the
+        # ray continues BEHIND the surface next step (one wavefront step
+        # per transparent layer, like a REFR transmission with no bend).
+        # Shadow rays stay alpha-blind (see SceneData.has_alpha_tex).
+        is_pass = hit & is_tri & (cut_alpha < 0.5)
+        if fog_on:
+            is_pass = is_pass & ~is_fog
+        refl = jnp.where(is_pass, PASS, refl)
+
     # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
     mul_mask = hit & (refl != REFR) & (refl != LIGHT)
+    if scene.has_alpha_tex:
+        mul_mask = mul_mask & (refl != PASS)
     if scene.has_ggx:
         # GGX (beyond-reference): obj_color is the conductor F0, applied
         # through the Fresnel term — not premultiplied into throughput
@@ -1025,16 +1047,29 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         new_dir = jnp.where(is_fog[:, None], fog_dir, new_dir)
 
     new_last_spec = (hit & (refl == SPEC)) | (is_refr & refr_reflects)
+    if scene.has_alpha_tex:
+        # a pass-through does not change the path's BSDF history: a
+        # specular-born ray seen through a leaf hole must still collect
+        # the sun disc on its next miss
+        new_last_spec = jnp.where(is_pass, last_spec_in, new_last_spec)
     if mis:
         # pdf of the direction we just sampled, carried into the next
         # vertex for the emitter-hit side of the balance heuristic (delta
         # BSDFs ride new_last_spec instead; the floor only guards /0)
         next_bsdf_pdf = jnp.maximum(_bsdf_pdf_toward(new_dir), 1e-8)
+        if scene.has_alpha_tex:
+            # pass-throughs keep the pdf of the sample that created them
+            next_bsdf_pdf = jnp.where(is_pass, pdf_in, next_bsdf_pdf)
 
     origin_out = o \
         + jnp.where((is_refr & ~refr_reflects)[:, None],
                     -2.0 * eps * normal, 0.0) \
         + jnp.where(is_phong[:, None], eps * w_refl, 0.0)  # kernel.cu:505,592
+    if scene.has_alpha_tex:
+        # step through the cutout surface (the +eps face-forward offset
+        # above would re-hit it)
+        origin_out = origin_out + jnp.where(is_pass[:, None],
+                                            -2.0 * eps * normal, 0.0)
 
     # --- Russian roulette (kernel.cu:599-611) ---
     p = jnp.minimum(1.0, jnp.max(direct, axis=-1))

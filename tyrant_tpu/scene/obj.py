@@ -43,7 +43,7 @@ _GGX = 5
 
 def _parse_mtl(path: str):
     """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm,
-    normal-map path|None, roughness-map path|None]}.
+    normal-map path|None, roughness-map path|None, alpha-map path|None]}.
 
     ``Pr`` (roughness) and ``Pm`` (metallic) are the common PBR extension
     keys; a metallic material (Pm > 0.5) shades as the GGX rough conductor
@@ -59,7 +59,8 @@ def _parse_mtl(path: str):
                 continue
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
-                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None, None]
+                mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None, None,
+                             None]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
@@ -75,6 +76,8 @@ def _parse_mtl(path: str):
                 mats[cur][4] = os.path.join(base, parts[-1])
             elif parts[0] == "map_Pr" and cur and len(parts) > 1:
                 mats[cur][5] = os.path.join(base, parts[-1])
+            elif parts[0] == "map_d" and cur and len(parts) > 1:
+                mats[cur][6] = os.path.join(base, parts[-1])
     return mats
 
 
@@ -184,6 +187,27 @@ def load_obj_scene(path: str) -> ObjMesh:
         tex_paths: dict = {}
         textures = []
 
+        def rgba_combined(kd_path, d_path):
+            """Albedo rgb + cutout alpha in ONE [H,W,4] image, so shade
+            reads both from a single atlas tap (atlas lane 3 = alpha).
+            The alpha map (map_d) uses its alpha channel if present, else
+            its red channel, resized to the albedo resolution."""
+            from PIL import Image
+            from .texture import load_texture
+            rgb = load_texture(kd_path, srgb=True) if kd_path else None
+            with Image.open(d_path) as dm:
+                if "A" in dm.getbands():
+                    a_im = dm.getchannel("A")
+                else:
+                    a_im = dm.convert("L")
+                if rgb is not None and a_im.size != (rgb.shape[1],
+                                                     rgb.shape[0]):
+                    a_im = a_im.resize((rgb.shape[1], rgb.shape[0]))
+                alpha = np.asarray(a_im, np.uint8).astype(np.float32) / 255.0
+            if rgb is None:
+                rgb = np.ones((*alpha.shape, 3), np.float32)
+            return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+
         def tex_id(tp, srgb):
             # one atlas for albedo AND normal maps; normal maps decode raw
             # (their channels are vector components, not radiance), so the
@@ -211,7 +235,24 @@ def load_obj_scene(path: str) -> ObjMesh:
             if any_metal and rec[3] > 0.5:
                 tri_refl[i] = _GGX
                 tri_rough[i] = rec[2] if rec[2] is not None else 0.3
-            if rec[1] and os.path.exists(rec[1]):
+            if rec[6] and os.path.exists(rec[6]):
+                # map_d: the material's atlas entry becomes the COMBINED
+                # rgb+alpha image (key includes the pair so a shared
+                # map_Kd without map_d stays a separate rgb entry)
+                key = ("rgba", rec[1], rec[6])
+                if key not in tex_paths:
+                    try:
+                        tex_paths[key] = len(textures)
+                        textures.append(rgba_combined(
+                            rec[1] if rec[1] and os.path.exists(rec[1])
+                            else None, rec[6]))
+                    except Exception as e:
+                        import sys
+                        print(f"warning: alpha map {rec[6]!r} failed to "
+                              f"load ({e}); shading opaque", file=sys.stderr)
+                        tex_paths[key] = -1
+                tri_tex[i] = tex_paths[key]
+            elif rec[1] and os.path.exists(rec[1]):
                 tri_tex[i] = tex_id(rec[1], srgb=True)
             if rec[4] and os.path.exists(rec[4]):
                 tri_ntex[i] = tex_id(rec[4], srgb=False)

@@ -146,6 +146,13 @@ class SceneData:
     # (MTL map_Pr; attr lane 31 = map id, red channel = perceptual
     # roughness, clamped like the scalar path)
     has_rough_maps: bool = False
+    # STATIC (pytree aux): any albedo texture carries cutout alpha
+    # (MTL map_d; atlas texel lane 3).  Shade treats alpha < 0.5 hits
+    # as pass-through (the ray continues behind the surface next
+    # step).  LIMITATION: shadow rays treat cutout geometry as opaque
+    # (the any-hit kernel is alpha-blind) — the standard real-time
+    # trade; documented in README
+    has_alpha_tex: bool = False
     # Environment-map lighting (beyond-reference): equirectangular radiance
     # map replacing the analytic atmosphere on the miss path.  env_data is
     # the same flat-row layout as tex_data; env_meta = (height, width)
@@ -183,7 +190,7 @@ class SceneData:
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
-                 self.has_rough_maps))
+                 self.has_rough_maps, self.has_alpha_tex))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -192,7 +199,7 @@ class SceneData:
                    smooth_normals=aux[3], env_meta=aux[4],
                    n_tri_lights=aux[5], has_ggx=aux[6],
                    has_albedo_tex=aux[7], has_normal_maps=aux[8],
-                   has_rough_maps=aux[9],
+                   has_rough_maps=aux[9], has_alpha_tex=aux[10],
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14])
 
@@ -435,6 +442,9 @@ class Scene:
         has_rmap = has_atlas and self.tri_rtex is not None \
             and (np.asarray(self.tri_rtex) >= 0).any()
         has_smooth = self.tri_vn is not None and self.bvh is not None
+        has_alpha = has_tex and any(
+            im.shape[2] >= 4 and (np.asarray(im[:, :, 3]) < 1.0).any()
+            for im in self.textures)
         if has_tex or has_smooth or has_nmap or has_rmap:
             perm = self.bvh.perm
             e1 = self.tri_e1[perm].astype(np.float64)
@@ -575,6 +585,7 @@ class Scene:
             has_albedo_tex=has_tex,
             has_normal_maps=has_nmap,
             has_rough_maps=has_rmap,
+            has_alpha_tex=has_alpha,
             env_data=env_data,
             env_meta=env_meta,
             tri_lights=tri_lights,

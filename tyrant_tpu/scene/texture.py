@@ -88,6 +88,11 @@ class TextureAtlas:
             h, w = im.shape[0], im.shape[1]
             flat = np.asarray(im[:, :, :3], np.float32).reshape(h * w, 3)
             data[off:off + h * w, :3] = flat
+            if im.shape[2] >= 4:
+                # texel lane 3 carries cutout alpha (MTL map_d); rows
+                # default to 1.0 (opaque), incl. the row-0 fallback
+                data[off:off + h * w, 3] = np.asarray(
+                    im[:, :, 3], np.float32).reshape(h * w)
             meta[k] = (off, h, w)
             off += h * w
         return cls(data=data, meta=meta)
