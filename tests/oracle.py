@@ -364,8 +364,9 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                 both = sunsky_np(mdir, sun_dir)
                 in_cone = mdir @ sun_dir > SUN_ANGULAR_COS
                 p_sun_sa = 0.5 / (2 * PI * sun_extent)
-                wsun = np.where(last_spec[mi] | ~in_cone, 1.0,
-                                bpdf[mi] / (bpdf[mi] + p_sun_sa))
+                wsun = np.where(
+                    last_spec[mi] | ~in_cone | (bpdf[mi] <= 0), 1.0,
+                    bpdf[mi] / np.maximum(bpdf[mi] + p_sun_sa, 1e-12))
                 skycol = sky_only + wsun[:, None] * (both - sky_only)
             else:
                 skycol = np.where(last_spec[mi][:, None],
@@ -426,7 +427,7 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                 p_hit = (0.5 / tl) * th[isl] ** 2 \
                     / np.maximum(cosl * area_h, 1e-12)
                 bi = bpdf[hi[isl]]
-                wh = np.where(spec_mask, 1.0,
+                wh = np.where(spec_mask | (bi <= 0), 1.0,
                               bi / np.maximum(bi + p_hit, 1e-12))
                 np.add.at(color_out, hi[isl], emitted * wh[:, None])
                 dcur[isl] = 0.0
@@ -645,7 +646,11 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                                     rng.uniform(size=k))
 
         if mis:
-            bpdf[hi] = np.maximum(pdf_toward(nd), 1e-8)
+            # delta-born rays (SPEC mirror, REFR both branches) carry
+            # pdf 0 == "weight 1 on the emitter-hit side" (matches
+            # render._shade's is_delta_born encoding)
+            bp = np.maximum(pdf_toward(nd), 1e-8)
+            bpdf[hi] = np.where(iss | isr, 0.0, bp)
 
         # Russian roulette
         pmax = np.minimum(1.0, dcur.max(-1))

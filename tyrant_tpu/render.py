@@ -439,6 +439,20 @@ def _sample_envmap(scene: SceneData, d, filter_mode: str):
             + tap(x1, y0 + 1) * ax * ay)
 
 
+def _env_pdf_nearest(scene: SceneData, d):
+    """Nearest-texel solid-angle pdf of the env importance sampler
+    (env_data lane 3, scene/envlight.py) for directions ``d``.  MUST be
+    a nearest tap: the MIS balance weights only telescope to 1 when the
+    miss path evaluates exactly the pdf the alias sampler drew from."""
+    eh, ew = int(scene.env_meta[0]), int(scene.env_meta[1])
+    u = jnp.arctan2(d[:, 1], d[:, 0]) * (0.5 * INV_PI) + 0.5
+    v = jnp.arccos(jnp.clip(d[:, 2], -1.0, 1.0)) * INV_PI
+    x = jnp.minimum((u * ew).astype(jnp.int32), ew - 1)
+    y = jnp.minimum((v * eh).astype(jnp.int32), eh - 1)
+    idx = jnp.clip(1 + y * ew + x, 0, scene.env_data.shape[0] - 1)
+    return jnp.take(scene.env_data, idx, axis=0)[:, 3]
+
+
 # --------------------------------------------------------------------------
 # shade — kernel.cu:347-627
 # --------------------------------------------------------------------------
@@ -657,7 +671,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         area_hit = jnp.where(is_sphere, sph_area, rough_tri)
         p_hit_sa = (p_strat_light / total_l) * (t_safe * t_safe) \
             / jnp.maximum(cos_l_hit * area_hit, 1e-12)
-        w_hit = jnp.where(last_spec_in, 1.0,
+        w_hit = jnp.where(last_spec_in | (pdf_in <= 0.0), 1.0,
                           pdf_in / jnp.maximum(pdf_in + p_hit_sa, 1e-12))
         color = jnp.where(is_light[:, None],
                           direct * emission * w_hit[:, None], 0.0)
@@ -693,14 +707,50 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # --- shared NEE samples ---
     sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
+    # env-NEE (beyond-reference, scene/envlight.py): with MIS on, the
+    # sun-strategy slot becomes environment-light NEE — one alias-row
+    # gather per ray turns two uniforms into a texel whose radiance and
+    # solid-angle pdf ride the same row; two more uniforms jitter the
+    # direction inside the texel (the pdf is texel-constant, so the
+    # nearest-texel pdf the miss path uses for the reverse MIS weight
+    # matches exactly).  Without MIS the env stays BSDF-sampled only
+    # (NEE-only env would double-count against the unweighted miss path).
+    env_nee = mis and scene.has_envmap
     if scene.has_envmap:
-        # STATIC skip: no analytic sun under an envmap.  Omitting the
-        # cone sample / sun radiance (instead of masking them at runtime)
-        # removes their per-step cost entirely; the sun-strategy colour
-        # terms below multiply by these zeros and constant-fold away.
-        # (The seed chain shifts relative to atmosphere scenes — envmap
-        # scenes carry no golden-compat constraint.)
-        sun_sample = jnp.broadcast_to(sun_dir, (n, 3))
+        if env_nee:
+            eh_e, ew_e = int(scene.env_meta[0]), int(scene.env_meta[1])
+            n_tx = eh_e * ew_e
+            if use_sobol:
+                eu1, eu2 = sob2(11)
+                ej1, ej2 = sob2(12)
+            else:
+                es = rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                                   0xE571)
+                es, eu1 = rng.random_float(es)
+                es, eu2 = rng.random_float(es)
+                es, ej1 = rng.random_float(es)
+                _, ej2 = rng.random_float(es)
+            ei = jnp.minimum((eu1 * n_tx).astype(jnp.int32), n_tx - 1)
+            erow = scene.env_alias[ei]
+            ekeep = eu2 < erow[:, 0]
+            ek = jnp.where(ekeep, ei, erow[:, 1].astype(jnp.int32))
+            e_rgb = jnp.where(ekeep[:, None], erow[:, 2:5], erow[:, 6:9])
+            e_pdf = jnp.where(ekeep, erow[:, 5], erow[:, 9])
+            er = (ek // ew_e).astype(jnp.float32)
+            ec = (ek % ew_e).astype(jnp.float32)
+            eth = (er + ej1) * (PI / eh_e)
+            eph = ((ec + ej2) / ew_e - 0.5) * (2.0 * PI)
+            sin_th = jnp.sin(eth)
+            sun_sample = jnp.stack([sin_th * jnp.cos(eph),
+                                    sin_th * jnp.sin(eph),
+                                    jnp.cos(eth)], axis=-1)
+            # the "sun radiance" slot carries L/pdf; the strategy colour
+            # factors below drop the sun's 1e-5 magic scale in env mode
+            sun_radiance_env = e_rgb / jnp.maximum(e_pdf, 1e-12)[:, None]
+        else:
+            # STATIC skip: no analytic sun under an envmap (the sun
+            # colour terms constant-fold away against the zero radiance)
+            sun_sample = jnp.broadcast_to(sun_dir, (n, 3))
     elif use_sobol:
         c_u, c_v = sob2(2)
         sun_sample = cone_sample_from_uniforms(
@@ -734,7 +784,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # next-event-sample: the whole NEE budget goes to the area lights
     # (probability 1 -> weight 1) and env light arrives via BSDF rays.
     inv_p_sun, inv_p_light = 2.0, 2.0
-    if scene.has_envmap:
+    if scene.has_envmap and not env_nee:
         choose_sun = jnp.zeros_like(choose_sun)
         inv_p_light = 1.0
 
@@ -824,10 +874,17 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     sun_radiance = (jnp.zeros((n, 3), jnp.float32) if scene.has_envmap
                     else skymod.sun(sun_sample, sun_dir, sky_params))
+    if env_nee:
+        sun_radiance = sun_radiance_env
+    # sun-strategy colour scales: the reference bakes the cone solid
+    # angle and brightness into 1e-5 (kernel.cu:416); the env sampler is
+    # already radiance-over-pdf, so env mode uses the true BRDF factors
+    c_diff = INV_PI if env_nee else 1e-5
+    c_spec = 1.0 if env_nee else 1e-5
 
     # DIFF NEE weights (kernel.cu:410-447)
     diff_sun_color = inv_p_sun * direct * sun_radiance \
-        * (sun_cos * 1e-5)[:, None]
+        * (sun_cos * c_diff)[:, None]
     diff_sun_ok = choose_sun & (sun_cos > 0)
     light_e2 = light_e if light_e.ndim == 2 else light_e[None]
     diff_light_color = light_e2 * (inv_p_light * n_lights) * direct \
@@ -840,7 +897,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     phong_cos_sun = dot(sun_sample, w_refl)
     phong_sun_color = inv_p_sun * direct * ((pe + 2.0) * 0.5 * INV_PI) \
         * sun_radiance * (sun_cos * jnp.power(jnp.maximum(phong_cos_sun, 0.0), pe)
-                          * 1e-5)[:, None]
+                          * c_spec)[:, None]
     phong_sun_ok = choose_sun & (sun_cos > 0) & (phong_cos_sun > eps)
     phong_cos_l = dot(ldir, w_refl)
     phong_light_color = light_e2 * (inv_p_light * n_lights) * direct \
@@ -865,7 +922,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         view = -d
         f_ggx_sun = _ggx_eval(normal, view, sun_sample, ggx_alpha, obj_color)
         ggx_sun_color = inv_p_sun * direct * sun_radiance * f_ggx_sun \
-            * (sun_cos * 1e-5)[:, None]
+            * (sun_cos * c_spec)[:, None]
         ggx_sun_ok = choose_sun & (sun_cos > 0)
         f_ggx_l = _ggx_eval(normal, view, ldir, ggx_alpha, obj_color)
         ggx_light_color = light_e2 * (inv_p_light * n_lights) * direct \
@@ -885,7 +942,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # the fog analogue is phase * pi * 1e-5 — fog brightness stays
         # consistent with how surfaces respond to the same sun.
         fog_sun_color = inv_p_sun * direct * sun_radiance \
-            * (hg_phase(dot(d, sun_sample), cfg.fog_g) * PI * 1e-5)[:, None]
+            * (hg_phase(dot(d, sun_sample), cfg.fog_g)
+               * (1.0 if env_nee else PI * 1e-5))[:, None]
         fog_light_color = light_e2 * (inv_p_light * n_lights) * direct \
             * (solid_angle * hg_phase(dot(d, ldir), cfg.fog_g))[:, None]
         fog_light_ok = ~choose_sun & (cos_light > 0) & has_light
@@ -922,8 +980,12 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # by p_strategy / (p_strategy + p_bsdf(direction)); the emitter-hit
         # side above applies the complementary weight, so the pair sums
         # to 1 per (vertex, emitter) and the combination stays unbiased.
-        p_sun_sa = (0.0 if scene.has_envmap
-                    else (1.0 / inv_p_sun) / (2.0 * PI * sun_extent))
+        if env_nee:
+            p_sun_sa = e_pdf * (1.0 / inv_p_sun)
+        elif scene.has_envmap:
+            p_sun_sa = 0.0
+        else:
+            p_sun_sa = (1.0 / inv_p_sun) / (2.0 * PI * sun_extent)
         w_nee_sun = p_sun_sa / jnp.maximum(
             p_sun_sa + _bsdf_pdf_toward(sun_sample), 1e-12)
         p_l_sa = (1.0 / inv_p_light) / n_lights * ldist2 \
@@ -1054,9 +1116,16 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         new_last_spec = jnp.where(is_pass, last_spec_in, new_last_spec)
     if mis:
         # pdf of the direction we just sampled, carried into the next
-        # vertex for the emitter-hit side of the balance heuristic (delta
-        # BSDFs ride new_last_spec instead; the floor only guards /0)
-        next_bsdf_pdf = jnp.maximum(_bsdf_pdf_toward(new_dir), 1e-8)
+        # vertex for the emitter-hit side of the balance heuristic.
+        # Delta-born rays (mirror reflect AND both refraction branches —
+        # the reference marks only the reflect side lastSpecular,
+        # kernel.cu:500) carry pdf 0, which every weight treats as
+        # "delta: weight 1" — a transmitted-glass path that hits an
+        # emitter or the env would otherwise be near-zeroed.
+        is_delta_born = new_last_spec | (is_refr & ~refr_reflects)
+        next_bsdf_pdf = jnp.where(
+            is_delta_born, 0.0,
+            jnp.maximum(_bsdf_pdf_toward(new_dir), 1e-8))
         if scene.has_alpha_tex:
             # pass-throughs keep the pdf of the sample that created them
             next_bsdf_pdf = jnp.where(is_pass, pdf_in, next_bsdf_pdf)
@@ -1084,10 +1153,18 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     # --- miss: sky radiance (kernel.cu:613-617) ---
     if scene.has_envmap:
         # environment map replaces the analytic atmosphere on the miss
-        # path (beyond-reference; 1 or 4 flat-row taps per ray).  The env
-        # light is BSDF-sampled only (NEE targets the area lights), so no
-        # MIS weight applies on this path.
+        # path (beyond-reference; 1 or 4 flat-row taps per ray).  With
+        # env-NEE active, BSDF-sampled env hits get the reverse balance
+        # weight (nearest-texel pdf, matching the alias sampler exactly);
+        # delta-born rays (pdf 0) and specular history keep weight 1.
         miss_col = _sample_envmap(scene, d, cfg.texture_filter)
+        if env_nee:
+            pdf_env_dir = _env_pdf_nearest(scene, d)
+            w_env = jnp.where(
+                last_spec_in | (pdf_in <= 0.0), 1.0,
+                pdf_in / jnp.maximum(
+                    pdf_in + pdf_env_dir * (1.0 / inv_p_sun), 1e-12))
+            miss_col = miss_col * w_env[:, None]
     else:
         sky_v, sunsky_v = skymod.sky_and_sunsky(d, sun_dir, sky_params)
         if mis:
@@ -1096,7 +1173,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             # weight; the sky dome outside the cone is BSDF-only (w = 1).
             in_cone = dot(d, sun_dir) > sky_params.sun_angular_diameter_cos
             w_sun = jnp.where(
-                last_spec_in | ~in_cone, 1.0,
+                last_spec_in | ~in_cone | (pdf_in <= 0.0), 1.0,
                 pdf_in / jnp.maximum(pdf_in + p_sun_sa, 1e-12))
             miss_col = sky_v + w_sun[:, None] * (sunsky_v - sky_v)
         else:

@@ -160,6 +160,11 @@ class SceneData:
     # rays (unbiased); NEE keeps targeting the analytic lights.
     env_data: jnp.ndarray = None
     env_meta: tuple = ()
+    # Env importance sampling (beyond-reference; scene/envlight.py): Vose
+    # alias rows [H*W, 12] for one-gather NEE draws; env_data lane 3
+    # carries the matching nearest-texel solid-angle pdf.  [1,12] dummy
+    # without an envmap.  Consumed only when cfg.mis == "on".
+    env_alias: jnp.ndarray = None
     # Emissive-triangle lights (beyond-reference: the reference's only NEE
     # target is a sphere, kernel.cu:421/561): per-light rows
     # [K_pad, 13] = v0.xyz, e1.xyz, e2.xyz, emission.rgb, area.  Dummy
@@ -186,7 +191,8 @@ class SceneData:
                  self.sphere_color, self.sphere_emission, self.sphere_refl,
                  self.light_index, self.tri_refl, self.tri_color,
                  self.tri_shade, self.sphere_table, self.tri_attr,
-                 self.tex_data, self.env_data, self.tri_lights),
+                 self.tex_data, self.env_data, self.tri_lights,
+                 self.env_alias),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
@@ -201,7 +207,8 @@ class SceneData:
                    has_albedo_tex=aux[7], has_normal_maps=aux[8],
                    has_rough_maps=aux[9], has_alpha_tex=aux[10],
                    tri_attr=leaves[11], tex_data=leaves[12],
-                   env_data=leaves[13], tri_lights=leaves[14])
+                   env_data=leaves[13], tri_lights=leaves[14],
+                   env_alias=leaves[15])
 
 
 @dataclasses.dataclass
@@ -540,14 +547,22 @@ class Scene:
             n_tri_lights = 0
 
         if self.envmap is not None:
+            from .envlight import env_tables
             em = np.asarray(self.envmap, np.float32)
             eh, ew = em.shape[0], em.shape[1]
             env_rows = np.ones((eh * ew + 1, 4), np.float32)
             env_rows[1:, :3] = em[:, :, :3].reshape(eh * ew, 3)
+            # importance-sampling tables (envlight.py): lane 3 = the
+            # nearest-texel solid-angle pdf; alias rows for NEE draws
+            pdf_sa, alias_rows = env_tables(em)
+            env_rows[0, 3] = 0.0
+            env_rows[1:, 3] = pdf_sa
             env_data = jnp.asarray(env_rows)
+            env_alias = jnp.asarray(alias_rows)
             env_meta = (float(eh), float(ew))
         else:
             env_data = jnp.ones((1, 4), jnp.float32)
+            env_alias = jnp.zeros((1, 12), jnp.float32)
             env_meta = ()
 
         s = self.spheres
@@ -587,6 +602,7 @@ class Scene:
             has_rough_maps=has_rmap,
             has_alpha_tex=has_alpha,
             env_data=env_data,
+            env_alias=env_alias,
             env_meta=env_meta,
             tri_lights=tri_lights,
             n_tri_lights=n_tri_lights,
