@@ -69,3 +69,45 @@ def test_cli_bvh_debug(tmp_path):
               "32", "--rays", "1024", "--builder", "numpy",
               "--camera", "0", "-6", "2", "0", "-0.2", "--out", str(out)])
     _png_ok(out)
+
+
+def test_cli_checkpoint_resume_exact(tmp_path):
+    """render 3 + resume 3 == straight 6, bit-for-bit (the checkpoint
+    claim: rays/RNG/accumulation restore exactly)."""
+    import numpy as np
+    from tyrant_tpu.checkpoint import load_state
+    ck = str(tmp_path / "st.npz")
+    common = ["render", "--width", "32", "--height", "24", "--rays", "1024",
+              "--camera", "0", "-170", "40", "0", "-0.10"]
+    cli.main(common + ["--steps", "3", "--checkpoint", ck,
+                       "--out", str(tmp_path / "a.png")])
+    st3, meta = load_state(ck)
+    assert meta["steps"] == 3 and meta["pose"][2] == 40.0
+    # resume WITHOUT --camera: the saved pose is adopted
+    cli.main(["render", "--width", "32", "--height", "24", "--rays", "1024",
+              "--steps", "6", "--checkpoint", ck,
+              "--out", str(tmp_path / "b.png")])
+    st6, meta6 = load_state(ck)
+    assert meta6["steps"] == 6
+    ck2 = str(tmp_path / "st2.npz")
+    cli.main(common + ["--steps", "6", "--checkpoint", ck2,
+                       "--out", str(tmp_path / "c.png")])
+    st6b, _ = load_state(ck2)
+    assert np.array_equal(np.asarray(st6.accum), np.asarray(st6b.accum))
+    assert int(st6.frame) == int(st6b.frame)
+
+
+def test_cli_checkpoint_mismatch_fails(tmp_path):
+    ck = str(tmp_path / "st.npz")
+    cli.main(["render", "--width", "32", "--height", "24", "--rays", "1024",
+              "--steps", "2", "--checkpoint", ck,
+              "--out", str(tmp_path / "a.png")])
+    with pytest.raises(SystemExit, match="same --width"):
+        cli.main(["render", "--width", "64", "--height", "24", "--rays",
+                  "1024", "--steps", "2", "--checkpoint", ck,
+                  "--out", str(tmp_path / "b.png")])
+    with pytest.raises(SystemExit, match="different --camera"):
+        cli.main(["render", "--width", "32", "--height", "24", "--rays",
+                  "1024", "--steps", "2", "--checkpoint", ck,
+                  "--camera", "5", "5", "5", "0", "0",
+                  "--out", str(tmp_path / "c.png")])

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -149,16 +150,64 @@ def cmd_render(args):
 
     cfg, scene, cam = _build(args)
     r = Renderer(scene, cfg, sun_position=tuple(args.sun))
-    t0 = time.time()
+
+    # checkpoint/resume (long renders; SURVEY.md §5 — the reference loses
+    # its accumulation on exit).  Resume is EXACT: the carried rays, RNG
+    # counters and accumulation come back bit-for-bit.
+    ck = getattr(args, "checkpoint", None)
     done = 0
+    if ck and os.path.exists(ck):
+        from .checkpoint import load_state
+        st, meta = load_state(ck)
+        if int(st.accum.shape[0]) != cfg.num_pixels \
+                or int(st.origin.shape[0]) != cfg.num_rays:
+            raise SystemExit(
+                f"checkpoint {ck!r} was written at "
+                f"{meta.get('width')}x{meta.get('height')} / "
+                f"{meta.get('rays')} rays; pass the same --width/--height/"
+                f"--rays to resume")
+        if meta.get("pose") is not None:
+            if args.camera is None:
+                # adopt the checkpointed camera
+                cam.position = np.asarray(meta["pose"][:3], np.float32)
+                cam.horizontal_angle, cam.vertical_angle = meta["pose"][3:5]
+            elif [round(float(v), 5) for v in meta["pose"]] != \
+                    [round(float(v), 5) for v in
+                     (*cam.position, cam.horizontal_angle,
+                      cam.vertical_angle)]:
+                raise SystemExit(
+                    f"checkpoint {ck!r} holds pose {meta['pose']}; "
+                    "resuming with a different --camera would mix "
+                    "accumulations (omit --camera to adopt the saved pose)")
+        r.state = st
+        done = int(meta.get("steps", 0))
+        print(f"resumed {ck} at step {done}", file=sys.stderr)
+
+    def save_ck():
+        from .checkpoint import save_state
+        save_state(ck, r.state, metadata=dict(
+            steps=done, width=cfg.width, height=cfg.height,
+            rays=cfg.num_rays, sun=list(args.sun),
+            pose=[float(v) for v in (*cam.position, cam.horizontal_angle,
+                                     cam.vertical_angle)]))
+        print(f"  checkpoint -> {ck} (step {done})", file=sys.stderr)
+
+    every = getattr(args, "checkpoint_every", 0)
+    t0 = time.time()
     while done < args.steps:
         chunk = min(args.steps - done, 25)
+        if ck and every > 0:
+            chunk = min(chunk, every - done % every or every)
         r.step(cam, chunk)
         done += chunk
         float(jnp.sum(r.state.accum[:, 3]))  # hard sync (see bench harness)
         el = time.time() - t0
         print(f"  step {done}/{args.steps}  {el:.1f}s "
               f"({done * cfg.num_rays / el / 1e6:.1f} Mseg/s)", file=sys.stderr)
+        if ck and every > 0 and done % every == 0 and done < args.steps:
+            save_ck()
+    if ck:
+        save_ck()
     img = np.asarray(to_uint8(r.image()))
     _write_png(args.out, img)
     print(f"wrote {args.out}", file=sys.stderr)
@@ -234,6 +283,12 @@ def main(argv=None):
     p.add_argument("--out", default="out.png")
     p.add_argument("--hdr", default=None, metavar="OUT.pfm",
                    help="also write the linear radiance as PFM (HDR)")
+    p.add_argument("--checkpoint", default=None, metavar="STATE.npz",
+                   help="save the render state here (and resume from it "
+                        "if it exists — exact: rays/RNG/accumulation come "
+                        "back bit-for-bit)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also checkpoint every N steps (0 = only at end)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="3-pose benchmark (PERFORMANCE_TEST)")
