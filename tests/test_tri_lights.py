@@ -166,3 +166,27 @@ def test_sphere_only_scenes_unchanged():
     sd = Scene.load(None).to_device()
     assert sd.n_tri_lights == 0
     assert sd.tri_lights.shape == (1, 13)
+
+
+def test_obj_ke_emissive_material(tmp_path):
+    """MTL Ke makes the material's triangles LIGHT emitters: NEE targets
+    + direct-hit emission, straight from the OBJ file."""
+    import numpy as np
+    from tyrant_tpu.scene.scene import Scene
+    (tmp_path / "m.mtl").write_text(
+        "newmtl lamp\nKd 1 1 1\nKe 4 3 2\n"
+        "newmtl wall\nKd 0.8 0.8 0.8\nKe 0 0 0\n")
+    (tmp_path / "q.obj").write_text(
+        "mtllib m.mtl\n"
+        "v -5 0 30\nv 5 0 30\nv 0 5 30\n"
+        "v -50 -50 0\nv 50 -50 0\nv 0 50 0\n"
+        "usemtl lamp\nf 1 2 3\nusemtl wall\nf 4 5 6\n")
+    scene = Scene.load(str(tmp_path / "q.obj"), builder="numpy")
+    assert scene.tri_refl is not None
+    assert (scene.tri_refl == 4).sum() == 1  # LIGHT
+    np.testing.assert_allclose(scene.tri_color[scene.tri_refl == 4][0],
+                               [4, 3, 2])
+    sd = scene.to_device()
+    assert sd.n_tri_lights == 1
+    lrow = np.asarray(sd.tri_lights)[0]
+    np.testing.assert_allclose(lrow[9:12], [4, 3, 2], rtol=1e-6)

@@ -39,11 +39,13 @@ class ObjMesh:
 # scene.scene.GGX, duplicated to avoid a circular import (scene.py imports
 # this module inside Scene.load)
 _GGX = 5
+_LIGHT = 4
 
 
 def _parse_mtl(path: str):
     """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm,
-    normal-map path|None, roughness-map path|None, alpha-map path|None]}.
+    normal-map path|None, roughness-map path|None, alpha-map path|None,
+    Ke rgb|None]}.
 
     ``Pr`` (roughness) and ``Pm`` (metallic) are the common PBR extension
     keys; a metallic material (Pm > 0.5) shades as the GGX rough conductor
@@ -60,7 +62,7 @@ def _parse_mtl(path: str):
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
                 mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None, None,
-                             None]
+                             None, None]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
@@ -78,6 +80,10 @@ def _parse_mtl(path: str):
                 mats[cur][5] = os.path.join(base, parts[-1])
             elif parts[0] == "map_d" and cur and len(parts) > 1:
                 mats[cur][6] = os.path.join(base, parts[-1])
+            elif parts[0] == "Ke" and cur and len(parts) >= 4:
+                ke = (float(parts[1]), float(parts[2]), float(parts[3]))
+                if max(ke) > 0.0:
+                    mats[cur][7] = ke
     return mats
 
 
@@ -181,7 +187,8 @@ def load_obj_scene(path: str) -> ObjMesh:
         tri_ntex = np.full(f_count, -1, np.int32)
         tri_rtex = np.full(f_count, -1, np.int32)
         any_metal = any(rec[3] > 0.5 for rec in mats.values())
-        if any_metal:
+        any_emissive = any(rec[7] is not None for rec in mats.values())
+        if any_metal or any_emissive:
             tri_refl = np.zeros(f_count, np.int32)
             tri_rough = np.full(f_count, 0.3, np.float32)
         tex_paths: dict = {}
@@ -232,7 +239,13 @@ def load_obj_scene(path: str) -> ObjMesh:
             if rec is None:
                 continue
             tri_color[i] = rec[0]
-            if any_metal and rec[3] > 0.5:
+            if rec[7] is not None:
+                # MTL Ke: emissive material -> LIGHT triangle; its
+                # "colour" IS the radiant exitance (scene.py tri-lights:
+                # NEE target + direct-hit emission, both read tri_color)
+                tri_refl[i] = _LIGHT
+                tri_color[i] = rec[7]
+            elif any_metal and rec[3] > 0.5:
                 tri_refl[i] = _GGX
                 tri_rough[i] = rec[2] if rec[2] is not None else 0.3
             if rec[6] and os.path.exists(rec[6]):
