@@ -72,6 +72,16 @@ def _add_common(p):
     p.add_argument("--fog-z", type=float, nargs=2, default=(-1e8, 1e8),
                    metavar=("ZMIN", "ZMAX"),
                    help="fog slab height bounds (world z-up)")
+    p.add_argument("--projection", default="perspective",
+                   choices=["perspective", "fisheye", "equirect", "ortho"],
+                   help="camera projection: reference perspective, "
+                        "equidistant fisheye, 360 lat-long panorama, or "
+                        "orthographic")
+    p.add_argument("--fisheye-fov", type=float, default=180.0,
+                   help="fisheye field of view across the image circle "
+                        "(degrees)")
+    p.add_argument("--ortho-height", type=float, default=10.0,
+                   help="orthographic frame height (world units)")
     p.add_argument("--texture-filter", default="bilinear",
                    choices=["bilinear", "nearest"],
                    help="albedo texture filtering (textured OBJ scenes)")
@@ -102,6 +112,10 @@ def _build(args):
                        else "off",
                        mis="on" if getattr(args, "mis", False) else "off",
                        sampler=getattr(args, "sampler", "xorshift"),
+                       projection=getattr(args, "projection", "perspective"),
+                       fisheye_fov_degrees=getattr(args, "fisheye_fov",
+                                                   180.0),
+                       ortho_height=getattr(args, "ortho_height", 10.0),
                        fog="on" if getattr(args, "fog", False) else "off",
                        fog_sigma_s=getattr(args, "fog_scatter", 0.02),
                        fog_sigma_a=getattr(args, "fog_absorb", 0.0),

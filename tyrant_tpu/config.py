@@ -182,6 +182,17 @@ class RenderConfig:
     # HG anisotropy.  Static gate: "off" compiles the identical program.
     fog: str = "off"
     fog_sigma_s: float = 0.02
+    # Camera projection (beyond-reference; the reference is perspective-only,
+    # kernel.cu:271-293): "perspective" (default, exact reference basis),
+    # "fisheye" (equidistant fisheye, image circle inscribed in the image
+    # height, ``fisheye_fov_degrees`` across the circle), "equirect"
+    # (360x180 latitude-longitude panorama centred on the view direction),
+    # "ortho" (parallel projection, ``ortho_height`` world units tall).
+    # Depth of field composes with every mode: the focal point sits
+    # focal_distance along each ray, lens offsets span the camera plane.
+    projection: str = "perspective"
+    fisheye_fov_degrees: float = 180.0
+    ortho_height: float = 10.0
     fog_sigma_a: float = 0.0
     fog_g: float = 0.0
     fog_z_min: float = -1e8
@@ -204,6 +215,8 @@ class RenderConfig:
                 ("adaptive_sampling", ("on", "off")),
                 ("mis", ("on", "off")),
                 ("sampler", ("xorshift", "sobol")),
+                ("projection", ("perspective", "fisheye", "equirect",
+                                "ortho")),
                 ("fog", ("on", "off"))):
             v = getattr(self, field)
             if v not in allowed:
@@ -220,6 +233,10 @@ class RenderConfig:
             raise ValueError("fog_g must be in [-0.999, 0.999]")
         if self.fog_z_min >= self.fog_z_max:
             raise ValueError("fog_z_min must be < fog_z_max")
+        if not 0.0 < self.fisheye_fov_degrees <= 360.0:
+            raise ValueError("fisheye_fov_degrees must be in (0, 360]")
+        if self.ortho_height <= 0.0:
+            raise ValueError("ortho_height must be > 0")
         if self.adaptive_interval < 1:
             raise ValueError("adaptive_interval must be >= 1")
         if self.adaptive_gamma < 0.0:

@@ -209,6 +209,61 @@ def reset_accumulation(state: RenderState) -> RenderState:
 # raygen — kernel.cu:247-297
 # --------------------------------------------------------------------------
 
+def _primary_dirs(cfg: RenderConfig, camera: CameraParams, ni, nj):
+    """Image-plane coords -> primary directions for ``cfg.projection``.
+
+    ``ni`` in [-0.5, 0.5) runs left->right, ``nj`` bottom->top (the
+    reference's normalized coords, kernel.cu:271-274).  Returns
+    ``(dir [n,3], origin_offset [n,3] | None, live [n] bool | None)``:
+    ``origin_offset`` shifts the ray start off the pinhole (orthographic),
+    ``live`` marks rays inside the image footprint (fisheye circle —
+    outside rays render black, the conventional fisheye frame).
+
+    "perspective" reproduces the reference basis exactly (kernel.cu:
+    699-700 scale is baked into camera.right/up); the other modes are
+    beyond-reference production projections and use the unit basis.
+    """
+    if cfg.projection == "perspective":
+        d = normalize(camera.direction[None]
+                      + ni[:, None] * camera.right[None]
+                      + nj[:, None] * camera.up[None])
+        return d, None, None
+    # camera.right/up carry the perspective 1.5*aspect scale — reduce to
+    # the orthonormal frame (fwd, ru, uu)
+    ru = normalize(camera.right[None])[0]
+    uu = normalize(camera.up[None])[0]
+    fwd = camera.direction
+    aspect = cfg.width / cfg.height
+    if cfg.projection == "fisheye":
+        # equidistant fisheye: angle from the view axis is linear in the
+        # image-circle radius; the circle is inscribed in the image height
+        u = 2.0 * ni * aspect
+        v = 2.0 * nj
+        r = jnp.sqrt(u * u + v * v)
+        half_fov = 0.5 * cfg.fisheye_fov_degrees * (PI / 180.0)
+        theta = r * half_fov
+        phi = jnp.arctan2(v, jnp.where(r > 0.0, u, 1.0))
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        d = (ct[:, None] * fwd[None]
+             + (st * jnp.cos(phi))[:, None] * ru[None]
+             + (st * jnp.sin(phi))[:, None] * uu[None])
+        return normalize(d), None, r <= 1.0
+    if cfg.projection == "equirect":
+        # 360x180 lat-long panorama centred on the view direction
+        lon = (2.0 * PI) * ni
+        lat = PI * nj
+        cl = jnp.cos(lat)
+        d = ((cl * jnp.cos(lon))[:, None] * fwd[None]
+             + (cl * jnp.sin(lon))[:, None] * ru[None]
+             + jnp.sin(lat)[:, None] * uu[None])
+        return normalize(d), None, None
+    # "ortho": parallel rays along the view axis from a shifted origin
+    off = ((ni * (cfg.ortho_height * aspect))[:, None] * ru[None]
+           + (nj * cfg.ortho_height)[:, None] * uu[None])
+    d = jnp.broadcast_to(fwd[None], off.shape)
+    return d, off, None
+
+
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
             local_height: int, row_offset, perm=None, sample_base=None):
     n = cfg.num_rays
@@ -273,12 +328,12 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     ni = px / w - 0.5
     nj = (h_global - py) / h_global - 0.5
 
-    dir_fp = normalize(camera.direction[None]
-                       + ni[:, None] * camera.right[None]
-                       + nj[:, None] * camera.up[None])
+    dir_fp, o_off, live = _primary_dirs(cfg, camera, ni, nj)
+    base = camera.position[None] if o_off is None \
+        else camera.position[None] + o_off
     # DoF (kernel.cu:283-293), incl. the x3 slider scale (kernel.cu:286)
-    conv = camera.position[None] + (camera.focal_distance
-                                    * cfg.focal_distance_scale) * dir_fp
+    conv = base + (camera.focal_distance
+                   * cfg.focal_distance_scale) * dir_fp
     if cfg.sampler == "sobol":
         from .ops import sobol
         l0, l1 = sobol.sample_2d(
@@ -288,12 +343,18 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
         seed, l1 = rng.random_float(seed)
     p_lens = camera.lens_radius * concentric_sample_disk(
         jnp.stack([l0, l1], axis=-1))
-    origin = camera.position[None] \
+    origin = base \
         + p_lens[:, 0:1] * camera.right[None] \
         + p_lens[:, 1:2] * camera.up[None]
     direction = normalize(conv - origin)
+    direct0 = jnp.ones((n, 3), jnp.float32)
+    if live is not None:
+        # outside-the-image-circle fisheye rays render black: zero
+        # throughput, but they still terminate normally so the per-pixel
+        # path count (accum alpha) stays exact
+        direct0 = direct0 * live[:, None].astype(jnp.float32)
     out = dict(origin=origin, direction=direction,
-               direct=jnp.ones((n, 3), jnp.float32),
+               direct=direct0,
                pending=jnp.zeros((n, 3), jnp.float32),
                pixel=pixel.astype(jnp.int32),
                bounces=jnp.zeros((n,), jnp.int32),
@@ -1249,10 +1310,9 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
     y = (pix // w).astype(jnp.float32)
     ni = (x + 0.5) / w - 0.5
     nj = (h - (y + 0.5)) / h - 0.5
-    d = normalize(camera.direction[None]
-                  + ni[:, None] * camera.right[None]
-                  + nj[:, None] * camera.up[None])
-    o = jnp.broadcast_to(camera.position[None], (p, 3))
+    d, o_off, _live = _primary_dirs(cfg, camera, ni, nj)
+    o = jnp.broadcast_to(camera.position[None], (p, 3)) if o_off is None \
+        else camera.position[None] + o_off
 
     t, ident, is_tri, _tn = _intersect_scene(o, d, scene,
                                              packet_tables=packet_tables)

@@ -66,6 +66,9 @@ _RENDER_KEYS = {
     "denoise": ("denoise", "onoff"),
     "adaptive": ("adaptive_sampling", "onoff"),
     "texture_filter": ("texture_filter", str),
+    "projection": ("projection", str),
+    "fisheye_fov": ("fisheye_fov_degrees", float),
+    "ortho_height": ("ortho_height", float),
 }
 
 
