@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -82,6 +83,10 @@ def _add_common(p):
                         "(degrees)")
     p.add_argument("--ortho-height", type=float, default=10.0,
                    help="orthographic frame height (world units)")
+    p.add_argument("--shutter", type=float, default=0.0,
+                   help="motion-blur shutter fraction of the inter-frame "
+                        "camera motion (0 = off, 1 = full-frame blur; "
+                        "pairs with 'anim')")
     p.add_argument("--texture-filter", default="bilinear",
                    choices=["bilinear", "nearest"],
                    help="albedo texture filtering (textured OBJ scenes)")
@@ -116,6 +121,7 @@ def _build(args):
                        fisheye_fov_degrees=getattr(args, "fisheye_fov",
                                                    180.0),
                        ortho_height=getattr(args, "ortho_height", 10.0),
+                       motion_blur=getattr(args, "shutter", 0.0),
                        fog="on" if getattr(args, "fog", False) else "off",
                        fog_sigma_s=getattr(args, "fog_scatter", 0.02),
                        fog_sigma_a=getattr(args, "fog_absorb", 0.0),
@@ -231,6 +237,51 @@ def cmd_render(args):
         print(f"wrote {args.hdr} (linear radiance)", file=sys.stderr)
 
 
+def cmd_anim(args):
+    """Render a camera-path animation to a PNG frame sequence
+    (beyond-reference; pairs with --shutter for motion blur — each
+    frame's blur sweeps the pose segment it just traversed)."""
+    from .ops.tonemap import to_uint8
+    from .render import Renderer
+
+    import jax.numpy as jnp
+
+    cfg, scene, cam = _build(args)
+    r = Renderer(scene, cfg, sun_position=tuple(args.sun))
+    os.makedirs(args.out, exist_ok=True)
+    n = max(args.frames, 1)
+    base_pos = cam.position.copy()
+    base_h = cam.horizontal_angle
+    center = np.asarray(args.orbit_center, np.float32)
+    move = np.asarray(args.move, np.float32)
+    t0 = time.time()
+    for f in range(n):
+        u = f / max(n - 1, 1)
+        if args.orbit != 0.0:
+            # orbit about the world z axis through --orbit-center; the
+            # camera keeps its bearing relative to the center (position
+            # rotated CCW by a <=> horizontal_angle -= a, camera.py
+            # spherical convention d=(cv*sh, cv*ch, sv))
+            a = math.radians(args.orbit) * u
+            c, s = math.cos(a), math.sin(a)
+            rel = base_pos - center
+            cam.position = np.array(
+                [c * rel[0] - s * rel[1] + center[0],
+                 s * rel[0] + c * rel[1] + center[1],
+                 rel[2] + center[2]], np.float32) + move * u
+            cam.horizontal_angle = base_h - a
+        else:
+            cam.position = base_pos + move * u
+        r.step(cam, args.steps)
+        float(jnp.sum(r.state.accum[:, 3]))  # sync (bench-harness pattern)
+        img = np.asarray(to_uint8(r.image()))
+        path = os.path.join(args.out, f"frame_{f:04d}.png")
+        _write_png(path, img)
+        el = time.time() - t0
+        print(f"  frame {f + 1}/{n}  {el:.1f}s", file=sys.stderr)
+    print(f"wrote {n} frames to {args.out}/", file=sys.stderr)
+
+
 def cmd_bench(args):
     from .bench import results_to_dict, run_benchmark
     from .bench.harness import write_performance_txt
@@ -304,6 +355,24 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="also checkpoint every N steps (0 = only at end)")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("anim", help="camera-path animation to PNG frames")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--steps", type=int, default=25,
+                   help="wavefront steps accumulated per frame")
+    p.add_argument("--out", default="anim",
+                   help="output directory (frame_%%04d.png)")
+    p.add_argument("--orbit", type=float, default=0.0,
+                   help="total orbit sweep in degrees about --orbit-center "
+                        "(world z axis)")
+    p.add_argument("--orbit-center", type=float, nargs=3,
+                   default=(0.0, 0.0, 0.0), metavar=("X", "Y", "Z"))
+    p.add_argument("--move", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                   metavar=("DX", "DY", "DZ"),
+                   help="total linear camera translation across the "
+                        "animation (composes with --orbit)")
+    p.set_defaults(fn=cmd_anim)
 
     p = sub.add_parser("bench", help="3-pose benchmark (PERFORMANCE_TEST)")
     _add_common(p)

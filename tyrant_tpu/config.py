@@ -193,6 +193,12 @@ class RenderConfig:
     projection: str = "perspective"
     fisheye_fov_degrees: float = 180.0
     ortho_height: float = 10.0
+    # Motion blur (beyond-reference): shutter fraction of the inter-frame
+    # camera motion each ray's shutter-time sample sweeps (0 = off — the
+    # identical program compiles; 1 = full-frame blur).  The previous
+    # distinct camera pose is the shutter-open pose (Renderer tracks it;
+    # render_step takes it as ``cam_prev``).
+    motion_blur: float = 0.0
     fog_sigma_a: float = 0.0
     fog_g: float = 0.0
     fog_z_min: float = -1e8
@@ -237,6 +243,8 @@ class RenderConfig:
             raise ValueError("fisheye_fov_degrees must be in (0, 360]")
         if self.ortho_height <= 0.0:
             raise ValueError("ortho_height must be > 0")
+        if not 0.0 <= self.motion_blur <= 1.0:
+            raise ValueError("motion_blur must be in [0, 1]")
         if self.adaptive_interval < 1:
             raise ValueError("adaptive_interval must be >= 1")
         if self.adaptive_gamma < 0.0:

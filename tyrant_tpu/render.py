@@ -23,6 +23,7 @@ Pipeline map (reference -> here):
 from __future__ import annotations
 
 import dataclasses
+import types
 from functools import partial
 
 import jax
@@ -222,17 +223,22 @@ def _primary_dirs(cfg: RenderConfig, camera: CameraParams, ni, nj):
     "perspective" reproduces the reference basis exactly (kernel.cu:
     699-700 scale is baked into camera.right/up); the other modes are
     beyond-reference production projections and use the unit basis.
+
+    Camera fields may be [3] (one pose) or [n, 3] (per-ray poses — the
+    motion-blur shutter interpolation feeds a basis per ray).
     """
+    def _b(v):  # [3] -> [1,3]; [n,3] unchanged
+        return v if v.ndim == 2 else v[None]
+
+    cdir, cright, cup = _b(camera.direction), _b(camera.right), _b(camera.up)
     if cfg.projection == "perspective":
-        d = normalize(camera.direction[None]
-                      + ni[:, None] * camera.right[None]
-                      + nj[:, None] * camera.up[None])
+        d = normalize(cdir + ni[:, None] * cright + nj[:, None] * cup)
         return d, None, None
     # camera.right/up carry the perspective 1.5*aspect scale — reduce to
     # the orthonormal frame (fwd, ru, uu)
-    ru = normalize(camera.right[None])[0]
-    uu = normalize(camera.up[None])[0]
-    fwd = camera.direction
+    ru = normalize(cright)
+    uu = normalize(cup)
+    fwd = cdir
     aspect = cfg.width / cfg.height
     if cfg.projection == "fisheye":
         # equidistant fisheye: angle from the view axis is linear in the
@@ -244,28 +250,30 @@ def _primary_dirs(cfg: RenderConfig, camera: CameraParams, ni, nj):
         theta = r * half_fov
         phi = jnp.arctan2(v, jnp.where(r > 0.0, u, 1.0))
         st, ct = jnp.sin(theta), jnp.cos(theta)
-        d = (ct[:, None] * fwd[None]
-             + (st * jnp.cos(phi))[:, None] * ru[None]
-             + (st * jnp.sin(phi))[:, None] * uu[None])
+        d = (ct[:, None] * fwd
+             + (st * jnp.cos(phi))[:, None] * ru
+             + (st * jnp.sin(phi))[:, None] * uu)
         return normalize(d), None, r <= 1.0
     if cfg.projection == "equirect":
         # 360x180 lat-long panorama centred on the view direction
         lon = (2.0 * PI) * ni
         lat = PI * nj
         cl = jnp.cos(lat)
-        d = ((cl * jnp.cos(lon))[:, None] * fwd[None]
-             + (cl * jnp.sin(lon))[:, None] * ru[None]
-             + jnp.sin(lat)[:, None] * uu[None])
+        d = ((cl * jnp.cos(lon))[:, None] * fwd
+             + (cl * jnp.sin(lon))[:, None] * ru
+             + jnp.sin(lat)[:, None] * uu)
         return normalize(d), None, None
     # "ortho": parallel rays along the view axis from a shifted origin
-    off = ((ni * (cfg.ortho_height * aspect))[:, None] * ru[None]
-           + (nj * cfg.ortho_height)[:, None] * uu[None])
-    d = jnp.broadcast_to(fwd[None], off.shape)
+    off = ((ni * (cfg.ortho_height * aspect))[:, None] * ru
+           + (nj * cfg.ortho_height)[:, None] * uu)
+    d = jnp.broadcast_to(fwd, (off.shape[0], 3)) if fwd.shape[0] == 1 \
+        else normalize(fwd)
     return d, off, None
 
 
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
-            local_height: int, row_offset, perm=None, sample_base=None):
+            local_height: int, row_offset, perm=None, sample_base=None,
+            cam_prev=None):
     n = cfg.num_rays
     w, h_global = cfg.width, cfg.height
     total_local = w * local_height
@@ -328,11 +336,38 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     ni = px / w - 0.5
     nj = (h_global - py) / h_global - 0.5
 
-    dir_fp, o_off, live = _primary_dirs(cfg, camera, ni, nj)
-    base = camera.position[None] if o_off is None \
-        else camera.position[None] + o_off
+    cam_i = camera
+    if cfg.motion_blur > 0.0 and cam_prev is not None:
+        # Motion blur (beyond-reference): each ray samples a shutter time
+        # and sees the camera pose lerped between the PREVIOUS distinct
+        # pose and the current one — s in (1-shutter, 1], so shutter=1
+        # sweeps the whole inter-frame motion and shutter->0 degenerates
+        # to the static camera.  A SIDE RNG stream keeps every other
+        # sampling stream bit-identical to the unblurred render.
+        _, ut = rng.random_float(
+            rng.seed_from(frame, gen_index, row_offset, 0x7131))
+        s = (1.0 - cfg.motion_blur * ut)[:, None]
+
+        def _lerp(cur, prev):
+            return prev[None] + s * (cur - prev)[None]
+
+        cam_i = types.SimpleNamespace(
+            position=_lerp(camera.position, cam_prev.position),
+            direction=normalize(_lerp(camera.direction,
+                                      cam_prev.direction)),
+            right=_lerp(camera.right, cam_prev.right),
+            up=_lerp(camera.up, cam_prev.up),
+            focal_distance=camera.focal_distance,
+            lens_radius=camera.lens_radius)
+
+    def _b(v):  # [3] -> [1,3]; [n,3] unchanged
+        return v if v.ndim == 2 else v[None]
+
+    dir_fp, o_off, live = _primary_dirs(cfg, cam_i, ni, nj)
+    base = _b(cam_i.position) if o_off is None \
+        else _b(cam_i.position) + o_off
     # DoF (kernel.cu:283-293), incl. the x3 slider scale (kernel.cu:286)
-    conv = base + (camera.focal_distance
+    conv = base + (cam_i.focal_distance
                    * cfg.focal_distance_scale) * dir_fp
     if cfg.sampler == "sobol":
         from .ops import sobol
@@ -341,11 +376,11 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     else:
         seed, l0 = rng.random_float(seed)
         seed, l1 = rng.random_float(seed)
-    p_lens = camera.lens_radius * concentric_sample_disk(
+    p_lens = cam_i.lens_radius * concentric_sample_disk(
         jnp.stack([l0, l1], axis=-1))
     origin = base \
-        + p_lens[:, 0:1] * camera.right[None] \
-        + p_lens[:, 1:2] * camera.up[None]
+        + p_lens[:, 0:1] * _b(cam_i.right) \
+        + p_lens[:, 1:2] * _b(cam_i.up)
     direction = normalize(conv - origin)
     direct0 = jnp.ones((n, 3), jnp.float32)
     if live is not None:
@@ -851,8 +886,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     lights = getattr(scene, "light_indices", ())
     n_tri_l = scene.n_tri_lights
-    has_light = jnp.asarray(True) if n_tri_l else scene.light_index >= 0
-    if len(lights) > 1 or n_tri_l:
+    n_delta = getattr(scene, "n_delta_lights", 0)
+    has_light = (jnp.asarray(True) if (n_tri_l or n_delta)
+                 else scene.light_index >= 0)
+    delta_pick = None
+    if len(lights) > 1 or n_tri_l or n_delta:
         # Multiple lights — emissive spheres AND emissive triangles
         # (beyond-reference; the reference's own TODO at kernel.cu:560:
         # "Hardcoded spheres[6] as only light source. Use light array."):
@@ -861,7 +899,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # untouched so single-light scenes stay bit-identical, and ONE
         # uniform pair feeds whichever shape was picked (the sphere
         # mapping matches sphere_surface_sample exactly).
-        total_lights = len(lights) + n_tri_l
+        total_lights = len(lights) + n_tri_l + n_delta
         if use_sobol:
             lu = sob1(4)
         else:
@@ -869,6 +907,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                 rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
         pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
                            total_lights - 1)
+        delta_pick = pick
         base = lights[0] if lights else 0
         light_c = jnp.broadcast_to(scene.sphere_center[base], (n, 3))
         light_r = jnp.broadcast_to(scene.sphere_radius[base], (n,))
@@ -899,7 +938,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             tn = jnp.cross(row[:, 3:6], row[:, 6:9])
             tn = tn / jnp.maximum(
                 jnp.sqrt(jnp.maximum(dot(tn, tn), 1e-30)), 1e-30)[:, None]
-            is_tl = pick >= len(lights)
+            is_tl = (pick >= len(lights)) & (pick < len(lights) + n_tri_l)
             lp = jnp.where(is_tl[:, None], lp_tri, lp)
             light_e = jnp.where(is_tl[:, None], row[:, 9:12], light_e)
             area = jnp.where(is_tl, row[:, 12], area)
@@ -932,6 +971,41 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
     cos_surf = dot(normal, ldir)
     cos_light = dot(n_l, -ldir)
     solid_angle = cos_light * area / jnp.maximum(ldist2, 1e-20)
+    if n_delta:
+        # Delta lights (beyond-reference; scene.DeltaLights): a picked
+        # point/spot/directional light replaces the area-light sample.
+        # The downstream BSDF estimators read (light_e, solid_angle) as
+        # "radiance x subtended solid angle / pdf", so a delta light
+        # substitutes light_e = radiant intensity and solid_angle = 1/d^2
+        # (directional: irradiance and 1 — no falloff), with cos_light
+        # pinned to 1 (a measure-zero emitter has no facing test).
+        drow = jnp.take(scene.delta_lights,
+                        jnp.clip(delta_pick - (len(lights) + n_tri_l),
+                                 0, n_delta - 1), axis=0)  # [n, 12]
+        d_kind = drow[:, 0]
+        d_axis = drow[:, 4:7]  # unit, light -> scene (normalised at build)
+        is_dl = delta_pick >= len(lights) + n_tri_l
+        is_ddir = is_dl & (d_kind >= 2.0)
+        dl_vec = drow[:, 1:4] - o
+        dl_d2 = jnp.maximum(dot(dl_vec, dl_vec), 1e-12)
+        dl_dist = jnp.sqrt(dl_d2)
+        dl_ldir = jnp.where(is_ddir[:, None], -d_axis,
+                            dl_vec / dl_dist[:, None])
+        # spot cone: smooth Hermite falloff between cos_outer..cos_inner
+        # of the angle between the axis and the light->surface direction
+        cd = dot(d_axis, -dl_ldir)
+        tt = jnp.clip((cd - drow[:, 11])
+                      / jnp.maximum(drow[:, 10] - drow[:, 11], 1e-6),
+                      0.0, 1.0)
+        fall = jnp.where(d_kind == 1.0, tt * tt * (3.0 - 2.0 * tt), 1.0)
+        ldir = jnp.where(is_dl[:, None], dl_ldir, ldir)
+        ldist = jnp.where(is_dl, jnp.where(is_ddir, VERY_FAR, dl_dist),
+                          ldist)
+        cos_surf = jnp.where(is_dl, dot(normal, dl_ldir), cos_surf)
+        cos_light = jnp.where(is_dl, 1.0, cos_light)
+        solid_angle = jnp.where(
+            is_dl, jnp.where(is_ddir, fall, fall / dl_d2), solid_angle)
+        light_e = jnp.where(is_dl[:, None], drow[:, 7:10], light_e)
 
     sun_radiance = (jnp.zeros((n, 3), jnp.float32) if scene.has_envmap
                     else skymod.sun(sun_sample, sun_dir, sky_params))
@@ -1053,6 +1127,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             / jnp.maximum(cos_light * area, 1e-12)
         w_nee_light = p_l_sa / jnp.maximum(
             p_l_sa + _bsdf_pdf_toward(ldir), 1e-12)
+        if n_delta:
+            # a BSDF ray can never hit a measure-zero emitter, so NEE is
+            # the only strategy for a delta pick: balance weight 1
+            w_nee_light = jnp.where(
+                delta_pick >= len(lights) + n_tri_l, 1.0, w_nee_light)
         w_nee = jnp.where(choose_sun, w_nee_sun, w_nee_light)
         shadow_color = shadow_color * w_nee[:, None]
     # sun shadows use the ShadowQueue default max distance (variables.h:41)
@@ -1308,8 +1387,13 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
     pix = jnp.arange(p, dtype=jnp.int32)
     x = (pix % w).astype(jnp.float32)
     y = (pix // w).astype(jnp.float32)
-    ni = (x + 0.5) / w - 0.5
-    nj = (h - (y + 0.5)) / h - 0.5
+    # raygen subtracts the sub-pixel jitter from the integer coordinate
+    # (px = x - u, the reference convention, kernel.cu:268-269), so pixel
+    # (x, y)'s sample footprint is centred at (x-0.5, y-0.5) — the AOV
+    # pass must sample THAT point or every guide buffer lands one pixel
+    # diagonally off the accumulated image
+    ni = (x - 0.5) / w - 0.5
+    nj = (h - (y - 0.5)) / h - 0.5
     d, o_off, _live = _primary_dirs(cfg, camera, ni, nj)
     o = jnp.broadcast_to(camera.position[None], (p, 3)) if o_off is None \
         else camera.position[None] + o_off
@@ -1425,10 +1509,15 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
                 sun_dir, *, cfg: RenderConfig,
                 sky_params: skymod.SkyParams | None = None,
                 local_height: int | None = None,
-                row_offset=0, packet_tables=None) -> RenderState:
+                row_offset=0, packet_tables=None,
+                cam_prev: CameraParams | None = None) -> RenderState:
     """One wavefront iteration == one displayed frame of the reference
     (one bounce for every ray in flight + top-off raygen).  Pure function;
-    jit with static cfg/local_height (see :class:`Renderer`)."""
+    jit with static cfg/local_height (see :class:`Renderer`).
+
+    ``cam_prev``: previous-frame camera pose for motion blur
+    (cfg.motion_blur > 0): each fresh ray samples a shutter time and sees
+    a pose lerped between cam_prev and camera (beyond-reference)."""
     sky_params = sky_params or skymod.SkyParams(cfg.sky)
     local_height = cfg.height if local_height is None else local_height
     n = cfg.num_rays
@@ -1452,7 +1541,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     gen = _raygen(cfg, camera, state.start_position, state.frame,
                   local_height, row_offset,
                   perm=state.pixel_perm if adaptive else None,
-                  sample_base=state.sample_base)
+                  sample_base=state.sample_base, cam_prev=cam_prev)
     slot = jnp.arange(n, dtype=jnp.int32)
     keep = slot >= (n - state.n_carried)
 
@@ -1633,10 +1722,20 @@ class Renderer:
             if not packet_tables.supported:
                 packet_tables = None
         self.packet_tables = packet_tables
-        step = partial(render_step, cfg=cfg, sky_params=self.sky_params,
-                       packet_tables=packet_tables)
+        base_step = partial(render_step, cfg=cfg, sky_params=self.sky_params,
+                            packet_tables=packet_tables)
+        if cfg.motion_blur > 0.0:
+            # 5-arg convention: the previous-pose params ride along as a
+            # traced argument (shutter interpolation in _raygen)
+            def step(state, scene, cam, sun_dir, cam_prev):
+                return base_step(state, scene, cam, sun_dir,
+                                 cam_prev=cam_prev)
+        else:
+            def step(state, scene, cam, sun_dir):
+                return base_step(state, scene, cam, sun_dir)
         self._step_fn = step
         self._donate = donate
+        self._prev_cam = None
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
         self._chain_cache = {}
         self._fuse = cfg.fuse_step_chains == "on" or (
@@ -1659,16 +1758,23 @@ class Renderer:
         pose = camera.pose_key()
         if self._last_pose is not None and pose != self._last_pose:
             self.state = reset_accumulation(self.state)
+            # motion blur: the pose we just left becomes the shutter-open
+            # pose for the new frame's interpolation
+            self._prev_cam = self._last_cam
         self._last_pose = pose
         cam = camera.to_device(self.cfg)
         self._last_cam = cam  # for the denoiser's per-pose AOV pass
+        mb = self.cfg.motion_blur > 0.0
+        if mb and self._prev_cam is None:
+            self._prev_cam = cam  # first frame: no motion yet
+        extra = (self._prev_cam,) if mb else ()
         if self._fuse and n_steps > 1:
             self.state = self._chain(n_steps)(self.state, self.scene, cam,
-                                              self.sun_dir)
+                                              self.sun_dir, *extra)
         else:
             for _ in range(n_steps):
                 self.state = self._step(self.state, self.scene, cam,
-                                        self.sun_dir)
+                                        self.sun_dir, *extra)
         if self._adaptive:
             phase = self._sched.tick(n_steps)
             if phase is not None:
@@ -1691,9 +1797,9 @@ class Renderer:
         if fn is None:
             step = self._step_fn
 
-            def chain(state, scene, cam, sun_dir):
+            def chain(state, scene, cam, sun_dir, *extra):
                 def body(s, _):
-                    return step(s, scene, cam, sun_dir), None
+                    return step(s, scene, cam, sun_dir, *extra), None
                 return jax.lax.scan(body, state, None, length=k)[0]
 
             fn = jax.jit(chain, donate_argnums=(0,) if self._donate else ())

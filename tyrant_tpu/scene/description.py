@@ -49,7 +49,8 @@ import numpy as np
 
 from ..camera import Camera
 from ..config import BVHConfig
-from .scene import DIFF, GGX, LIGHT, PHONG, REFR, SPEC, Scene, Spheres
+from .scene import (DIFF, GGX, LIGHT, PHONG, REFR, SPEC, DeltaLights, Scene,
+                    Spheres)
 
 _MATERIALS = {"diffuse": DIFF, "specular": SPEC, "mirror": SPEC,
               "refractive": REFR, "glass": REFR, "phong": PHONG,
@@ -69,6 +70,7 @@ _RENDER_KEYS = {
     "projection": ("projection", str),
     "fisheye_fov": ("fisheye_fov_degrees", float),
     "ortho_height": ("ortho_height", float),
+    "shutter": ("motion_blur", float),
 }
 
 
@@ -160,7 +162,7 @@ def load_description(path: str, builder: str = "auto",
     with open(path) as f:
         desc = json.load(f)
     known = {"meshes", "instances", "spheres", "default_spheres", "envmap",
-             "camera", "sun", "fog", "render"}
+             "camera", "sun", "fog", "render", "lights"}
     unknown = set(desc) - known
     if unknown:
         raise ValueError(f"unknown scene-description keys {sorted(unknown)}; "
@@ -176,6 +178,9 @@ def load_description(path: str, builder: str = "auto",
     envmap = desc.get("envmap")
     if envmap:
         envmap = resolve(envmap)
+    # delta lights (point/spot/directional; scene.DeltaLights.from_specs)
+    dlights = (DeltaLights.from_specs(desc["lights"])
+               if desc.get("lights") else None)
 
     mesh_entries = desc.get("meshes", ())
     if mesh_entries:
@@ -203,11 +208,12 @@ def load_description(path: str, builder: str = "auto",
                 instances.append((mid, _affine(inst)))
         scene = Scene.from_instances(assets, instances, spheres=spheres,
                                      bvh_cfg=bvh_cfg, builder=builder,
-                                     envmap=envmap)
+                                     envmap=envmap, delta_lights=dlights)
     else:
         if desc.get("instances"):
             raise ValueError("'instances' requires a 'meshes' list")
-        scene = Scene.load(None, spheres=spheres, envmap=envmap)
+        scene = Scene.load(None, spheres=spheres, envmap=envmap,
+                           delta_lights=dlights)
 
     camera = None
     if "camera" in desc:

@@ -73,6 +73,98 @@ class Spheres:
         return self.center.shape[0]
 
 
+# Delta-light kinds (beyond-reference; the reference's only lights are the
+# sun cone and emissive geometry, kernel.cu:410-448)
+DL_POINT, DL_SPOT, DL_DIRECTIONAL = 0, 1, 2
+
+
+@dataclasses.dataclass
+class DeltaLights:
+    """Zero-area analytic lights: point / spot / directional.
+
+    Beyond-reference production light types.  Delta lights are reachable
+    only through next-event estimation (a BSDF ray can never hit a
+    measure-zero emitter), so they join the NEE light pick alongside the
+    area lights with an MIS weight of 1.
+
+    Units: ``intensity`` is radiant intensity (W/sr — radiance arrives as
+    I/d^2) for point/spot lights, and plain irradiance on a perpendicular
+    surface for directional lights.  ``direction`` points FROM the light
+    INTO the scene (spot axis / directional travel direction).
+    """
+
+    kind: np.ndarray       # [L] i32 (DL_POINT/DL_SPOT/DL_DIRECTIONAL)
+    position: np.ndarray   # [L, 3] f32 (unused for directional)
+    direction: np.ndarray  # [L, 3] f32 (unused for point)
+    intensity: np.ndarray  # [L, 3] f32
+    cos_inner: np.ndarray  # [L] f32 (spot cone; 1.0 elsewhere)
+    cos_outer: np.ndarray  # [L] f32
+
+    @property
+    def count(self):
+        return int(self.kind.shape[0])
+
+    @classmethod
+    def from_specs(cls, specs) -> "DeltaLights":
+        """Build from a list of dicts (the JSON scene-description form).
+
+        Each spec: ``{"type": "point"|"spot"|"directional",
+        "position": [x,y,z], "direction": [x,y,z], "intensity": [r,g,b],
+        "inner_deg": a, "outer_deg": b}`` — position required for
+        point/spot, direction for spot/directional, cone angles for spot
+        (inner defaults to outer).
+        """
+        kinds, pos, dirs, inten, ci, co = [], [], [], [], [], []
+        names = {"point": DL_POINT, "spot": DL_SPOT,
+                 "directional": DL_DIRECTIONAL}
+        for s in specs:
+            t = s["type"]
+            if t not in names:
+                raise ValueError(f"unknown delta light type {t!r}")
+            k = names[t]
+            kinds.append(k)
+            if k != DL_DIRECTIONAL and "position" not in s:
+                raise ValueError(f"{t} light requires a position")
+            if k != DL_POINT and "direction" not in s:
+                raise ValueError(f"{t} light requires a direction")
+            pos.append(s.get("position", (0.0, 0.0, 0.0)))
+            d = np.asarray(s.get("direction", (0.0, 0.0, -1.0)), np.float64)
+            n = np.linalg.norm(d)
+            if k != DL_POINT and n < 1e-12:
+                raise ValueError(f"{t} light direction must be non-zero")
+            dirs.append(d / max(n, 1e-12))
+            inten.append(s.get("intensity", (1.0, 1.0, 1.0)))
+            if k == DL_SPOT:
+                outer = float(s.get("outer_deg", 30.0))
+                inner = float(s.get("inner_deg", outer))
+                if not 0.0 < outer <= 90.0 or inner > outer:
+                    raise ValueError(
+                        "spot cone needs 0 < inner_deg <= outer_deg <= 90")
+                ci.append(np.cos(np.radians(inner)))
+                co.append(np.cos(np.radians(outer)))
+            else:
+                ci.append(1.0)
+                co.append(1.0)
+        return cls(kind=np.asarray(kinds, np.int32),
+                   position=np.asarray(pos, np.float32).reshape(-1, 3),
+                   direction=np.asarray(dirs, np.float32).reshape(-1, 3),
+                   intensity=np.asarray(inten, np.float32).reshape(-1, 3),
+                   cos_inner=np.asarray(ci, np.float32),
+                   cos_outer=np.asarray(co, np.float32))
+
+    def pack(self) -> np.ndarray:
+        """[L, 12] device rows: kind, pos.xyz, dir.xyz, intensity.rgb,
+        cos_inner, cos_outer (consumed by shade's NEE pick)."""
+        out = np.zeros((self.count, 12), np.float32)
+        out[:, 0] = self.kind.astype(np.float32)
+        out[:, 1:4] = self.position
+        out[:, 4:7] = self.direction
+        out[:, 7:10] = self.intensity
+        out[:, 10] = self.cos_inner
+        out[:, 11] = self.cos_outer
+        return out
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SceneData:
@@ -175,6 +267,12 @@ class SceneData:
     # shade terms at trace time so non-GGX scenes compile the identical
     # program as before (zero cost, goldens bitwise stable).
     has_ggx: bool = False
+    # Delta lights (beyond-reference; DeltaLights.pack rows [L_pad, 12]):
+    # point / spot / directional emitters reachable only through NEE.
+    # Dummy [1, 12] zeros when none; count is STATIC aux (zero count
+    # compiles the identical program).
+    delta_lights: jnp.ndarray = None
+    n_delta_lights: int = 0
 
     @property
     def has_envmap(self) -> bool:
@@ -192,11 +290,12 @@ class SceneData:
                  self.light_index, self.tri_refl, self.tri_color,
                  self.tri_shade, self.sphere_table, self.tri_attr,
                  self.tex_data, self.env_data, self.tri_lights,
-                 self.env_alias),
+                 self.env_alias, self.delta_lights),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
-                 self.has_rough_maps, self.has_alpha_tex))
+                 self.has_rough_maps, self.has_alpha_tex,
+                 self.n_delta_lights))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -208,7 +307,8 @@ class SceneData:
                    has_rough_maps=aux[9], has_alpha_tex=aux[10],
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14],
-                   env_alias=leaves[15])
+                   env_alias=leaves[15], delta_lights=leaves[16],
+                   n_delta_lights=aux[11])
 
 
 @dataclasses.dataclass
@@ -231,6 +331,7 @@ class Scene:
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
     tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
     tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
+    delta_lights: Optional[DeltaLights] = None  # point/spot/directional
 
     @classmethod
     def load(cls, path: Optional[str] = None,
@@ -238,7 +339,8 @@ class Scene:
              bvh_cfg: BVHConfig = BVHConfig(),
              scale: float = 1.0,
              builder: str = "auto",
-             envmap=None) -> "Scene":
+             envmap=None,
+             delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Load a mesh (PLY) + spheres and build the BVH.
 
         ``path=None`` gives a spheres-only scene (the reference warns and
@@ -254,7 +356,8 @@ class Scene:
             envmap = load_texture(envmap)
         if path is None:
             z = np.zeros((0, 3), np.float32)
-            return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
+            return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap,
+                       delta_lights=delta_lights)
         if not os.path.exists(path):
             # degrade to a primitive-less scene with a warning, like the
             # reference (Scene.cpp:49-52 "No primitives found in scene")
@@ -262,7 +365,8 @@ class Scene:
             print(f"warning: scene file {path!r} not found; "
                   "loading scene without mesh primitives", file=sys.stderr)
             z = np.zeros((0, 3), np.float32)
-            return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap)
+            return cls(spheres, z, z, z, None, {"nodes": 0}, envmap=envmap,
+                       delta_lights=delta_lights)
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
         tri_refl = tri_rough = tri_ntex = tri_rtex = None
@@ -305,7 +409,8 @@ class Scene:
                    tri_color=tri_color, tri_uv=tri_uv, tri_tex=tri_tex,
                    textures=textures, tri_vn=tri_vn, envmap=envmap,
                    tri_refl=tri_refl, tri_rough=tri_rough,
-                   tri_ntex=tri_ntex, tri_rtex=tri_rtex)
+                   tri_ntex=tri_ntex, tri_rtex=tri_rtex,
+                   delta_lights=delta_lights)
 
     @classmethod
     def from_triangles(cls, v0, v1, v2, spheres: Optional[Spheres] = None,
@@ -314,7 +419,8 @@ class Scene:
                        tri_refl=None, tri_color=None,
                        tri_uv=None, tri_tex=None, textures=None,
                        tri_vn=None, envmap=None, tri_rough=None,
-                       tri_ntex=None, tri_rtex=None) -> "Scene":
+                       tri_ntex=None, tri_rtex=None,
+                       delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
         tri_refl [T] (DIFF/SPEC/REFR/PHONG) and tri_color [T,3] are optional
@@ -349,13 +455,15 @@ class Scene:
                    tri_ntex=None if tri_ntex is None
                    else np.asarray(tri_ntex, np.int32),
                    tri_rtex=None if tri_rtex is None
-                   else np.asarray(tri_rtex, np.int32))
+                   else np.asarray(tri_rtex, np.int32),
+                   delta_lights=delta_lights)
 
     @classmethod
     def from_instances(cls, meshes, instances,
                        spheres: Optional[Spheres] = None,
                        bvh_cfg: BVHConfig = BVHConfig(),
-                       builder: str = "auto", envmap=None) -> "Scene":
+                       builder: str = "auto", envmap=None,
+                       delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Instanced scene (beyond-reference; the reference loads exactly
         one mesh, static_mesh.cpp:6).
 
@@ -375,7 +483,8 @@ class Scene:
             tri_color=flat.tri_color, tri_uv=flat.tri_uv,
             tri_tex=flat.tri_tex, textures=flat.textures,
             tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough,
-            tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex)
+            tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
+            delta_lights=delta_lights)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
         return s
@@ -565,6 +674,13 @@ class Scene:
             env_alias = jnp.zeros((1, 12), jnp.float32)
             env_meta = ()
 
+        if self.delta_lights is not None and self.delta_lights.count:
+            delta_rows = jnp.asarray(self.delta_lights.pack())
+            n_delta = self.delta_lights.count
+        else:
+            delta_rows = jnp.zeros((1, 12), jnp.float32)
+            n_delta = 0
+
         s = self.spheres
         sphere_table = np.zeros((s.count, 12), np.float32)
         sphere_table[:, 0:3] = s.center
@@ -607,6 +723,8 @@ class Scene:
             tri_lights=tri_lights,
             n_tri_lights=n_tri_lights,
             has_ggx=has_ggx,
+            delta_lights=delta_rows,
+            n_delta_lights=n_delta,
         )
 
 
