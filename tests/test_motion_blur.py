@@ -109,6 +109,20 @@ def test_config_validation():
         RenderConfig(motion_blur=1.5)
 
 
+def test_camera_look_at():
+    cam = Camera()
+    cam.position = np.array([10.0, -20.0, 30.0], np.float32)
+    for target in ([0, 0, 0], [5, 40, -10], [10, -20, 80]):
+        cam.look_at(target)
+        d = np.asarray(target, np.float64) - cam.position
+        n = np.linalg.norm(d)
+        got = np.asarray(cam.direction, np.float64)
+        if abs(d[2] / n) < 0.999:  # pitch not clamped
+            np.testing.assert_allclose(got, d / n, atol=1e-6)
+        else:  # straight up: pitch clamp keeps |v| < pi/2
+            assert abs(cam.vertical_angle) < np.pi / 2
+
+
 def test_cli_anim_smoke(tmp_path):
     out = tmp_path / "frames"
     cmd = [sys.executable, "-m", "tyrant_tpu.cli", "anim",

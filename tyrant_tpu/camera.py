@@ -82,6 +82,21 @@ class Camera:
         self.vertical_angle = max(-PI / 2 + 1e-3,
                                   min(self.vertical_angle, PI / 2 - 1e-3))
 
+    def look_at(self, target):
+        """Aim at a world point (beyond-reference convenience: sets the
+        spherical angles so ``direction`` points at ``target``; pitch
+        clamped like :meth:`look`)."""
+        d = np.asarray(target, np.float64) - np.asarray(self.position,
+                                                        np.float64)
+        n = np.linalg.norm(d)
+        if n < 1e-12:
+            return
+        d = d / n
+        self.vertical_angle = max(-PI / 2 + 1e-3,
+                                  min(float(np.arcsin(np.clip(d[2], -1, 1))),
+                                      PI / 2 - 1e-3))
+        self.horizontal_angle = float(np.arctan2(d[0], d[1]))
+
     def basis(self, cfg: RenderConfig):
         """Projection basis.  Reference: kernel.cu:699-700."""
         d = self.direction

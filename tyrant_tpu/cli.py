@@ -272,6 +272,8 @@ def cmd_anim(args):
             cam.horizontal_angle = base_h - a
         else:
             cam.position = base_pos + move * u
+        if args.look_at is not None:
+            cam.look_at(args.look_at)
         r.step(cam, args.steps)
         float(jnp.sum(r.state.accum[:, 3]))  # sync (bench-harness pattern)
         img = np.asarray(to_uint8(r.image()))
@@ -372,6 +374,9 @@ def main(argv=None):
                    metavar=("DX", "DY", "DZ"),
                    help="total linear camera translation across the "
                         "animation (composes with --orbit)")
+    p.add_argument("--look-at", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="re-aim the camera at this world point every frame")
     p.set_defaults(fn=cmd_anim)
 
     p = sub.add_parser("bench", help="3-pose benchmark (PERFORMANCE_TEST)")
