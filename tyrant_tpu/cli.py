@@ -61,6 +61,12 @@ def _add_common(p):
                    help="sample generator: reference-style xorshift "
                         "streams, or shuffled Owen-scrambled Sobol "
                         "(lower noise at equal ray budget)")
+    p.add_argument("--light-sampling", default="uniform",
+                   choices=["uniform", "power"],
+                   help="NEE light selection across multiple emitters: "
+                        "equal probability, or proportional to per-light "
+                        "radiant power (helps scenes whose lights differ "
+                        "by orders of magnitude)")
     p.add_argument("--fog", action="store_true",
                    help="volumetric fog: homogeneous scattering slab with "
                         "free-flight sampling + HG phase (god rays)")
@@ -117,6 +123,8 @@ def _build(args):
                        else "off",
                        mis="on" if getattr(args, "mis", False) else "off",
                        sampler=getattr(args, "sampler", "xorshift"),
+                       light_sampling=getattr(args, "light_sampling",
+                                              "uniform"),
                        projection=getattr(args, "projection", "perspective"),
                        fisheye_fov_degrees=getattr(args, "fisheye_fov",
                                                    180.0),

@@ -171,6 +171,18 @@ class RenderConfig:
     # which the adaptive allocator's priority permutation repeats pixels
     # within — the two features are mutually exclusive by validation.
     sampler: str = "xorshift"
+    # NEE light selection across multiple emitters (beyond-reference; the
+    # reference has one hard-coded light, kernel.cu:421).  "uniform" picks
+    # each sphere/triangle/delta light with equal probability (golden-stable
+    # default, exact reference estimator for one light).  "power" picks
+    # proportionally to per-light radiant power (SceneData.light_powers —
+    # luminance x area, delta lights via a solid-angle heuristic): scenes
+    # whose emitters differ by orders of magnitude stop spending half the
+    # NEE budget on lights that contribute nothing.  Unbiased either way
+    # (the estimator divides by the pick pdf); composes with cfg.mis.
+    # Falls back to uniform above 64 lights (the pick is an unrolled
+    # compare chain, not a gather).
+    light_sampling: str = "uniform"
     # Volumetric fog (beyond-reference): a homogeneous participating-medium
     # slab z in [fog_z_min, fog_z_max] (world z-up, like the atmosphere
     # model).  "on" adds unbiased free-flight distance sampling to every
@@ -221,6 +233,7 @@ class RenderConfig:
                 ("adaptive_sampling", ("on", "off")),
                 ("mis", ("on", "off")),
                 ("sampler", ("xorshift", "sobol")),
+                ("light_sampling", ("uniform", "power")),
                 ("projection", ("perspective", "fisheye", "equirect",
                                 "ortho")),
                 ("fog", ("on", "off"))):

@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import sky as skymod
 from .adaptive import identity_perm
@@ -752,10 +753,20 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # emitters (which NEE under-samples at low roughness) come back at
         # far lower variance; paths terminate at emitters.
         lights_t = getattr(scene, "light_indices", ())
-        multi_l = len(lights_t) > 1 or scene.n_tri_lights
-        total_l = (float(len(lights_t) + scene.n_tri_lights)
+        n_delta_t = getattr(scene, "n_delta_lights", 0)
+        # delta lights can't be hit, but they DO take pick probability
+        # away from the area lights — the hit-side pdf must divide by the
+        # same light count the NEE pick used (they were missing here
+        # before round 3: MIS weights didn't sum to 1 in delta+area
+        # scenes)
+        multi_l = len(lights_t) > 1 or scene.n_tri_lights or n_delta_t
+        total_l = (float(len(lights_t) + scene.n_tri_lights + n_delta_t)
                    if multi_l else 1.0)
-        p_strat_light = 1.0 if scene.has_envmap else 0.5
+        # the NEE strategy coin is ALWAYS the 50/50 sun/light split inside
+        # MIS (env-NEE takes the sun slot, the light slot keeps 0.5 —
+        # render.py env_nee block; the 1.0 reweight only exists on the
+        # non-MIS envmap path, which never reaches this block)
+        p_strat_light = 0.5
         pdf_in = rays["bsdf_pdf"]
         # normal is face-forwarded, so -dot(normal, d) is the emitter-side
         # cosine the NEE pdf uses (two-sided tri emitters sample the same
@@ -765,7 +776,26 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # rough_tri is tri_shade lane 7, which LIGHT triangles reuse for
         # their surface area (scene.py to_device)
         area_hit = jnp.where(is_sphere, sph_area, rough_tri)
-        p_hit_sa = (p_strat_light / total_l) * (t_safe * t_safe) \
+        powers_t = getattr(scene, "light_powers", ())
+        power_mode_hit = (cfg.light_sampling == "power"
+                          and len(powers_t) == int(total_l)
+                          and 1 < int(total_l) <= 64
+                          and float(np.sum(np.asarray(powers_t))) > 0.0)
+        if power_mode_hit:
+            # power selection: pick pdf of the HIT light, recomputed from
+            # the hit row with the same f32 luminance x area formula the
+            # host-side CDF used (scene.py to_device)
+            em_base = srow[:, 7:10]
+            if scene.n_tri_lights:
+                em_base = jnp.where(is_sphere[:, None], em_base,
+                                    trow[:, 4:7])
+            lum_hit = (0.2126 * em_base[:, 0] + 0.7152 * em_base[:, 1]
+                       + 0.0722 * em_base[:, 2])
+            total_power = float(np.sum(np.asarray(powers_t, np.float64)))
+            pick_p_hit = lum_hit * area_hit / total_power
+        else:
+            pick_p_hit = 1.0 / total_l
+        p_hit_sa = (p_strat_light * pick_p_hit) * (t_safe * t_safe) \
             / jnp.maximum(cos_l_hit * area_hit, 1e-12)
         w_hit = jnp.where(last_spec_in | (pdf_in <= 0.0), 1.0,
                           pdf_in / jnp.maximum(pdf_in + p_hit_sa, 1e-12))
@@ -905,8 +935,35 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         else:
             _, lu = rng.random_float(
                 rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
-        pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
-                           total_lights - 1)
+        # power-proportional selection (cfg.light_sampling == "power"):
+        # pick ~ light_powers/total via an unrolled CDF compare chain (no
+        # gather; static-bounded at 64 lights by config doc).  The
+        # estimator divides by the ACTUAL pick pdf either way, so both
+        # modes are unbiased; "uniform" keeps the exact reference ops.
+        powers = getattr(scene, "light_powers", ())
+        power_mode = (cfg.light_sampling == "power"
+                      and len(powers) == total_lights
+                      and 1 < total_lights <= 64
+                      and float(np.sum(np.asarray(powers))) > 0.0)
+        if power_mode:
+            pw = np.asarray(powers, np.float64)
+            cdf = (np.cumsum(pw) / pw.sum()).astype(np.float32)
+            pick = jnp.zeros_like(lu, jnp.int32)
+            for k in range(total_lights - 1):
+                pick = pick + (lu >= float(cdf[k])).astype(jnp.int32)
+            pick_pdf32 = (pw / pw.sum()).astype(np.float32)
+            # per-ray inverse pick pdf (replaces the uniform factor
+            # n_lights = total); zero-power lights are never picked, so
+            # their 1/pdf is never selected — seed with a harmless 1.0
+            inv_pick = jnp.full_like(lu, 1.0)
+            for k in range(total_lights):
+                if pick_pdf32[k] > 0.0:
+                    inv_pick = jnp.where(pick == k,
+                                         1.0 / float(pick_pdf32[k]),
+                                         inv_pick)
+        else:
+            pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
+                               total_lights - 1)
         delta_pick = pick
         base = lights[0] if lights else 0
         light_c = jnp.broadcast_to(scene.sphere_center[base], (n, 3))
@@ -919,7 +976,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             light_r = jnp.where(sel, scene.sphere_radius[lights[k]], light_r)
             light_e = jnp.where(sel[:, None],
                                 scene.sphere_emission[lights[k]], light_e)
-        n_lights = float(total_lights)
+        # 1/pick-pdf: the uniform count, or the per-ray power weight
+        n_lights = inv_pick if power_mode else float(total_lights)
         if use_sobol:
             lu1, lu2 = sob2(5)
         else:
@@ -1022,7 +1080,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         * (sun_cos * c_diff)[:, None]
     diff_sun_ok = choose_sun & (sun_cos > 0)
     light_e2 = light_e if light_e.ndim == 2 else light_e[None]
-    diff_light_color = light_e2 * (inv_p_light * n_lights) * direct \
+    # 1/(strategy pdf x pick pdf): a float under uniform selection (exact
+    # reference ops), a per-ray column under power selection
+    nl_col = (inv_p_light * n_lights if isinstance(n_lights, float)
+              else (inv_p_light * n_lights)[:, None])
+    diff_light_color = light_e2 * nl_col * direct \
         * (solid_angle * INV_PI * cos_surf)[:, None]
     diff_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) & has_light
 
@@ -1035,7 +1097,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                           * c_spec)[:, None]
     phong_sun_ok = choose_sun & (sun_cos > 0) & (phong_cos_sun > eps)
     phong_cos_l = dot(ldir, w_refl)
-    phong_light_color = light_e2 * (inv_p_light * n_lights) * direct \
+    phong_light_color = light_e2 * nl_col * direct \
         * (solid_angle * (pe + 2.0) * 0.5 * INV_PI
            * jnp.power(jnp.maximum(phong_cos_l, 0.0), pe) * cos_surf)[:, None]
     phong_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) \
@@ -1060,7 +1122,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             * (sun_cos * c_spec)[:, None]
         ggx_sun_ok = choose_sun & (sun_cos > 0)
         f_ggx_l = _ggx_eval(normal, view, ldir, ggx_alpha, obj_color)
-        ggx_light_color = light_e2 * (inv_p_light * n_lights) * direct \
+        ggx_light_color = light_e2 * nl_col * direct \
             * f_ggx_l * (solid_angle * cos_surf)[:, None]
         ggx_light_ok = ~choose_sun & (cos_surf > 0) & (cos_light > 0) \
             & has_light
@@ -1079,7 +1141,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         fog_sun_color = inv_p_sun * direct * sun_radiance \
             * (hg_phase(dot(d, sun_sample), cfg.fog_g)
                * (1.0 if env_nee else PI * 1e-5))[:, None]
-        fog_light_color = light_e2 * (inv_p_light * n_lights) * direct \
+        fog_light_color = light_e2 * nl_col * direct \
             * (solid_angle * hg_phase(dot(d, ldir), cfg.fog_g))[:, None]
         fog_light_ok = ~choose_sun & (cos_light > 0) & has_light
         shadow_ok = jnp.where(is_fog, choose_sun | fog_light_ok, shadow_ok)

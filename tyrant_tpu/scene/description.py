@@ -64,6 +64,7 @@ _RENDER_KEYS = {
     "clamp": ("radiance_clamp", float),
     "mis": ("mis", "onoff"),
     "sampler": ("sampler", str),
+    "light_sampling": ("light_sampling", str),
     "denoise": ("denoise", "onoff"),
     "adaptive": ("adaptive_sampling", "onoff"),
     "texture_filter": ("texture_filter", str),

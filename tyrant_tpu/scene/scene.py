@@ -273,6 +273,12 @@ class SceneData:
     # compiles the identical program).
     delta_lights: jnp.ndarray = None
     n_delta_lights: int = 0
+    # STATIC (pytree aux): per-light scalar power (f32 host values) in
+    # shade's pick order — sphere lights, emissive triangles, delta
+    # lights.  Drives cfg.light_sampling == "power": NEE picks a light
+    # proportionally to these instead of uniformly, and the MIS
+    # emitter-hit side recomputes the same pick pdf from the hit row.
+    light_powers: tuple = ()
 
     @property
     def has_envmap(self) -> bool:
@@ -295,7 +301,7 @@ class SceneData:
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
                  self.has_rough_maps, self.has_alpha_tex,
-                 self.n_delta_lights))
+                 self.n_delta_lights, self.light_powers))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -308,7 +314,7 @@ class SceneData:
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14],
                    env_alias=leaves[15], delta_lights=leaves[16],
-                   n_delta_lights=aux[11])
+                   n_delta_lights=aux[11], light_powers=aux[12])
 
 
 @dataclasses.dataclass
@@ -681,6 +687,41 @@ class Scene:
             delta_rows = jnp.zeros((1, 12), jnp.float32)
             n_delta = 0
 
+        # Per-light scalar powers, in shade's pick order (sphere lights,
+        # emissive triangles, delta lights) — the CDF behind
+        # cfg.light_sampling == "power" (beyond-reference: the reference
+        # has exactly one hard-coded light, kernel.cu:421).  All terms in
+        # f32 so shade's hit-side MIS pdf (recomputed from the same device
+        # rows) matches the NEE-side constants.  Delta-light powers use a
+        # solid-angle heuristic (point 4pi, spot = cone solid angle,
+        # directional 1): any positive weight keeps the estimator unbiased,
+        # the heuristic only steers variance.
+        _lum = np.array([0.2126, 0.7152, 0.0722], np.float32)
+        powers = []
+        for li in light_list:
+            em32 = np.asarray(self.spheres.emission[li], np.float32)
+            r32 = np.float32(self.spheres.radius[li])
+            powers.append(float(np.float32(em32 @ _lum)
+                                * np.float32(4.0 * np.pi) * r32 * r32))
+        if n_tri_lights:
+            tl32 = tl.astype(np.float32)
+            for k in range(n_tri_lights):
+                powers.append(float(np.float32(tl32[k, 9:12] @ _lum)
+                                    * tl32[k, 12]))
+        if n_delta:
+            dl = np.asarray(self.delta_lights.pack(), np.float32)
+            for k in range(n_delta):
+                lum = float(dl[k, 7:10] @ _lum)
+                kind = dl[k, 0]
+                if kind == 0.0:                    # point
+                    sa = 4.0 * np.pi
+                elif kind == 1.0:                  # spot: cone solid angle
+                    sa = 2.0 * np.pi * (1.0 - 0.5 * (dl[k, 10] + dl[k, 11]))
+                else:                              # directional
+                    sa = 1.0
+                powers.append(lum * sa)
+        light_powers = tuple(powers)
+
         s = self.spheres
         sphere_table = np.zeros((s.count, 12), np.float32)
         sphere_table[:, 0:3] = s.center
@@ -725,6 +766,7 @@ class Scene:
             has_ggx=has_ggx,
             delta_lights=delta_rows,
             n_delta_lights=n_delta,
+            light_powers=light_powers,
         )
 
 
