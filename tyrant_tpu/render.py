@@ -1755,6 +1755,13 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     )
 
 
+# canonical fused-chain length (Renderer.step): every multi-step request is
+# decomposed into chains of this size + single steps, so the session only
+# ever compiles TWO step programs regardless of the step counts callers ask
+# for (a full compile through the axon tunnel costs minutes)
+_CHAIN_LEN = 4
+
+
 class Renderer:
     """Host-side convenience wrapper: jit cache, accumulation-reset on
     camera/sun movement (kernel.cu:688-718), framebuffer resolve."""
@@ -1830,13 +1837,25 @@ class Renderer:
         if mb and self._prev_cam is None:
             self._prev_cam = cam  # first frame: no motion yet
         extra = (self._prev_cam,) if mb else ()
-        if self._fuse and n_steps > 1:
-            self.state = self._chain(n_steps)(self.state, self.scene, cam,
-                                              self.sun_dir, *extra)
+        if self._fuse and n_steps >= _CHAIN_LEN:
+            # Decompose into repeats of ONE canonical chain length plus
+            # single-step remainder: at most two compiled programs ever.
+            # A distinct lax.scan length is a distinct jit, and a full
+            # render-step compile through the axon remote-compile tunnel
+            # costs 1-3 MINUTES — step(cam, 25) then step(cam, 15) used
+            # to pay it twice.  Chain length 4 is the measured optimum
+            # (docs/PERFORMANCE.md fused-chain micro); longer chains only
+            # save already-pipelined dispatches.
+            full, rem = divmod(n_steps, _CHAIN_LEN)
+            for _ in range(full):
+                self.state = self._chain(_CHAIN_LEN)(
+                    self.state, self.scene, cam, self.sun_dir, *extra)
+            n_steps_left = rem
         else:
-            for _ in range(n_steps):
-                self.state = self._step(self.state, self.scene, cam,
-                                        self.sun_dir, *extra)
+            n_steps_left = n_steps
+        for _ in range(n_steps_left):
+            self.state = self._step(self.state, self.scene, cam,
+                                    self.sun_dir, *extra)
         if self._adaptive:
             phase = self._sched.tick(n_steps)
             if phase is not None:
@@ -1850,10 +1869,10 @@ class Renderer:
         return self.state
 
     def _chain(self, k: int):
-        """One jitted lax.scan over k wavefront steps (cached per k).
-        Removes k-1 per-step dispatches — each a host->device round-trip
-        through the axon relay — and matches the k dispatched steps
-        numerically
+        """One jitted lax.scan over k wavefront steps (cached per k;
+        ``step`` only ever requests k == _CHAIN_LEN).  Removes k-1
+        per-step dispatches — each a host->device round-trip through the
+        axon relay — and matches the k dispatched steps numerically
         (tests/test_render_state.py::test_fused_chain_matches_loop)."""
         fn = self._chain_cache.get(k)
         if fn is None:
