@@ -128,3 +128,89 @@ def test_uniform_default_unchanged():
     acc = np.asarray(r.state.accum)
     b = (acc[:, :3] / np.maximum(acc[:, 3:4], 1e-9)).reshape(H, W, 3)
     np.testing.assert_array_equal(a, b)
+
+
+def _many_light_scene(n_lights=96, bright_k=3):
+    """A floor quad + n_lights small emissive triangles, a handful bright
+    and the rest near-black — the > 64-light alias-pick regime."""
+    from tyrant_tpu.scene.scene import BVHConfig
+    rng = np.random.default_rng(3)
+    v0 = [[-60.0, -60.0, 0.0], [60.0, -60.0, 0.0]]
+    v1 = [[60.0, -60.0, 0.0], [60.0, 60.0, 0.0]]
+    v2 = [[-60.0, 60.0, 0.0], [-60.0, 60.0, 0.0]]
+    refl = [DIFF, DIFF]
+    color = [[0.75] * 3, [0.75] * 3]
+    for k in range(n_lights):
+        c = np.array([rng.uniform(-40, 40), rng.uniform(-40, 40), 12.0])
+        e = 60.0 if k < bright_k else 0.003
+        v0.append(list(c))
+        v1.append(list(c + [2.0, 0.0, 0.0]))
+        v2.append(list(c + [0.0, 2.0, 0.0]))
+        refl.append(LIGHT)
+        color.append([e] * 3)
+    # one distant dark sphere: zero-sphere scenes are unsupported (the
+    # sphere intersector reduces over the sphere axis)
+    far = Spheres(center=np.array([[0.0, 0.0, -1e6]], np.float32),
+                  radius=np.array([1.0], np.float32),
+                  color=np.zeros((1, 3), np.float32),
+                  emission=np.zeros((1, 3), np.float32),
+                  refl=np.array([DIFF], np.int32))
+    return Scene.from_triangles(
+        np.array(v0, np.float32), np.array(v1, np.float32),
+        np.array(v2, np.float32), spheres=far,
+        tri_refl=np.array(refl, np.int32),
+        tri_color=np.array(color, np.float32))
+
+
+def test_alias_table_rows():
+    scene = _many_light_scene()
+    sd = scene.to_device()
+    assert len(sd.light_powers) == 96
+    la = np.asarray(sd.light_alias)
+    assert la.shape == (96, 4)
+    # simulate the exact shade draw on a dense uniform grid: the empirical
+    # pick distribution must match the power distribution
+    p = np.asarray(sd.light_powers, np.float64)
+    p /= p.sum()
+    lu = (np.arange(200000) + 0.5) / 200000
+    i0 = np.minimum((lu * 96).astype(np.int64), 95)
+    frac = lu * 96 - i0
+    take_self = frac < la[i0, 0]
+    pick = np.where(take_self, i0, la[i0, 1].astype(np.int64))
+    inv = np.where(take_self, la[i0, 2], la[i0, 3])
+    counts = np.bincount(pick, minlength=96) / len(lu)
+    np.testing.assert_allclose(counts, p, atol=2e-4)
+    # the gathered 1/pdf matches the analytic pick pdf
+    np.testing.assert_allclose(inv, 1.0 / p[pick], rtol=1e-4)
+
+
+def test_many_light_unbiased():
+    # alias-pick power sampling agrees with uniform selection in the mean
+    # and cuts variance.  Sun below the horizon so the 96 emissive
+    # triangles dominate the lighting (otherwise sun-strategy noise
+    # swamps the light-pick comparison).
+    def rend(sampling, steps):
+        scene = _many_light_scene()
+        r = Renderer(scene, _cfg(sampling), sun_position=(0.05, -0.4),
+                     donate=False)
+        r.step(_camera(), steps)
+        acc = np.asarray(r.state.accum)
+        return (acc[:, :3] / np.maximum(acc[:, 3:4], 1e-9)).reshape(H, W, 3)
+
+    u = rend("uniform", 500)
+    p = rend("power", 500)
+    lit = u[:, :, 0] > np.percentile(u[:, :, 0], 40)
+    g = abs(p[lit].mean() - u[lit].mean()) / u[lit].mean()
+    assert g < 0.04, f"alias power vs uniform image mean differs by {g:.3f}"
+    # short runs: 93 of 96 uniform picks hit near-black emitters at 96x
+    # weight, so uniform should sit far from the converged image.  MSE on
+    # FLOOR pixels only: pixels partially covered by an emissive triangle
+    # jitter with subpixel sample positions identically in both modes and
+    # would swamp the comparison (emission 60 vs floor ~0.2).
+    ref = rend("power", 1200)
+    floor = ref[:, :, 0] < 1.0
+    us = rend("uniform", 16)
+    ps = rend("power", 16)
+    mse_u = float(np.mean((us - ref)[floor] ** 2))
+    mse_p = float(np.mean((ps - ref)[floor] ** 2))
+    assert mse_p < 0.35 * mse_u, (mse_p, mse_u)

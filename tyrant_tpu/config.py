@@ -180,8 +180,9 @@ class RenderConfig:
     # whose emitters differ by orders of magnitude stop spending half the
     # NEE budget on lights that contribute nothing.  Unbiased either way
     # (the estimator divides by the pick pdf); composes with cfg.mis.
-    # Falls back to uniform above 64 lights (the pick is an unrolled
-    # compare chain, not a gather).
+    # Up to 64 lights the pick is an unrolled CDF compare chain (free);
+    # above that it becomes one Vose alias-row gather per shaded ray
+    # (SceneData.light_alias — the env-IS machinery, scene/envlight.py).
     light_sampling: str = "uniform"
     # Volumetric fog (beyond-reference): a homogeneous participating-medium
     # slab z in [fog_z_min, fog_z_max] (world z-up, like the atmosphere

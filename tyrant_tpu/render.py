@@ -779,7 +779,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         powers_t = getattr(scene, "light_powers", ())
         power_mode_hit = (cfg.light_sampling == "power"
                           and len(powers_t) == int(total_l)
-                          and 1 < int(total_l) <= 64
+                          and int(total_l) > 1
                           and float(np.sum(np.asarray(powers_t))) > 0.0)
         if power_mode_hit:
             # power selection: pick pdf of the HIT light, recomputed from
@@ -943,9 +943,21 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         powers = getattr(scene, "light_powers", ())
         power_mode = (cfg.light_sampling == "power"
                       and len(powers) == total_lights
-                      and 1 < total_lights <= 64
+                      and total_lights > 1
                       and float(np.sum(np.asarray(powers))) > 0.0)
-        if power_mode:
+        if power_mode and total_lights > 64:
+            # many lights: ONE Vose alias-row gather resolves
+            # coin -> light -> 1/pdf (scene.light_alias; the fractional
+            # part of the scaled uniform is the coin — standard alias
+            # trick, no extra stream)
+            i0 = jnp.minimum((lu * total_lights).astype(jnp.int32),
+                             total_lights - 1)
+            frac = lu * total_lights - i0.astype(jnp.float32)
+            arow = jnp.take(scene.light_alias, i0, axis=0)  # [n, 4]
+            take_self = frac < arow[:, 0]
+            pick = jnp.where(take_self, i0, arow[:, 1].astype(jnp.int32))
+            inv_pick = jnp.where(take_self, arow[:, 2], arow[:, 3])
+        elif power_mode:
             pw = np.asarray(powers, np.float64)
             cdf = (np.cumsum(pw) / pw.sum()).astype(np.float32)
             pick = jnp.zeros_like(lu, jnp.int32)

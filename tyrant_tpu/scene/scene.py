@@ -279,6 +279,9 @@ class SceneData:
     # proportionally to these instead of uniformly, and the MIS
     # emitter-hit side recomputes the same pick pdf from the hit row.
     light_powers: tuple = ()
+    # Vose alias rows for the > 64-light power pick (one gather instead of
+    # an unrolled CDF chain); [1, 4] dummy otherwise.
+    light_alias: jnp.ndarray = None
 
     @property
     def has_envmap(self) -> bool:
@@ -296,7 +299,7 @@ class SceneData:
                  self.light_index, self.tri_refl, self.tri_color,
                  self.tri_shade, self.sphere_table, self.tri_attr,
                  self.tex_data, self.env_data, self.tri_lights,
-                 self.env_alias, self.delta_lights),
+                 self.env_alias, self.delta_lights, self.light_alias),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
@@ -314,7 +317,8 @@ class SceneData:
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14],
                    env_alias=leaves[15], delta_lights=leaves[16],
-                   n_delta_lights=aux[11], light_powers=aux[12])
+                   n_delta_lights=aux[11], light_powers=aux[12],
+                   light_alias=leaves[17])
 
 
 @dataclasses.dataclass
@@ -721,6 +725,26 @@ class Scene:
                     sa = 1.0
                 powers.append(lum * sa)
         light_powers = tuple(powers)
+        # Many-light power selection (> 64 lights): the unrolled CDF
+        # compare chain in shade stops scaling, so the pick becomes ONE
+        # Vose alias-row gather (same machinery as env importance
+        # sampling, scene/envlight.py).  Row = [keep-prob, alias index,
+        # 1/pdf(self), 1/pdf(alias)] so the draw resolves coin -> light ->
+        # estimator weight from a single fetched row.
+        total_p = float(np.sum(np.asarray(powers, np.float64)))
+        if len(powers) > 64 and total_p > 0.0:
+            from .envlight import build_alias
+            p = np.asarray(powers, np.float64) / total_p
+            prob, alias = build_alias(p)
+            inv = np.where(p > 0, 1.0 / np.maximum(p, 1e-300), 0.0)
+            la = np.zeros((len(powers), 4), np.float32)
+            la[:, 0] = prob
+            la[:, 1] = alias
+            la[:, 2] = inv
+            la[:, 3] = inv[alias]
+            light_alias = jnp.asarray(la)
+        else:
+            light_alias = jnp.zeros((1, 4), jnp.float32)
 
         s = self.spheres
         sphere_table = np.zeros((s.count, 12), np.float32)
@@ -767,6 +791,7 @@ class Scene:
             delta_lights=delta_rows,
             n_delta_lights=n_delta,
             light_powers=light_powers,
+            light_alias=light_alias,
         )
 
 
