@@ -40,7 +40,8 @@ def test_spheres_only_description(tmp_path):
                    "lens_radius": 0.1},
         "sun": [0.1, 0.4],
         "fog": {"scatter": 0.01, "g": 0.3, "z": [0, 50]},
-        "render": {"bounces": 3, "mis": True, "tonemap": "aces"},
+        "render": {"bounces": 3, "mis": True, "tonemap": "aces",
+                   "light_sampling": "power"},
     })
     b = load_description(path)
     assert b.scene.spheres.count == 2
@@ -52,6 +53,7 @@ def test_spheres_only_description(tmp_path):
     assert b.config["max_bounces"] == 3
     assert b.config["mis"] == "on"
     assert b.config["tonemap"] == "aces"
+    assert b.config["light_sampling"] == "power"
 
 
 def test_default_spheres_plus_custom(tmp_path):
