@@ -128,7 +128,7 @@ def test_cli_anim_smoke(tmp_path):
     cmd = [sys.executable, "-m", "tyrant_tpu.cli", "anim",
            "--width", "16", "--height", "16", "--rays", str(1 << 10),
            "--frames", "3", "--steps", "2", "--orbit", "30",
-           "--shutter", "0.5", "--out", str(out)]
+           "--shutter", "0.5", "--sun-to", "0.1", "0.5", "--out", str(out)]
     # fresh-process CPU jit compile is ~3 min alone; under full-suite CPU
     # contention 600 s was measured too tight (round-3 suite run)
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=1500)

@@ -282,6 +282,14 @@ def cmd_anim(args):
             cam.position = base_pos + move * u
         if args.look_at is not None:
             cam.look_at(args.look_at)
+        if args.sun_to is not None:
+            # animated sun: linear sweep of the (azimuth-ish, elevation)
+            # sun_position pair across the animation (a timelapse; each
+            # change resets the accumulation, like the reference's -/+
+            # sun keys, main.cpp:143-151)
+            s0, s1 = np.asarray(args.sun, np.float64), \
+                np.asarray(args.sun_to, np.float64)
+            r.set_sun(tuple(s0 + (s1 - s0) * u))
         r.step(cam, args.steps)
         float(jnp.sum(r.state.accum[:, 3]))  # sync (bench-harness pattern)
         img = np.asarray(to_uint8(r.image()))
@@ -385,6 +393,10 @@ def main(argv=None):
     p.add_argument("--look-at", type=float, nargs=3, default=None,
                    metavar=("X", "Y", "Z"),
                    help="re-aim the camera at this world point every frame")
+    p.add_argument("--sun-to", type=float, nargs=2, default=None,
+                   metavar=("SX", "SY"),
+                   help="animate the sun: sweep sun position linearly from "
+                        "--sun to this pair across the frames (timelapse)")
     p.set_defaults(fn=cmd_anim)
 
     p = sub.add_parser("bench", help="3-pose benchmark (PERFORMANCE_TEST)")
