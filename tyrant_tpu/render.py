@@ -936,8 +936,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             _, lu = rng.random_float(
                 rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x11F7))
         # power-proportional selection (cfg.light_sampling == "power"):
-        # pick ~ light_powers/total via an unrolled CDF compare chain (no
-        # gather; static-bounded at 64 lights by config doc).  The
+        # pick ~ light_powers/total — an unrolled CDF compare chain up to
+        # 64 lights (free), one Vose alias-row gather beyond that.  The
         # estimator divides by the ACTUAL pick pdf either way, so both
         # modes are unbiased; "uniform" keeps the exact reference ops.
         powers = getattr(scene, "light_powers", ())
