@@ -276,8 +276,9 @@ CYC_IA_INTERIOR = 250      # ~15 scalar loads + ~40 scalar flops + stack (est)
 CYC_LEAF_VPU = 300         # M-T vector work per leaf pass (est, amortized)
 
 
-def predict_ms(visits, leaf_passes, reduces, n_packets, n_rays, clock=0.94e9):
-    """Rough wall estimate at the measured constants (per 1024-ray packet)."""
+def predict_ms(visits, leaf_passes, reduces, n_packets, clock=0.94e9):
+    """Rough wall estimate at the measured constants, for the simulated
+    packets only — the caller scales to the full wavefront."""
     cyc = (visits * CYC_IA_INTERIOR + leaf_passes * CYC_LEAF_VPU
            + reduces * CYC_REDUCE + n_packets * 8000)
     return cyc / clock * 1e3
@@ -349,7 +350,7 @@ def main():
             if name.startswith("ia"):
                 base = agg["union-any" if name == "ia-any" else "union"]
                 ms = predict_ms(a["visits"], a["leaf_passes"], a["reduces"],
-                                k, args.rays) * scale
+                                k) * scale
                 pred = (f"  visits x{a['visits'] / max(base['visits'], 1):.2f}"
                         f"  tri x{a['tri_tests'] / max(base['tri_tests'], 1):.2f}"
                         f"  pred {ms:7.1f} ms @2M")

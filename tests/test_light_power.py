@@ -68,16 +68,23 @@ def _render(sampling, steps, mis=False, bounces=0):
 
 
 def test_light_powers_table():
-    # SceneData.light_powers = luminance x 4 pi r^2, in pick order
+    # SceneData.light_powers = luminance x 4 pi r^2, in pick order — a
+    # device-array LEAF (emission edits must not change the pytree aux,
+    # or every brightness tweak would recompile the step program)
     scene = Scene.load(None, spheres=_spheres(bright=200.0, dim=0.005))
     sd = scene.to_device()
-    assert len(sd.light_powers) == 6
+    pw = np.asarray(sd.light_powers)
+    assert pw.shape == (6,)
+    import jax
     lum = np.array([0.2126, 0.7152, 0.0722]).sum()
     area = 4.0 * np.pi * 9.0
-    np.testing.assert_allclose(sd.light_powers[0], 200.0 * lum * area,
-                               rtol=1e-5)
-    np.testing.assert_allclose(sd.light_powers[1], 0.005 * lum * area,
-                               rtol=1e-5)
+    np.testing.assert_allclose(pw[0], 200.0 * lum * area, rtol=1e-5)
+    np.testing.assert_allclose(pw[1], 0.005 * lum * area, rtol=1e-5)
+    # leaf, not aux: two scenes differing only in emission share a pytree
+    # structure (the jit cache key)
+    sd2 = Scene.load(None, spheres=_spheres(bright=70.0)).to_device()
+    assert (jax.tree_util.tree_structure(sd)
+            == jax.tree_util.tree_structure(sd2))
 
 
 def test_unbiased_same_mean():
@@ -214,3 +221,28 @@ def test_many_light_unbiased():
     mse_u = float(np.mean((us - ref)[floor] ** 2))
     mse_p = float(np.mean((ps - ref)[floor] ** 2))
     assert mse_p < 0.35 * mse_u, (mse_p, mse_u)
+
+
+def test_many_light_power_with_mis():
+    # the >64-light ALIAS pick must pair with the MIS hit-side power pdf:
+    # power+MIS must agree with the (reference-estimator) power/no-MIS
+    # mean.  NB uniform+MIS is NOT a usable baseline here: a 1/96 pick
+    # pdf makes the balance heuristic push nearly all bright-emitter
+    # energy onto the rare BSDF-hit channel (~0.2% of paths), which
+    # converges from far below at test-sized sample counts — power
+    # selection keeps NEE dominant, which is exactly why it matters
+    # under MIS.
+    def rend(sampling, mis, steps):
+        scene = _many_light_scene()
+        r = Renderer(scene, _cfg(sampling, mis=mis, bounces=1),
+                     sun_position=(0.05, -0.4), donate=False)
+        r.step(_camera(), steps)
+        acc = np.asarray(r.state.accum)
+        return (acc[:, :3] / np.maximum(acc[:, 3:4], 1e-9)).reshape(H, W, 3)
+
+    base = rend("power", False, 400)
+    p = rend("power", True, 400)
+    floor = base[:, :, 0] < 1.0
+    g = abs(p[floor].mean() - base[floor].mean()) \
+        / max(base[floor].mean(), 1e-9)
+    assert g < 0.06, f"alias+MIS vs alias/no-MIS mean differs by {g:.3f}"

@@ -28,7 +28,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import sky as skymod
 from .adaptive import identity_perm
@@ -47,6 +46,7 @@ from .ops.sampling import (concentric_sample_disk, cone_sample,
                            sphere_surface_sample,
                            triangle_sample_from_uniforms)
 from .ops.traverse import any_hit, closest_hit
+from .scene.envlight import LUM_RGB
 from .scene.scene import DIFF, GGX, LIGHT, PHONG, REFR, SPEC, SceneData
 
 PHONG_EXPONENT = 40.0  # kernel.cu:520
@@ -554,6 +554,18 @@ def _env_pdf_nearest(scene: SceneData, d):
 # shade — kernel.cu:347-627
 # --------------------------------------------------------------------------
 
+def _light_power_mode(cfg: RenderConfig, scene: SceneData,
+                      n_total: int) -> bool:
+    """The ONE spelling of the power-selection eligibility gate, shared by
+    the NEE pick and the MIS emitter-hit pdf in _shade — the two must
+    agree or MIS weights stop summing to 1 (the bug class the round-3
+    delta-light fix closed).  Static only (cfg + light count); the
+    zero-total-power fallback is traced at both sites identically."""
+    pw = getattr(scene, "light_powers", None)
+    return (cfg.light_sampling == "power" and n_total > 1
+            and pw is not None and pw.shape[0] == n_total)
+
+
 def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
            sun_dir, rays, t, ident, is_tri, frame, row_offset=0,
            tri_normal=None):
@@ -776,23 +788,24 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # rough_tri is tri_shade lane 7, which LIGHT triangles reuse for
         # their surface area (scene.py to_device)
         area_hit = jnp.where(is_sphere, sph_area, rough_tri)
-        powers_t = getattr(scene, "light_powers", ())
-        power_mode_hit = (cfg.light_sampling == "power"
-                          and len(powers_t) == int(total_l)
-                          and int(total_l) > 1
-                          and float(np.sum(np.asarray(powers_t))) > 0.0)
-        if power_mode_hit:
+        if _light_power_mode(cfg, scene, int(total_l)):
             # power selection: pick pdf of the HIT light, recomputed from
             # the hit row with the same f32 luminance x area formula the
-            # host-side CDF used (scene.py to_device)
+            # host-side power table used (scene.py to_device; LUM_RGB is
+            # the one shared copy).  Zero total power falls back to the
+            # uniform pdf — mirroring the NEE pick's traced fallback.
             em_base = srow[:, 7:10]
             if scene.n_tri_lights:
                 em_base = jnp.where(is_sphere[:, None], em_base,
                                     trow[:, 4:7])
-            lum_hit = (0.2126 * em_base[:, 0] + 0.7152 * em_base[:, 1]
-                       + 0.0722 * em_base[:, 2])
-            total_power = float(np.sum(np.asarray(powers_t, np.float64)))
-            pick_p_hit = lum_hit * area_hit / total_power
+            lum_hit = (float(LUM_RGB[0]) * em_base[:, 0]
+                       + float(LUM_RGB[1]) * em_base[:, 1]
+                       + float(LUM_RGB[2]) * em_base[:, 2])
+            total_power = jnp.sum(scene.light_powers)
+            pick_p_hit = jnp.where(
+                total_power > 0,
+                lum_hit * area_hit / jnp.maximum(total_power, 1e-30),
+                1.0 / total_l)
         else:
             pick_p_hit = 1.0 / total_l
         p_hit_sa = (p_strat_light * pick_p_hit) * (t_safe * t_safe) \
@@ -938,13 +951,12 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # power-proportional selection (cfg.light_sampling == "power"):
         # pick ~ light_powers/total — an unrolled CDF compare chain up to
         # 64 lights (free), one Vose alias-row gather beyond that.  The
-        # estimator divides by the ACTUAL pick pdf either way, so both
-        # modes are unbiased; "uniform" keeps the exact reference ops.
-        powers = getattr(scene, "light_powers", ())
-        power_mode = (cfg.light_sampling == "power"
-                      and len(powers) == total_lights
-                      and total_lights > 1
-                      and float(np.sum(np.asarray(powers))) > 0.0)
+        # pdfs are TRACED from the scene.light_powers leaf (emission edits
+        # reuse the compiled step; zero total power degrades to uniform in
+        # trace).  The estimator divides by the ACTUAL pick pdf either
+        # way, so both modes are unbiased; "uniform" keeps the exact
+        # reference ops.
+        power_mode = _light_power_mode(cfg, scene, total_lights)
         if power_mode and total_lights > 64:
             # many lights: ONE Vose alias-row gather resolves
             # coin -> light -> 1/pdf (scene.light_alias; the fractional
@@ -958,21 +970,23 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             pick = jnp.where(take_self, i0, arow[:, 1].astype(jnp.int32))
             inv_pick = jnp.where(take_self, arow[:, 2], arow[:, 3])
         elif power_mode:
-            pw = np.asarray(powers, np.float64)
-            cdf = (np.cumsum(pw) / pw.sum()).astype(np.float32)
+            pw = scene.light_powers  # [total_lights] leaf
+            tp = jnp.sum(pw)
+            pdfs = jnp.where(tp > 0, pw / jnp.maximum(tp, 1e-30),
+                             jnp.full_like(pw, 1.0 / total_lights))
+            cdf = jnp.cumsum(pdfs)
             pick = jnp.zeros_like(lu, jnp.int32)
             for k in range(total_lights - 1):
-                pick = pick + (lu >= float(cdf[k])).astype(jnp.int32)
-            pick_pdf32 = (pw / pw.sum()).astype(np.float32)
+                pick = pick + (lu >= cdf[k]).astype(jnp.int32)
             # per-ray inverse pick pdf (replaces the uniform factor
-            # n_lights = total); zero-power lights are never picked, so
-            # their 1/pdf is never selected — seed with a harmless 1.0
+            # n_lights = total).  A zero-power light's cdf step is flat,
+            # so the chain skips its index and its garbage 1/0 is never
+            # selected.
             inv_pick = jnp.full_like(lu, 1.0)
             for k in range(total_lights):
-                if pick_pdf32[k] > 0.0:
-                    inv_pick = jnp.where(pick == k,
-                                         1.0 / float(pick_pdf32[k]),
-                                         inv_pick)
+                inv_pick = jnp.where(pick == k,
+                                     1.0 / jnp.maximum(pdfs[k], 1e-30),
+                                     inv_pick)
         else:
             pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
                                total_lights - 1)

@@ -27,6 +27,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# BT.709 luminance weights — the ONE copy every power/importance weight in
+# the framework derives from (env texel weights here, per-light powers in
+# scene.py, the MIS hit-side pdf recompute in render.py).  The MIS
+# weights-sum-to-1 identity depends on all sites using the same values.
+LUM_RGB = np.array([0.2126, 0.7152, 0.0722], np.float32)
+
 
 def build_alias(p: np.ndarray):
     """Vose's O(N) alias method.  ``p`` sums to 1.  Returns (prob, alias):
@@ -63,7 +69,7 @@ def env_tables(em: np.ndarray):
             f"envmap of {n} texels exceeds the f32-exact alias-index "
             "limit (2^24); downsample the environment map")
     rgb = np.asarray(em[:, :, :3], np.float64).reshape(n, 3)
-    lum = rgb @ np.array([0.2126, 0.7152, 0.0722])
+    lum = rgb @ LUM_RGB.astype(np.float64)
     sin_t = np.sin((np.arange(eh) + 0.5) * np.pi / eh)
     w = (lum.reshape(eh, ew) * sin_t[:, None]).reshape(n)
     w = np.maximum(w, 0.0)

@@ -273,14 +273,19 @@ class SceneData:
     # compiles the identical program).
     delta_lights: jnp.ndarray = None
     n_delta_lights: int = 0
-    # STATIC (pytree aux): per-light scalar power (f32 host values) in
-    # shade's pick order — sphere lights, emissive triangles, delta
-    # lights.  Drives cfg.light_sampling == "power": NEE picks a light
-    # proportionally to these instead of uniformly, and the MIS
+    # Per-light scalar power [n_lights] f32 (LEAF, not aux — an
+    # emission-only scene edit must stay a leaf change so the compiled
+    # step is reused; cf. CLAUDE.md on tunnel compile cost) in shade's
+    # pick order — sphere lights, emissive triangles, delta lights.
+    # Drives cfg.light_sampling == "power": NEE picks a light
+    # proportionally to these (pdfs traced from this array) and the MIS
     # emitter-hit side recomputes the same pick pdf from the hit row.
-    light_powers: tuple = ()
+    # [1] zeros when the scene has no lights.
+    light_powers: jnp.ndarray = None
     # Vose alias rows for the > 64-light power pick (one gather instead of
-    # an unrolled CDF chain); [1, 4] dummy otherwise.
+    # an unrolled CDF chain); [1, 4] dummy otherwise.  Host-built from the
+    # power values (same shape for any emission set, so edits stay
+    # recompile-free).
     light_alias: jnp.ndarray = None
 
     @property
@@ -299,12 +304,13 @@ class SceneData:
                  self.light_index, self.tri_refl, self.tri_color,
                  self.tri_shade, self.sphere_table, self.tri_attr,
                  self.tex_data, self.env_data, self.tri_lights,
-                 self.env_alias, self.delta_lights, self.light_alias),
+                 self.env_alias, self.delta_lights, self.light_alias,
+                 self.light_powers),
                 (self.tri_default_mat, self.light_indices, self.tex_meta,
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
                  self.has_rough_maps, self.has_alpha_tex,
-                 self.n_delta_lights, self.light_powers))
+                 self.n_delta_lights))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -317,8 +323,8 @@ class SceneData:
                    tri_attr=leaves[11], tex_data=leaves[12],
                    env_data=leaves[13], tri_lights=leaves[14],
                    env_alias=leaves[15], delta_lights=leaves[16],
-                   n_delta_lights=aux[11], light_powers=aux[12],
-                   light_alias=leaves[17])
+                   n_delta_lights=aux[11], light_alias=leaves[17],
+                   light_powers=leaves[18])
 
 
 @dataclasses.dataclass
@@ -696,11 +702,12 @@ class Scene:
         # cfg.light_sampling == "power" (beyond-reference: the reference
         # has exactly one hard-coded light, kernel.cu:421).  All terms in
         # f32 so shade's hit-side MIS pdf (recomputed from the same device
-        # rows) matches the NEE-side constants.  Delta-light powers use a
+        # rows) matches the NEE-side values.  Delta-light powers use a
         # solid-angle heuristic (point 4pi, spot = cone solid angle,
         # directional 1): any positive weight keeps the estimator unbiased,
         # the heuristic only steers variance.
-        _lum = np.array([0.2126, 0.7152, 0.0722], np.float32)
+        from .envlight import LUM_RGB
+        _lum = LUM_RGB
         powers = []
         for li in light_list:
             em32 = np.asarray(self.spheres.emission[li], np.float32)
@@ -724,17 +731,23 @@ class Scene:
                 else:                              # directional
                     sa = 1.0
                 powers.append(lum * sa)
-        light_powers = tuple(powers)
+        light_powers = jnp.asarray(
+            np.asarray(powers if powers else [0.0], np.float32))
         # Many-light power selection (> 64 lights): the unrolled CDF
         # compare chain in shade stops scaling, so the pick becomes ONE
         # Vose alias-row gather (same machinery as env importance
         # sampling, scene/envlight.py).  Row = [keep-prob, alias index,
         # 1/pdf(self), 1/pdf(alias)] so the draw resolves coin -> light ->
-        # estimator weight from a single fetched row.
+        # estimator weight from a single fetched row.  Shape depends only
+        # on the light COUNT (zero total power degrades to uniform rows),
+        # so emission edits never change the pytree structure.
         total_p = float(np.sum(np.asarray(powers, np.float64)))
-        if len(powers) > 64 and total_p > 0.0:
+        if len(powers) > 64:
             from .envlight import build_alias
-            p = np.asarray(powers, np.float64) / total_p
+            if total_p > 0.0:
+                p = np.asarray(powers, np.float64) / total_p
+            else:
+                p = np.full(len(powers), 1.0 / len(powers))
             prob, alias = build_alias(p)
             inv = np.where(p > 0, 1.0 / np.maximum(p, 1e-300), 0.0)
             la = np.zeros((len(powers), 4), np.float32)
