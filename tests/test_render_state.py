@@ -134,8 +134,11 @@ def test_fused_chain_matches_loop():
     assert not r_loop._fuse  # auto stays off on CPU
     r_fuse = Renderer(scene, cfg, donate=False)
     assert r_fuse._fuse
-    r_loop.step(cam, 3)
-    r_fuse.step(cam, 3)
+    # 6 = one canonical 4-chain + 2 single-step dispatches (step counts
+    # decompose so a session compiles at most two programs; CLAUDE.md)
+    r_loop.step(cam, 6)
+    r_fuse.step(cam, 6)
+    assert 4 in r_fuse._chain_cache and len(r_fuse._chain_cache) == 1
     for leaf_a, leaf_b in zip(jax.tree.leaves(r_loop.state),
                               jax.tree.leaves(r_fuse.state)):
         np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
