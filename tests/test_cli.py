@@ -31,8 +31,13 @@ def test_cli_render_spheres(tmp_path, capsys):
     out = tmp_path / "demo.png"
     cli.main(["render", "--width", "64", "--height", "48", "--rays", "2048",
               "--steps", "4", "--camera", "0", "-170", "40", "0", "-0.10",
-              "--out", str(out)])
+              "--aovs", str(tmp_path / "f"), "--out", str(out)])
     _png_ok(out, size=(64, 48))
+    _png_ok(tmp_path / "f_albedo.png", size=(64, 48))
+    _png_ok(tmp_path / "f_normal.png", size=(64, 48))
+    depth = np.load(tmp_path / "f_depth.npy")
+    assert depth.shape == (48, 64) and np.isfinite(depth).all()
+    assert depth.min() > 0  # camera outside all geometry
 
 
 def test_cli_render_mesh(tmp_path):

@@ -243,6 +243,19 @@ def cmd_render(args):
         from .utils.pfm import write_pfm
         write_pfm(args.hdr, np.asarray(r.radiance()))
         print(f"wrote {args.hdr} (linear radiance)", file=sys.stderr)
+    if getattr(args, "aovs", None):
+        # deterministic feature buffers (denoiser guides) for
+        # compositing/ML: albedo + normal as PNG, exact depth as .npy
+        aovs = r.aovs()
+        base = args.aovs
+        alb = np.asarray(jnp.clip(aovs["albedo"], 0.0, 1.0))
+        _write_png(base + "_albedo.png", (alb * 255).astype(np.uint8))
+        nrm = np.asarray(aovs["normal"]) * 0.5 + 0.5
+        _write_png(base + "_normal.png",
+                   (np.clip(nrm, 0.0, 1.0) * 255).astype(np.uint8))
+        np.save(base + "_depth.npy", np.asarray(aovs["depth"]))
+        print(f"wrote {base}_albedo.png/_normal.png/_depth.npy",
+              file=sys.stderr)
 
 
 def cmd_anim(args):
@@ -366,6 +379,10 @@ def main(argv=None):
     p.add_argument("--out", default="out.png")
     p.add_argument("--hdr", default=None, metavar="OUT.pfm",
                    help="also write the linear radiance as PFM (HDR)")
+    p.add_argument("--aovs", default=None, metavar="PREFIX",
+                   help="also write deterministic feature buffers: "
+                        "PREFIX_albedo.png, PREFIX_normal.png, "
+                        "PREFIX_depth.npy (denoiser guides / compositing)")
     p.add_argument("--checkpoint", default=None, metavar="STATE.npz",
                    help="save the render state here (and resume from it "
                         "if it exists — exact: rays/RNG/accumulation come "

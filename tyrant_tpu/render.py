@@ -1942,6 +1942,16 @@ class Renderer:
                              iterations=self.cfg.denoise_iterations)
         return tonemap_image(den, self.cfg.tonemap, self.cfg.exposure)
 
+    def aovs(self):
+        """Deterministic primary-pass feature buffers for the last stepped
+        pose: {albedo [H,W,3], normal [H,W,3], depth [H,W]} — the
+        denoiser's guides (render_aovs), exposed for compositing/ML
+        pipelines (CLI: ``render --aovs``)."""
+        if getattr(self, "_last_cam", None) is None:
+            raise RuntimeError("step() once before requesting AOVs "
+                               "(they are rendered for the last pose)")
+        return self._pose_aovs()
+
     def _pose_aovs(self):
         """Noise-free feature buffers, cached per camera pose."""
         cache = getattr(self, "_aov_cache", None)
