@@ -61,6 +61,10 @@ def _add_common(p):
                    help="sample generator: reference-style xorshift "
                         "streams, or shuffled Owen-scrambled Sobol "
                         "(lower noise at equal ray budget)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="run-decorrelation seed: non-zero salts every "
+                        "sample stream (independent renders for variance "
+                        "studies); 0 keeps the reference streams")
     p.add_argument("--light-sampling", default="uniform",
                    choices=["uniform", "power"],
                    help="NEE light selection across multiple emitters: "
@@ -125,6 +129,7 @@ def _build(args):
                        sampler=getattr(args, "sampler", "xorshift"),
                        light_sampling=getattr(args, "light_sampling",
                                               "uniform"),
+                       seed=getattr(args, "seed", 0),
                        projection=getattr(args, "projection", "perspective"),
                        fisheye_fov_degrees=getattr(args, "fisheye_fov",
                                                    180.0),

@@ -184,6 +184,13 @@ class RenderConfig:
     # above that it becomes one Vose alias-row gather per shaded ray
     # (SceneData.light_alias — the env-IS machinery, scene/envlight.py).
     light_sampling: str = "uniform"
+    # Run decorrelation seed (beyond-reference; the reference's streams are
+    # fixed functions of (frame, index), kernel.cu:258).  Non-zero values
+    # salt every xorshift stream (via a frame offset) and every Sobol
+    # scramble key, giving statistically independent renders for
+    # variance studies / ensemble averaging.  0 (default) compiles the
+    # identical program — goldens bitwise stable.
+    seed: int = 0
     # Volumetric fog (beyond-reference): a homogeneous participating-medium
     # slab z in [fog_z_min, fog_z_max] (world z-up, like the atmosphere
     # model).  "on" adds unbiased free-flight distance sampling to every
@@ -247,6 +254,8 @@ class RenderConfig:
                 "sampler='sobol' requires adaptive_sampling='off': the "
                 "low-discrepancy sample index assumes round-robin pixel "
                 "visits, which the adaptive priority permutation repeats")
+        if not 0 <= int(self.seed) < (1 << 31):
+            raise ValueError("seed must be a non-negative 31-bit int")
         if self.fog_sigma_s < 0.0 or self.fog_sigma_a < 0.0:
             raise ValueError("fog coefficients must be >= 0")
         if not -0.999 <= self.fog_g <= 0.999:

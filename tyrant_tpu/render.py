@@ -322,7 +322,9 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
                          // total_local).astype(jnp.uint32))
         from .ops import sobol
         ju, jv = sobol.sample_2d(
-            sample_idx, rng.seed_from(pixel, row_offset, 0x50B01))
+            sample_idx, rng.seed_from(pixel, row_offset,
+                                      *((cfg.seed,) if cfg.seed else ()),
+                                      0x50B01))
         px = x - ju
         py = y - jv
     else:
@@ -373,7 +375,9 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     if cfg.sampler == "sobol":
         from .ops import sobol
         l0, l1 = sobol.sample_2d(
-            sample_idx, rng.seed_from(pixel, row_offset, 0x50B02))
+            sample_idx, rng.seed_from(pixel, row_offset,
+                                      *((cfg.seed,) if cfg.seed else ()),
+                                      0x50B02))
     else:
         seed, l0 = rng.random_float(seed)
         seed, l1 = rng.random_float(seed)
@@ -590,7 +594,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         if cfg.sampler == "sobol":
             from .ops import sobol as _sbf
             u_f = _sbf.sample_1d(rays["sample_idx"], rng.seed_from(
-                rays["pixel"], row_offset, rays["bounces"] * 16 + 9, 0x50B0))
+                rays["pixel"], row_offset, rays["bounces"] * 16 + 9,
+                *((cfg.seed,) if cfg.seed else ()), 0x50B0))
         else:
             # side stream: fog-off RNG chains are untouched (goldens stable)
             _, u_f = rng.random_float(
@@ -834,15 +839,17 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         from .ops import sobol as sobolmod
         s_idx = rays["sample_idx"]
 
+        _salt = (cfg.seed,) if cfg.seed else ()
+
         def sob2(purpose):
             return sobolmod.sample_2d(s_idx, rng.seed_from(
                 rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
-                0x50B0))
+                *_salt, 0x50B0))
 
         def sob1(purpose):
             return sobolmod.sample_1d(s_idx, rng.seed_from(
                 rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
-                0x50B0))
+                *_salt, 0x50B0))
 
     # --- shared NEE samples ---
     sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
@@ -1626,7 +1633,14 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
             f"{state.pixel_perm.shape[0]} entries (expected "
             f"{cfg.width * local_height}); re-init with init_state(cfg) or "
             "load the checkpoint with adaptive off")
-    gen = _raygen(cfg, camera, state.start_position, state.frame,
+    # cfg.seed decorrelates independent runs: every xorshift stream is
+    # keyed by the frame counter, so a seed-salted frame re-keys them all
+    # at once (seed=0 compiles the identical program — reference parity
+    # and golden stability)
+    frame_s = (state.frame if not cfg.seed
+               else state.frame + jnp.uint32((cfg.seed * 2654435761)
+                                             & 0xFFFFFFFF))
+    gen = _raygen(cfg, camera, state.start_position, frame_s,
                   local_height, row_offset,
                   perm=state.pixel_perm if adaptive else None,
                   sample_base=state.sample_base, cam_prev=cam_prev)
@@ -1671,7 +1685,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(
-        cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, state.frame,
+        cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, frame_s,
         row_offset=row_offset, tri_normal=tri_n)
 
     # 4. connect
