@@ -214,3 +214,47 @@ def test_checkpoint_roundtrip_adaptive(tmp_path):
                                   np.asarray(r.state.moment2))
     np.testing.assert_array_equal(np.asarray(st.pixel_perm),
                                   np.asarray(r.state.pixel_perm))
+
+
+def test_track_variance_and_noise_estimate():
+    """track_variance='on' populates per-pixel second moments without
+    adaptive raygen; the noise estimate decreases with samples and drives
+    the CLI --until-noise stop."""
+    import dataclasses
+    from tyrant_tpu.camera import Camera
+    from tyrant_tpu.config import small_config
+    from tyrant_tpu.render import Renderer
+    from tyrant_tpu.scene.scene import Scene
+
+    cfg = dataclasses.replace(
+        small_config(width=16, height=16, num_rays=1 << 10),
+        track_variance="on")
+    r = Renderer(Scene.load(None), cfg, donate=False)
+    cam = Camera()
+    cam.position = np.array([0.0, -170.0, 40.0], np.float32)
+    cam.vertical_angle = -0.10
+    r.step(cam, 8)
+    n1 = r.noise_estimate()
+    r.step(cam, 56)
+    n2 = r.noise_estimate()
+    assert np.isfinite(n1) and n1 > 0
+    assert n2 < n1  # converging
+
+    # default config refuses (moment2 is a dummy)
+    r0 = Renderer(Scene.load(None), small_config(width=16, height=16,
+                                                 num_rays=1 << 10),
+                  donate=False)
+    r0.step(cam, 1)
+    import pytest
+    with pytest.raises(RuntimeError):
+        r0.noise_estimate()
+
+
+def test_cli_until_noise(tmp_path, capsys):
+    from tyrant_tpu import cli
+    out = tmp_path / "n.png"
+    cli.main(["render", "--width", "24", "--height", "16", "--rays", "1024",
+              "--steps", "400", "--until-noise", "0.5",
+              "--camera", "0", "-170", "40", "0", "-0.10",
+              "--out", str(out)])
+    assert out.exists()

@@ -97,6 +97,24 @@ def build_perm(accum: jnp.ndarray, moment2: jnp.ndarray, phase: jnp.ndarray,
     return jnp.clip(perm, 0, p - 1).astype(jnp.int32)
 
 
+def mean_relative_error(accum: jnp.ndarray,
+                        moment2: jnp.ndarray) -> jnp.ndarray:
+    """Image-level convergence metric: mean over sampled pixels of the
+    stabilized relative standard error of the per-pixel mean (same
+    moments and luminance floor as build_perm).  Drives the CLI's
+    ``--until-noise`` stop; needs cfg.track_variance or adaptive
+    sampling (moment2 is a [1, 4] dummy otherwise)."""
+    cnt = accum[:, 3]
+    n = jnp.maximum(cnt, 1.0)
+    mean = accum[:, :3] / n[:, None]
+    m2 = moment2[:, :3] / n[:, None]
+    var = jnp.maximum(m2 - mean * mean, 0.0).sum(axis=1)
+    lum = mean @ jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    err = jnp.sqrt(var / n) / (lum + _LUM_FLOOR)
+    sampled = (cnt >= 2.0).astype(jnp.float32)
+    return jnp.sum(err * sampled) / jnp.maximum(jnp.sum(sampled), 1.0)
+
+
 def identity_perm(p: int) -> jnp.ndarray:
     return jnp.arange(p, dtype=jnp.int32)
 

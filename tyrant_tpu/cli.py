@@ -130,6 +130,9 @@ def _build(args):
                        light_sampling=getattr(args, "light_sampling",
                                               "uniform"),
                        seed=getattr(args, "seed", 0),
+                       track_variance="on"
+                       if getattr(args, "until_noise", None) is not None
+                       else "off",
                        projection=getattr(args, "projection", "perspective"),
                        fisheye_fov_degrees=getattr(args, "fisheye_fov",
                                                    180.0),
@@ -235,10 +238,20 @@ def cmd_render(args):
         done += chunk
         float(jnp.sum(r.state.accum[:, 3]))  # hard sync (see bench harness)
         el = time.time() - t0
+        noise = ""
+        if args.until_noise is not None:
+            nz = r.noise_estimate()
+            noise = f"  noise {nz:.4f}"
         print(f"  step {done}/{args.steps}  {el:.1f}s "
-              f"({done * cfg.num_rays / el / 1e6:.1f} Mseg/s)", file=sys.stderr)
+              f"({done * cfg.num_rays / el / 1e6:.1f} Mseg/s){noise}",
+              file=sys.stderr)
         if ck and every > 0 and done % every == 0 and done < args.steps:
             save_ck()
+        if args.until_noise is not None and noise \
+                and nz <= args.until_noise:
+            print(f"  converged: noise {nz:.4f} <= {args.until_noise}",
+                  file=sys.stderr)
+            break
     if ck:
         save_ck()
     img = np.asarray(to_uint8(r.image()))
@@ -384,6 +397,11 @@ def main(argv=None):
     p.add_argument("--out", default="out.png")
     p.add_argument("--hdr", default=None, metavar="OUT.pfm",
                    help="also write the linear radiance as PFM (HDR)")
+    p.add_argument("--until-noise", type=float, default=None,
+                   metavar="REL_ERR",
+                   help="stop early once the mean relative standard error "
+                        "of the image drops below this (e.g. 0.02); "
+                        "--steps becomes the upper bound")
     p.add_argument("--aovs", default=None, metavar="PREFIX",
                    help="also write deterministic feature buffers: "
                         "PREFIX_albedo.png, PREFIX_normal.png, "

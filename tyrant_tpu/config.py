@@ -191,6 +191,12 @@ class RenderConfig:
     # variance studies / ensemble averaging.  0 (default) compiles the
     # identical program — goldens bitwise stable.
     seed: int = 0
+    # Per-pixel variance tracking without adaptive raygen (beyond-
+    # reference): "on" accumulates per-pixel second moments (one extra
+    # dense accumulation pass, same keys) so callers can estimate
+    # convergence — the CLI's ``--until-noise`` stop and
+    # ``render_stats``-style dashboards.  Implied by adaptive_sampling.
+    track_variance: str = "off"
     # Volumetric fog (beyond-reference): a homogeneous participating-medium
     # slab z in [fog_z_min, fog_z_max] (world z-up, like the atmosphere
     # model).  "on" adds unbiased free-flight distance sampling to every
@@ -242,6 +248,7 @@ class RenderConfig:
                 ("mis", ("on", "off")),
                 ("sampler", ("xorshift", "sobol")),
                 ("light_sampling", ("uniform", "power")),
+                ("track_variance", ("on", "off")),
                 ("projection", ("perspective", "fisheye", "equirect",
                                 "ortho")),
                 ("fog", ("on", "off"))):

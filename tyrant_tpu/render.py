@@ -180,7 +180,8 @@ def init_state(cfg: RenderConfig, local_height: int | None = None) -> RenderStat
         start_position=jnp.asarray(0, jnp.int32),
         frame=jnp.asarray(1, jnp.uint32),  # kernel.cu:667 (never 0: RNG seed)
         shadow_rays=jnp.asarray(0, jnp.uint32),
-        moment2=jnp.zeros((p if cfg.adaptive_sampling == "on" else 1, 4),
+        moment2=jnp.zeros((p if (cfg.adaptive_sampling == "on"
+                               or cfg.track_variance == "on") else 1, 4),
                           jnp.float32),
         pixel_perm=(identity_perm(p) if cfg.adaptive_sampling == "on"
                     else jnp.zeros((1,), jnp.int32)),
@@ -1758,9 +1759,10 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     else:
         accum = state.accum.at[jnp.where(term_s, upd_pix, 0)].add(upd_vals)
 
-    if adaptive:
-        # second-moment flush for the error estimate (adaptive.py) — same
-        # sorted keys, one more dense accumulation pass
+    if adaptive or cfg.track_variance == "on":
+        # second-moment flush for the error estimate (adaptive.py and the
+        # CLI's --until-noise convergence stop) — same sorted keys, one
+        # more dense accumulation pass
         upd_sq = jnp.where(
             term_s[:, None],
             jnp.stack([p0 * p0, p1 * p1, p2 * p2, jnp.ones_like(p0)],
@@ -1955,6 +1957,19 @@ class Renderer:
                              aovs["depth"],
                              iterations=self.cfg.denoise_iterations)
         return tonemap_image(den, self.cfg.tonemap, self.cfg.exposure)
+
+    def noise_estimate(self) -> float:
+        """Image-level convergence estimate: mean stabilized relative
+        standard error of the per-pixel radiance means
+        (adaptive.mean_relative_error).  Needs cfg.track_variance="on"
+        or adaptive sampling; the CLI's --until-noise stop."""
+        if self.state.moment2.shape[0] == 1:
+            raise RuntimeError(
+                "noise_estimate() needs per-pixel second moments: set "
+                "track_variance='on' (or adaptive_sampling='on')")
+        from .adaptive import mean_relative_error
+        return float(mean_relative_error(self.state.accum,
+                                         self.state.moment2))
 
     def aovs(self):
         """Deterministic primary-pass feature buffers for the last stepped
