@@ -104,12 +104,17 @@ def test_variance_reduction():
     # short runs: power selection should sit far closer to the converged
     # image than uniform (uniform wastes half its NEE picks on the dim
     # light and doubles the bright samples' weight)
-    ref = _render("power", steps=400)
+    ref = _render("power", steps=600)
+    # mask pixels that see an emitter directly: their value jitters with
+    # subpixel coverage identically in both modes (emission 200 vs floor
+    # ~0.2) and would swamp the light-pick comparison
+    floor = ref[:, :, 0] < 1.0
     u = _render("uniform", steps=24)
     p = _render("power", steps=24)
-    mse_u = float(np.mean((u - ref) ** 2))
-    mse_p = float(np.mean((p - ref) ** 2))
-    assert mse_p < 0.55 * mse_u, (mse_p, mse_u)
+    mse_u = float(np.mean((u - ref)[floor] ** 2))
+    mse_p = float(np.mean((p - ref)[floor] ** 2))
+    # measured ~5.4x lower MSE with the 0.75/0.25 defensive mixture
+    assert mse_p < 0.35 * mse_u, (mse_p, mse_u)
 
 
 def test_power_with_mis_same_mean():
@@ -178,7 +183,7 @@ def test_alias_table_rows():
     # simulate the exact shade draw on a dense uniform grid: the empirical
     # pick distribution must match the power distribution
     p = np.asarray(sd.light_powers, np.float64)
-    p /= p.sum()
+    p = 0.75 * p / p.sum() + 0.25 / len(p)  # defensive mixture (scene.py)
     lu = (np.arange(200000) + 0.5) / 200000
     i0 = np.minimum((lu * 96).astype(np.int64), 95)
     frac = lu * 96 - i0

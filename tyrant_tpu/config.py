@@ -178,8 +178,12 @@ class RenderConfig:
     # proportionally to per-light radiant power (SceneData.light_powers —
     # luminance x area, delta lights via a solid-angle heuristic): scenes
     # whose emitters differ by orders of magnitude stop spending half the
-    # NEE budget on lights that contribute nothing.  Unbiased either way
-    # (the estimator divides by the pick pdf); composes with cfg.mis.
+    # NEE budget on lights that contribute nothing.  The actual pick pdf
+    # is a DEFENSIVE MIXTURE, 0.75 power + 0.25 uniform, so a light whose
+    # power heuristic underestimates its real contribution (e.g. a faint
+    # directional lighting a whole floor) keeps a bounded 1/pdf (max 4L)
+    # instead of spraying fireflies.  Unbiased either way (the estimator
+    # divides by the pick pdf); composes with cfg.mis.
     # Up to 64 lights the pick is an unrolled CDF compare chain (free);
     # above that it becomes one Vose alias-row gather per shaded ray
     # (SceneData.light_alias — the env-IS machinery, scene/envlight.py).

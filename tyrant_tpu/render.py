@@ -810,7 +810,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             total_power = jnp.sum(scene.light_powers)
             pick_p_hit = jnp.where(
                 total_power > 0,
-                lum_hit * area_hit / jnp.maximum(total_power, 1e-30),
+                0.75 * lum_hit * area_hit
+                / jnp.maximum(total_power, 1e-30) + 0.25 / total_l,
                 1.0 / total_l)
         else:
             pick_p_hit = 1.0 / total_l
@@ -980,8 +981,15 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         elif power_mode:
             pw = scene.light_powers  # [total_lights] leaf
             tp = jnp.sum(pw)
-            pdfs = jnp.where(tp > 0, pw / jnp.maximum(tp, 1e-30),
-                             jnp.full_like(pw, 1.0 / total_lights))
+            # defensive mixture (0.75 power + 0.25 uniform, matching the
+            # alias rows and the MIS hit side): bounds every 1/pdf at 4L,
+            # so a light whose power HEURISTIC underestimates its real
+            # contribution (classic case: a faint directional that lights
+            # the whole floor) cannot spray unbounded-weight fireflies
+            pdfs = jnp.where(
+                tp > 0,
+                0.75 * pw / jnp.maximum(tp, 1e-30) + 0.25 / total_lights,
+                jnp.full_like(pw, 1.0 / total_lights))
             cdf = jnp.cumsum(pdfs)
             pick = jnp.zeros_like(lu, jnp.int32)
             for k in range(total_lights - 1):

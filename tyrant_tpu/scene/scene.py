@@ -744,10 +744,19 @@ class Scene:
         total_p = float(np.sum(np.asarray(powers, np.float64)))
         if len(powers) > 64:
             from .envlight import build_alias
+            L = len(powers)
             if total_p > 0.0:
-                p = np.asarray(powers, np.float64) / total_p
+                # defensive mixture (must match render._shade's CDF and
+                # MIS hit-side formulas exactly): a pure power pdf gives
+                # a light whose heuristic underestimates its real
+                # contribution (e.g. a dim-looking directional that lights
+                # the whole floor) a near-zero pick probability and hence
+                # unbounded 1/pdf spikes — fireflies.  25% uniform bounds
+                # every weight at 4L.
+                p = (0.75 * np.asarray(powers, np.float64) / total_p
+                     + 0.25 / L)
             else:
-                p = np.full(len(powers), 1.0 / len(powers))
+                p = np.full(L, 1.0 / L)
             prob, alias = build_alias(p)
             inv = np.where(p > 0, 1.0 / np.maximum(p, 1e-300), 0.0)
             la = np.zeros((len(powers), 4), np.float32)
