@@ -116,3 +116,17 @@ def test_cli_checkpoint_mismatch_fails(tmp_path):
                   "1024", "--steps", "2", "--checkpoint", ck,
                   "--camera", "5", "5", "5", "0", "0",
                   "--out", str(tmp_path / "c.png")])
+
+
+def test_cli_info(capsys):
+    """`info` prints scene/BVH/light/memory facts without rendering (the
+    reference prints BVH stats + scene name at load, bvh.cpp:27-42)."""
+    if not os.path.exists(CUBE):
+        pytest.skip("reference cube.ply unavailable")
+    cli.main(["info", "--scene", CUBE, "--builder", "numpy"])
+    out = capsys.readouterr().out
+    assert "bvh.nodes:" in out
+    assert "spheres: 7" in out
+    assert "lights:" in out
+    assert "packet tables:" in out
+    assert "render config:" in out

@@ -350,6 +350,58 @@ def cmd_bench(args):
               f"{d['total_mrays_per_s']:.1f} Mrays/s")
 
 
+def cmd_info(args):
+    """Scene inspection without rendering: geometry, BVH quality, lights,
+    materials, memory footprint (the reference prints a subset of this at
+    load, bvh.cpp:27-42 + Scene.cpp:7)."""
+    cfg, scene, cam = _build(args)
+    sd = scene.to_device()
+    print(f"scene:      {args.scene or 'spheres-only (default seven)'}")
+    for k, v in scene.stats.items():
+        print(f"  bvh.{k}: {v}")
+    s = scene.spheres
+    print(f"  spheres: {s.count}")
+    mats = {0: "DIFF", 1: "SPEC", 2: "REFR", 3: "PHONG", 4: "LIGHT",
+            5: "GGX"}
+    if scene.tri_refl is not None:
+        refl = np.asarray(scene.tri_refl)
+        counts = {mats[k]: int((refl == k).sum())
+                  for k in np.unique(refl)}
+        print(f"  tri materials: {counts}")
+    else:
+        print("  tri materials: default (white DIFF)")
+    n_lights = (len(sd.light_indices) + sd.n_tri_lights
+                + sd.n_delta_lights)
+    print(f"  lights: {len(sd.light_indices)} sphere"
+          f" + {sd.n_tri_lights} tri + {sd.n_delta_lights} delta"
+          f" = {n_lights}")
+    if n_lights > 1:
+        pw = np.asarray(sd.light_powers)
+        print(f"  light powers: min {pw.min():.3g} max {pw.max():.3g} "
+              f"(power-selection spread {pw.max() / max(pw.min(), 1e-30):.3g}x)")
+    feats = [n for n, on in (
+        ("textures", sd.has_albedo_tex), ("normal-maps", sd.has_normal_maps),
+        ("rough-maps", sd.has_rough_maps), ("alpha-cutout", sd.has_alpha_tex),
+        ("smooth-normals", sd.smooth_normals), ("envmap", sd.has_envmap),
+        ("ggx", sd.has_ggx)) if on]
+    print(f"  features: {', '.join(feats) if feats else 'none'}")
+    import jax
+    dev_bytes = sum(x.size * x.dtype.itemsize
+                    for x in jax.tree.leaves(sd)
+                    if hasattr(x, "size"))
+    print(f"  device memory (scene tables): {dev_bytes / 1e6:.1f} MB")
+    from .ops.pallas.traverse_kernel import PacketTables
+    try:
+        pt = PacketTables(sd.bvh)
+        print(f"  packet tables: rows {tuple(pt.rows.shape)} "
+              f"fits_vmem={pt.fits} supported={pt.supported}")
+    except Exception as e:  # diagnostic command: report, don't die
+        print(f"  packet tables: unavailable ({e})")
+    st_bytes = (cfg.num_rays * (13 * 4) + cfg.num_pixels * 16)
+    print(f"render config: {cfg.width}x{cfg.height}, {cfg.num_rays} rays, "
+          f"{cfg.max_bounces} bounces (~{st_bytes / 1e6:.0f} MB state)")
+
+
 def cmd_bvh_debug(args):
     import jax.numpy as jnp
 
@@ -445,6 +497,11 @@ def main(argv=None):
     p.add_argument("--json", action="store_true")
     p.add_argument("--txt", default=None, help="also write reference-style Performance.txt")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("info", help="scene inspection: BVH stats, lights, "
+                       "materials, memory (no render)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("bvh-debug", help="traversal-cost heatmap (BVH_DEBUG)")
     _add_common(p)
