@@ -113,6 +113,12 @@ def _build(args):
     if args.scene and args.scene.endswith(".json"):
         from .scene.description import load_description
         bundle = load_description(args.scene, builder=args.builder)
+    elif args.scene and args.scene.endswith((".glb", ".gltf")):
+        # glTF 2.0 (scene/gltf.py): full graph — instances, PBR materials,
+        # punctual lights, and the file's camera (overridden by --camera)
+        from .scene.gltf import load_gltf_bundle
+        bundle = load_gltf_bundle(args.scene, builder=args.builder,
+                                  scale=args.scale)
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        num_rays=args.rays, max_bounces=args.bounces,

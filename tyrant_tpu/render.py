@@ -424,8 +424,15 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
     (~10%, docs/PERFORMANCE.md) — the XLA stand-in for the reference's
     divergence-hiding work stealing.  ``packet_tables``: use the Pallas
     packet kernel instead of the XLA cascade."""
-    t_sph, sph_id = intersect_spheres(origin, direction,
-                                      scene.sphere_center, scene.sphere_radius)
+    if scene.sphere_center.shape[0] == 0:
+        # zero-sphere scene (e.g. glTF, scene/gltf.py): the sphere pass is
+        # statically absent — shapes are compile-time, so this branch costs
+        # nothing and sphere-ful scenes compile the identical program
+        t_sph = jnp.full(origin.shape[0], VERY_FAR, origin.dtype)
+        sph_id = jnp.full(origin.shape[0], -1, jnp.int32)
+    else:
+        t_sph, sph_id = intersect_spheres(
+            origin, direction, scene.sphere_center, scene.sphere_radius)
     tri_normal = None
     if packet_tables is not None:
         from .ops.pallas.traverse_kernel import closest_hit_packets
@@ -1007,10 +1014,19 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             pick = jnp.minimum((lu * total_lights).astype(jnp.int32),
                                total_lights - 1)
         delta_pick = pick
-        base = lights[0] if lights else 0
-        light_c = jnp.broadcast_to(scene.sphere_center[base], (n, 3))
-        light_r = jnp.broadcast_to(scene.sphere_radius[base], (n,))
-        light_e = jnp.broadcast_to(scene.sphere_emission[base], (n, 3))
+        if scene.sphere_center.shape[0] == 0:
+            # zero-sphere scene: only tri/delta lights exist (multi_l
+            # guarantees one of them is non-empty); seed the selects with
+            # inert values — every sphere-pick lane is masked off below
+            # (pick < len(lights) is never true), radius 1 avoids /0
+            light_c = jnp.zeros((n, 3))
+            light_r = jnp.ones((n,))
+            light_e = jnp.zeros((n, 3))
+        else:
+            base = lights[0] if lights else 0
+            light_c = jnp.broadcast_to(scene.sphere_center[base], (n, 3))
+            light_r = jnp.broadcast_to(scene.sphere_radius[base], (n,))
+            light_e = jnp.broadcast_to(scene.sphere_emission[base], (n, 3))
         for k in range(1, len(lights)):
             sel = pick == k
             light_c = jnp.where(sel[:, None],
@@ -1050,10 +1066,19 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             sgn = jnp.sign(dot(tn, to_surf) + 1e-30)
             n_l = jnp.where(is_tl[:, None], tn * sgn[:, None], n_l)
     else:
-        li = jnp.maximum(scene.light_index, 0)
-        light_c = scene.sphere_center[li]
-        light_r = scene.sphere_radius[li]
-        light_e = scene.sphere_emission[li]
+        if scene.sphere_center.shape[0] == 0:
+            # zero-sphere, zero-light scene (e.g. a bare glTF mesh under
+            # the atmosphere): has_light is False, so the whole light
+            # strategy contributes zero — inert stand-ins keep the shapes
+            # (radius 1 avoids a masked /0)
+            light_c = jnp.zeros(3)
+            light_r = jnp.asarray(1.0)
+            light_e = jnp.zeros(3)
+        else:
+            li = jnp.maximum(scene.light_index, 0)
+            light_c = scene.sphere_center[li]
+            light_r = scene.sphere_radius[li]
+            light_e = scene.sphere_emission[li]
         n_lights = 1.0
         if use_sobol:
             lu1, lu2 = sob2(5)

@@ -1,0 +1,516 @@
+"""glTF 2.0 loader (.glb and .gltf) — pure numpy + PIL, no extra deps.
+
+glTF is the de-facto interchange format for production 3D content; the
+reference's Assimp import could read it but the reference only ever loads
+one PLY (Scene.cpp:4-5, main.cpp:113).  This loader is a beyond-reference
+feature that maps the glTF scene graph onto the machinery this framework
+already has:
+
+  * meshes / primitives      -> ``instancing.MeshAsset`` (one per primitive)
+  * node hierarchy           -> ``(mesh_id, world 4x4)`` instances, flattened
+                                world-space by ``Scene.from_instances``
+  * pbrMetallicRoughness     -> DIFF (metallic <= 0.5) or the GGX rough
+                                conductor (metallic > 0.5, ``roughnessFactor``)
+  * baseColorTexture         -> albedo atlas entry (sRGB-decoded)
+  * metallicRoughnessTexture -> roughness map (G channel, linear)
+  * normalTexture            -> tangent-space normal map (linear)
+  * emissiveFactor (x KHR_materials_emissive_strength) -> LIGHT triangles
+                                (area lights with NEE)
+  * alphaMode "MASK"         -> combined rgb+alpha atlas entry (the map_d
+                                cutout path; BLEND degrades to MASK)
+  * KHR_materials_transmission (factor > 0.5) -> REFR glass
+  * doubleSided              -> a flipped-winding duplicate of each triangle
+                                (traversal backface-culls per the reference,
+                                loader.h:28; the duplicate restores two-sided
+                                visibility at 2x triangle cost)
+  * KHR_lights_punctual      -> DeltaLights (point / spot / directional)
+  * the first camera node    -> a ``Camera`` pose (position + look direction)
+
+Axis convention: glTF is +Y-up right-handed; this framework's sky model is
++Z-up (sky.py, sunsky.cu:5).  ``y_up_to_z_up=True`` (default) rotates the
+whole scene by +90 deg about X — (x, y, z) -> (x, -z, y) — so glTF "up"
+agrees with the atmosphere's.
+
+Not supported (documented degradations): per-texel metalness (the B channel
+of metallicRoughnessTexture; the material's ``metallicFactor`` decides
+DIFF-vs-GGX for the whole primitive), KHR_texture_transform, skinning /
+morph targets / animations (static pose only), TEXCOORD_1, vertex colors,
+non-TRIANGLES primitive modes (raised), alpha BLEND (treated as MASK).
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import json
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+# material codes (scene.scene; duplicated to avoid a circular import, like
+# scene/obj.py does)
+_DIFF, _SPEC, _REFR, _PHONG, _LIGHT, _GGX = 0, 1, 2, 3, 4, 5
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
+    5125: np.uint32, 5126: np.float32,
+}
+_TYPE_LANES = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+               "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+# +90 deg about X: glTF +Y (up) -> +Z (this framework's up, sky.py)
+_YUP_TO_ZUP = np.array([[1.0, 0.0, 0.0],
+                        [0.0, 0.0, -1.0],
+                        [0.0, 1.0, 0.0]], np.float64)
+
+
+@dataclasses.dataclass
+class GltfScene:
+    """Everything extracted from one glTF file, in this framework's terms."""
+
+    meshes: list                       # [instancing.MeshAsset]
+    instances: list                    # [(mesh_id, world [4,4])]
+    lights: list                       # DeltaLights spec dicts (may be [])
+    camera: Optional[dict] = None      # {"position", "target", "yfov_deg"}
+    # shared texture images; tri_tex/tri_ntex/tri_rtex ids in ALL assets
+    # index this one list (assets carry textures=None — see load_gltf)
+    textures: Optional[list] = None
+
+
+def _read_glb(path: str):
+    """GLB container: 12-byte header + (length, type, data) chunks."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 12 or data[:4] != b"glTF":
+        raise ValueError(f"{path}: not a GLB file (bad magic)")
+    version, total = struct.unpack_from("<II", data, 4)
+    if version != 2:
+        raise ValueError(f"{path}: GLB version {version}, only 2 supported")
+    off = 12
+    gltf = None
+    bin_chunk = None
+    while off + 8 <= min(total, len(data)):
+        clen, ctype = struct.unpack_from("<I4s", data, off)
+        chunk = data[off + 8:off + 8 + clen]
+        if ctype == b"JSON":
+            gltf = json.loads(chunk.decode("utf-8"))
+        elif ctype == b"BIN\x00" and bin_chunk is None:
+            bin_chunk = chunk
+        off += 8 + clen + ((4 - clen % 4) % 4 if clen % 4 else 0)
+    if gltf is None:
+        raise ValueError(f"{path}: GLB has no JSON chunk")
+    return gltf, bin_chunk
+
+
+def _load_buffers(gltf: dict, base_dir: str, bin_chunk):
+    bufs = []
+    for i, b in enumerate(gltf.get("buffers", [])):
+        uri = b.get("uri")
+        if uri is None:
+            if bin_chunk is None:
+                raise ValueError(f"buffer {i}: no uri and no GLB BIN chunk")
+            bufs.append(bin_chunk)
+        elif uri.startswith("data:"):
+            b64 = uri.split(",", 1)[1]
+            bufs.append(base64.b64decode(b64))
+        else:
+            from urllib.parse import unquote
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                bufs.append(f.read())
+    return bufs
+
+
+def _read_accessor(gltf: dict, bufs, idx: int) -> np.ndarray:
+    """Decode accessor ``idx`` to a [count, lanes] array (denormalised to
+    f32 for normalized integer attributes)."""
+    acc = gltf["accessors"][idx]
+    lanes = _TYPE_LANES[acc["type"]]
+    dt = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
+    count = acc["count"]
+    itemsize = dt.itemsize * lanes
+
+    if "bufferView" in acc:
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        buf = bufs[bv.get("buffer", 0)]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride") or itemsize
+        if stride == itemsize:
+            arr = np.frombuffer(buf, dt, count * lanes, start)
+            arr = arr.reshape(count, lanes).copy()
+        else:
+            nbytes = stride * (count - 1) + itemsize
+            raw = np.frombuffer(buf, np.uint8, nbytes, start)
+            take = (np.arange(count)[:, None] * stride
+                    + np.arange(itemsize)).reshape(-1)
+            arr = raw[take].copy().view(dt).reshape(count, lanes)
+    else:
+        arr = np.zeros((count, lanes), dt)
+
+    sp = acc.get("sparse")
+    if sp:
+        sidx = _sparse_array(gltf, bufs, sp["indices"], sp["count"],
+                             np.dtype(_COMPONENT_DTYPES[
+                                 sp["indices"]["componentType"]]), 1)
+        svals = _sparse_array(gltf, bufs, sp["values"], sp["count"], dt,
+                              lanes)
+        arr[sidx.reshape(-1).astype(np.int64)] = svals
+
+    if acc.get("normalized") and dt.kind in "iu":
+        info = np.iinfo(dt)
+        arr = arr.astype(np.float32) / float(info.max)
+        if dt.kind == "i":
+            arr = np.maximum(arr, -1.0)
+    return arr
+
+
+def _sparse_array(gltf, bufs, spec, count, dt, lanes):
+    bv = gltf["bufferViews"][spec["bufferView"]]
+    buf = bufs[bv.get("buffer", 0)]
+    start = bv.get("byteOffset", 0) + spec.get("byteOffset", 0)
+    return np.frombuffer(buf, dt, count * lanes, start).reshape(count, lanes)
+
+
+def _decode_image(gltf: dict, bufs, base_dir: str, img_idx: int,
+                  srgb: bool, want_alpha: bool = False) -> np.ndarray:
+    """Decode image source ``img_idx`` to [H, W, 3|4] f32."""
+    from PIL import Image
+    img = gltf["images"][img_idx]
+    if "bufferView" in img:
+        bv = gltf["bufferViews"][img["bufferView"]]
+        raw = bufs[bv.get("buffer", 0)][bv.get("byteOffset", 0):
+                                        bv.get("byteOffset", 0)
+                                        + bv["byteLength"]]
+        pil = Image.open(io.BytesIO(raw))
+    else:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            pil = Image.open(io.BytesIO(base64.b64decode(
+                uri.split(",", 1)[1])))
+        else:
+            from urllib.parse import unquote
+            pil = Image.open(os.path.join(base_dir, unquote(uri)))
+    with pil:
+        mode = "RGBA" if want_alpha else "RGB"
+        arr = np.asarray(pil.convert(mode), np.uint8).astype(np.float32)
+    arr /= 255.0
+    if srgb:
+        # match scene/texture.load_texture: gamma-2.2 decode of the colour
+        # channels; alpha (coverage) stays linear
+        arr[..., :3] = arr[..., :3] ** 2.2
+    return arr
+
+
+def _trs_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        # glTF matrices are column-major
+        return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+    m = np.eye(4)
+    if "scale" in node:
+        m[0, 0], m[1, 1], m[2, 2] = node["scale"]
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        rm = np.eye(4)
+        rm[:3, :3] = r
+        m = rm @ m
+    if "translation" in node:
+        t = np.eye(4)
+        t[:3, 3] = node["translation"]
+        m = t @ m
+    return m
+
+
+def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
+    """Flatten one glTF material to the fields the shade path consumes."""
+    rec = {"refl": _DIFF, "color": (1.0, 1.0, 1.0), "rough": 1.0,
+           "base_tex": None, "mr_tex": None, "n_tex": None,
+           "alpha_mask": False, "double_sided": False}
+    if mat_idx is None:
+        return rec
+    m = gltf["materials"][mat_idx]
+    rec["double_sided"] = bool(m.get("doubleSided", False))
+    pbr = m.get("pbrMetallicRoughness", {})
+    bc = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+    rec["color"] = tuple(float(c) for c in bc[:3])
+    metallic = float(pbr.get("metallicFactor", 1.0))
+    rec["rough"] = float(pbr.get("roughnessFactor", 1.0))
+    if "baseColorTexture" in pbr:
+        rec["base_tex"] = pbr["baseColorTexture"]["index"]
+    if "metallicRoughnessTexture" in pbr:
+        rec["mr_tex"] = pbr["metallicRoughnessTexture"]["index"]
+    if "normalTexture" in m:
+        rec["n_tex"] = m["normalTexture"]["index"]
+    if m.get("alphaMode", "OPAQUE") in ("MASK", "BLEND"):
+        rec["alpha_mask"] = True
+
+    ext = m.get("extensions", {})
+    emissive = np.asarray(m.get("emissiveFactor", (0.0, 0.0, 0.0)),
+                          np.float64)
+    emissive = emissive * float(ext.get(
+        "KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0))
+    transmission = float(ext.get(
+        "KHR_materials_transmission", {}).get("transmissionFactor", 0.0))
+    if emissive.max() > 0.0:
+        rec["refl"] = _LIGHT
+        rec["color"] = tuple(float(c) for c in emissive)
+    elif transmission > 0.5:
+        rec["refl"] = _REFR
+    elif metallic > 0.5:
+        rec["refl"] = _GGX
+    return rec
+
+
+def load_gltf(path: str, y_up_to_z_up: bool = True,
+              scale: float = 1.0) -> GltfScene:
+    """Parse a .glb / .gltf file into meshes + instances + lights + camera."""
+    from .instancing import MeshAsset
+
+    base_dir = os.path.dirname(path)
+    if path.endswith(".glb"):
+        gltf, bin_chunk = _read_glb(path)
+    else:
+        with open(path, "r", encoding="utf-8") as f:
+            gltf = json.load(f)
+        bin_chunk = None
+    bufs = _load_buffers(gltf, base_dir, bin_chunk)
+
+    # --- textures: decode lazily, dedup by (image index, decode mode) ---
+    textures: list = []
+    tex_cache: dict = {}
+
+    def texture_id(tex_idx: Optional[int], mode: str) -> int:
+        """mode: 'srgb' (albedo), 'srgba' (albedo+coverage), 'linear'
+        (normal map), 'rough_g' (G channel of metallicRoughness)."""
+        if tex_idx is None:
+            return -1
+        src = gltf["textures"][tex_idx].get("source")
+        if src is None:
+            return -1
+        key = (src, mode)
+        if key not in tex_cache:
+            try:
+                if mode == "rough_g":
+                    img = _decode_image(gltf, bufs, base_dir, src,
+                                        srgb=False)
+                    # glTF packs roughness in G (metalness in B, unsupported
+                    # per-texel); the shade path reads rough maps from
+                    # channel 0 (render.py), so replicate G
+                    img = np.repeat(img[:, :, 1:2], 3, axis=2)
+                elif mode == "srgba":
+                    img = _decode_image(gltf, bufs, base_dir, src,
+                                        srgb=True, want_alpha=True)
+                else:
+                    img = _decode_image(gltf, bufs, base_dir, src,
+                                        srgb=(mode == "srgb"))
+                tex_cache[key] = len(textures)
+                textures.append(np.ascontiguousarray(img))
+            except Exception as e:  # undecodable image: degrade like obj.py
+                import sys
+                print(f"warning: glTF texture {src} failed to decode "
+                      f"({e}); shading untextured", file=sys.stderr)
+                tex_cache[key] = -1
+        return tex_cache[key]
+
+    # --- meshes: one MeshAsset per (mesh, primitive) ---
+    assets: list = []
+    mesh_asset_ids: list = []  # per glTF mesh: list of asset indices
+    for mesh in gltf.get("meshes", []):
+        ids = []
+        for prim in mesh.get("primitives", []):
+            mode = prim.get("mode", 4)
+            if mode != 4:
+                raise ValueError(
+                    f"{path}: primitive mode {mode} unsupported "
+                    "(only TRIANGLES)")
+            attrs = prim["attributes"]
+            pos = _read_accessor(gltf, bufs, attrs["POSITION"])
+            pos = pos[:, :3].astype(np.float32) * np.float32(scale)
+            if "indices" in prim:
+                faces = _read_accessor(gltf, bufs, prim["indices"])
+                faces = faces.reshape(-1).astype(np.int64)
+            else:
+                faces = np.arange(pos.shape[0], dtype=np.int64)
+            faces = faces[:faces.shape[0] - faces.shape[0] % 3]
+            faces = faces.reshape(-1, 3)
+            n_tris = faces.shape[0]
+            if n_tris == 0:
+                continue
+
+            uv = None
+            if "TEXCOORD_0" in attrs:
+                vt = _read_accessor(gltf, bufs, attrs["TEXCOORD_0"])
+                vt = vt[:, :2].astype(np.float32)
+                # glTF v runs top-down; the atlas sampler flips v at sample
+                # time for OBJ's bottom-up convention (texture.py), so
+                # pre-flip here to land in OBJ convention
+                vt = np.stack([vt[:, 0], 1.0 - vt[:, 1]], axis=1)
+                uv = vt[faces]                      # [T, 3, 2]
+            vn = None
+            if "NORMAL" in attrs:
+                nr = _read_accessor(gltf, bufs, attrs["NORMAL"])
+                vn = nr[:, :3].astype(np.float32)[faces]  # [T, 3, 3]
+
+            rec = _material_record(gltf, prim.get("material"))
+            tex = texture_id(rec["base_tex"],
+                             "srgba" if rec["alpha_mask"] else "srgb")
+            ntex = texture_id(rec["n_tex"], "linear")
+            rtex = (texture_id(rec["mr_tex"], "rough_g")
+                    if rec["refl"] == _GGX else -1)
+
+            v0 = pos[faces[:, 0]]
+            v1 = pos[faces[:, 1]]
+            v2 = pos[faces[:, 2]]
+            if rec["double_sided"]:
+                # traversal backface-culls (loader.h:28 parity); a flipped-
+                # winding duplicate restores two-sided visibility
+                v0 = np.concatenate([v0, v0])
+                v1, v2 = (np.concatenate([v1, v2]),
+                          np.concatenate([v2, v1]))
+                if uv is not None:
+                    uv = np.concatenate([uv, uv[:, [0, 2, 1]]])
+                if vn is not None:
+                    vn = np.concatenate([vn, -vn[:, [0, 2, 1]]])
+                n_tris *= 2
+
+            asset = MeshAsset(
+                v0=v0, v1=v1, v2=v2,
+                tri_refl=np.full(n_tris, rec["refl"], np.int32),
+                tri_color=np.tile(np.asarray(rec["color"], np.float32),
+                                  (n_tris, 1)),
+                tri_rough=np.full(n_tris,
+                                  max(0.03, min(rec["rough"], 1.0)),
+                                  np.float32),
+                tri_uv=uv,
+                tri_tex=(np.full(n_tris, tex, np.int32)
+                         if tex >= 0 else None),
+                tri_ntex=(np.full(n_tris, ntex, np.int32)
+                          if ntex >= 0 else None),
+                tri_rtex=(np.full(n_tris, rtex, np.int32)
+                          if rtex >= 0 else None),
+                textures=None,
+                tri_vn=vn)
+            ids.append(len(assets))
+            assets.append(asset)
+        mesh_asset_ids.append(ids)
+
+    # NB: texture ids in tri_tex/tri_ntex/tri_rtex are GLOBAL into
+    # ``textures``; assets carry textures=None so flatten_instances'
+    # per-mesh id offsetting (instancing.py) is a no-op, and the caller
+    # attaches the shared list to the flattened result (load_gltf_bundle).
+
+    # --- scene graph walk: instances + lights + camera ---
+    root = np.eye(4)
+    if y_up_to_z_up:
+        root[:3, :3] = _YUP_TO_ZUP
+    instances: list = []
+    lights: list = []
+    camera: Optional[dict] = None
+    ext_lights = (gltf.get("extensions", {})
+                  .get("KHR_lights_punctual", {}).get("lights", []))
+
+    def walk(node_idx: int, parent: np.ndarray):
+        nonlocal camera
+        node = gltf["nodes"][node_idx]
+        world = parent @ _trs_matrix(node)
+        if "mesh" in node:
+            for aid in mesh_asset_ids[node["mesh"]]:
+                instances.append((aid, world.copy()))
+        light_idx = (node.get("extensions", {})
+                     .get("KHR_lights_punctual", {}).get("light"))
+        if light_idx is not None and light_idx < len(ext_lights):
+            lights.append(_punctual_spec(ext_lights[light_idx], world))
+        if "camera" in node and camera is None:
+            cam_def = gltf.get("cameras", [])
+            if node["camera"] < len(cam_def):
+                pos = world[:3, 3]
+                fwd = world[:3, :3] @ np.array([0.0, 0.0, -1.0])
+                n = np.linalg.norm(fwd)
+                persp = cam_def[node["camera"]].get("perspective", {})
+                camera = {
+                    "position": pos.astype(np.float32).tolist(),
+                    "target": (pos + fwd / max(n, 1e-12)).astype(
+                        np.float32).tolist(),
+                    "yfov_deg": float(np.degrees(
+                        persp.get("yfov", np.radians(70.0)))),
+                }
+        for child in node.get("children", []):
+            walk(child, world)
+
+    scene_idx = gltf.get("scene", 0)
+    scenes = gltf.get("scenes", [])
+    roots = (scenes[scene_idx].get("nodes", [])
+             if scene_idx < len(scenes) else range(len(gltf.get("nodes", []))))
+    for n in roots:
+        walk(n, root)
+
+    return GltfScene(meshes=assets, instances=instances, lights=lights,
+                     camera=camera, textures=textures or None)
+
+
+def _punctual_spec(light: dict, world: np.ndarray) -> dict:
+    """KHR_lights_punctual -> DeltaLights spec dict (scene.DeltaLights)."""
+    color = np.asarray(light.get("color", (1.0, 1.0, 1.0)), np.float64)
+    intensity = float(light.get("intensity", 1.0))
+    rgb = (color * intensity).tolist()
+    pos = world[:3, 3].tolist()
+    # punctual lights emit down the node's -Z
+    d = world[:3, :3] @ np.array([0.0, 0.0, -1.0])
+    d = (d / max(np.linalg.norm(d), 1e-12)).tolist()
+    kind = light.get("type", "point")
+    if kind == "point":
+        return {"type": "point", "position": pos, "intensity": rgb}
+    if kind == "directional":
+        return {"type": "directional", "direction": d, "intensity": rgb}
+    spot = light.get("spot", {})
+    outer = np.degrees(float(spot.get("outerConeAngle", np.pi / 4)))
+    outer = min(outer, 89.9)
+    inner = min(np.degrees(float(spot.get("innerConeAngle", 0.0))), outer)
+    return {"type": "spot", "position": pos, "direction": d,
+            "intensity": rgb, "inner_deg": inner, "outer_deg": outer}
+
+
+def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
+                     y_up_to_z_up: bool = True):
+    """Build a ready-to-render SceneBundle (scene + optional camera) the
+    same shape the JSON description loader returns (description.py), so
+    the CLI and API treat .glb/.gltf like any other composed scene."""
+    from ..camera import Camera
+    from .description import SceneBundle
+    from .scene import DeltaLights, Scene, Spheres
+
+    from .instancing import flatten_instances
+
+    g = load_gltf(path, y_up_to_z_up=y_up_to_z_up, scale=scale)
+    if not g.instances:
+        raise ValueError(f"{path}: no renderable TRIANGLES instances")
+    dl = DeltaLights.from_specs(g.lights) if g.lights else None
+    # glTF scenes carry their own content: no reference spheres.  The
+    # atmosphere still lights light-less files (sun NEE is always active).
+    empty = np.zeros((0, 3), np.float32)
+    spheres = Spheres(center=empty, radius=np.zeros(0, np.float32),
+                      color=empty.copy(), emission=empty.copy(),
+                      refl=np.zeros(0, np.int32))
+    flat = flatten_instances(g.meshes, g.instances)
+    scene = Scene.from_triangles(
+        flat.v0, flat.v1, flat.v2, spheres=spheres, builder=builder,
+        tri_refl=flat.tri_refl, tri_color=flat.tri_color,
+        tri_uv=flat.tri_uv, tri_tex=flat.tri_tex,
+        textures=g.textures,  # global ids: see load_gltf
+        tri_vn=flat.tri_vn, tri_rough=flat.tri_rough,
+        tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
+        delta_lights=dl)
+    scene.stats["instances"] = len(g.instances)
+    scene.stats["unique_meshes"] = len(g.meshes)
+    camera = None
+    if g.camera is not None:
+        camera = Camera()
+        camera.position = np.asarray(g.camera["position"], np.float32)
+        camera.look_at(g.camera["target"])
+    return SceneBundle(scene=scene, camera=camera)

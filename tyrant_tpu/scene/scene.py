@@ -366,6 +366,22 @@ class Scene:
         via scene.texture.load_texture) or an [H, W, 3] array; replaces
         the analytic atmosphere on the miss path (beyond-reference).
         """
+        if path is not None and path.endswith((".glb", ".gltf")):
+            # glTF carries its own scene graph / materials / lights
+            # (scene/gltf.py, beyond-reference); delegate and honour the
+            # caller's envmap/spheres/delta-light overrides
+            from .gltf import load_gltf_bundle
+            sc = load_gltf_bundle(path, builder=builder, scale=scale).scene
+            if isinstance(envmap, str):
+                from .texture import load_texture
+                envmap = load_texture(envmap)
+            if envmap is not None:
+                sc.envmap = envmap
+            if spheres is not None:
+                sc.spheres = spheres
+            if delta_lights is not None:
+                sc.delta_lights = delta_lights
+            return sc
         spheres = spheres or Spheres.default_seven()
         if isinstance(envmap, str):
             from .texture import load_texture
@@ -778,6 +794,14 @@ class Scene:
         sphere_table[:, 11] = np.clip(
             np.full(s.count, 0.3, np.float32) if s.roughness is None
             else np.asarray(s.roughness, np.float32), 0.03, 1.0)
+        if s.count == 0:
+            # zero-sphere scene (e.g. glTF, scene/gltf.py): shade's select
+            # chain broadcasts row 0, so keep ONE inert row (radius 1
+            # avoids a masked /0 in normal_sphere); extend and NEE
+            # statically skip the sphere pass on the 0-length leaves
+            sphere_table = np.zeros((1, 12), np.float32)
+            sphere_table[0, 3] = 1.0
+            sphere_table[0, 11] = 0.3
         has_ggx = bool((s.refl == GGX).any() or (tri_refl == GGX).any())
 
         return SceneData(
