@@ -96,6 +96,7 @@ def _build_test_glb(tmp_path, lights=True, camera=True):
         {"pbrMetallicRoughness": {
             "metallicFactor": 1.0, "roughnessFactor": 0.25}},
         {"emissiveFactor": [2.0, 3.0, 4.0],
+         "doubleSided": True,  # must NOT duplicate: emitters are two-sided
          "extensions": {"KHR_materials_emissive_strength":
                         {"emissiveStrength": 2.0}}},
         {"extensions": {"KHR_materials_transmission":
@@ -196,6 +197,9 @@ def test_glb_materials(tmp_path):
     assert light.tri_refl[0] == LIGHT
     np.testing.assert_allclose(light.tri_color[0], [4.0, 6.0, 8.0],
                                atol=1e-5)  # emissiveFactor x strength 2
+    # doubleSided emitter is NOT winding-duplicated (shade's tri-light NEE
+    # is already two-sided; a copy would double its power)
+    assert light.n_tris == 1
     assert glass.tri_refl[0] == REFR
     # doubleSided: flipped-winding duplicate
     assert dbl.n_tris == 2
@@ -328,3 +332,111 @@ def test_gltf_scene_load_delegates(tmp_path):
     assert sc.stats["triangles"] == 7
     assert sc.stats["instances"] == 5
     assert sc.spheres.count == 0
+
+
+def test_gltf_uniform_scale_scales_layout(tmp_path):
+    """scale rides the root matrix: node translations, lights and the
+    camera scale WITH the vertices (a vertex-only scale distorts any
+    scene with non-identity node transforms)."""
+    g1 = load_gltf(_build_test_glb(tmp_path))
+    g2 = load_gltf(_build_test_glb(tmp_path), scale=2.0)
+    _, w1 = g1.instances[0]
+    _, w2 = g2.instances[0]
+    p1 = w1[:3, :3] @ QUAD_POS[1] + w1[:3, 3]
+    p2 = w2[:3, :3] @ QUAD_POS[1] + w2[:3, 3]
+    np.testing.assert_allclose(p2, 2.0 * p1, atol=1e-6)
+    np.testing.assert_allclose(g2.lights[0]["position"],
+                               2.0 * np.asarray(g1.lights[0]["position"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(g2.camera["position"],
+                               2.0 * np.asarray(g1.camera["position"]),
+                               atol=1e-6)
+    # directions stay unit length under a uniform scale
+    np.testing.assert_allclose(np.linalg.norm(g2.lights[1]["direction"]),
+                               1.0, atol=1e-6)
+
+
+def test_gltf_no_scenes_key_walks_roots_only(tmp_path):
+    """Without a 'scenes' array, only nodes that are nobody's child are
+    walked (walking all nodes would duplicate children at the origin)."""
+    b = _Bin()
+    bv = b.add(TRI_POS.tobytes())
+    gltf = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(b.blob)}],
+        "bufferViews": b.views,
+        "accessors": [{"bufferView": bv, "componentType": 5126,
+                       "count": 3, "type": "VEC3"}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "nodes": [{"children": [1], "translation": [5.0, 0.0, 0.0]},
+                  {"mesh": 0}],
+    }
+    p = tmp_path / "noscene.glb"
+    p.write_bytes(_glb(gltf, b.blob))
+    g = load_gltf(str(p), y_up_to_z_up=False)
+    assert len(g.instances) == 1  # the child once, through its parent
+    _, world = g.instances[0]
+    np.testing.assert_allclose(world[:3, 3], [5.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_gltf_mask_and_opaque_share_fully_opaque_image(tmp_path):
+    """An image used by both a MASK and an OPAQUE material decodes once;
+    with fully-opaque alpha they share ONE atlas entry (cutout can never
+    fire at the 0.5 threshold)."""
+    b = _Bin()
+    bv_tri = b.add(TRI_POS.tobytes())
+    bv_uv = b.add(np.zeros((3, 2), np.float32).tobytes())
+    bv_png = b.add(_png_bytes(np.full((2, 2, 3), 200, np.uint8)))
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "buffers": [{"byteLength": len(b.blob)}],
+        "bufferViews": b.views,
+        "accessors": [
+            {"bufferView": bv_tri, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": bv_uv, "componentType": 5126, "count": 3,
+             "type": "VEC2"}],
+        "images": [{"bufferView": bv_png, "mimeType": "image/png"}],
+        "textures": [{"source": 0}],
+        "materials": [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                      "metallicFactor": 0.0}},
+            {"alphaMode": "MASK",
+             "pbrMetallicRoughness": {"baseColorTexture": {"index": 0},
+                                      "metallicFactor": 0.0}}],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0,
+                                            "TEXCOORD_0": 1},
+                             "material": 0}]},
+            {"primitives": [{"attributes": {"POSITION": 0,
+                                            "TEXCOORD_0": 1},
+                             "material": 1}]}],
+        "nodes": [{"mesh": 0}, {"mesh": 1}],
+    }
+    p = tmp_path / "shared.glb"
+    p.write_bytes(_glb(gltf, b.blob))
+    g = load_gltf(str(p))
+    assert len(g.textures) == 1
+    assert g.meshes[0].tri_tex[0] == g.meshes[1].tri_tex[0] == 0
+
+
+def test_gltf_as_instanced_asset(tmp_path):
+    """MeshAsset.load('.glb') pre-flattens the glTF graph into one asset
+    that Scene.from_instances can re-instance (texture ids survive the
+    second flatten because the list became local to the merged asset)."""
+    from tyrant_tpu.scene.instancing import MeshAsset, translate
+    from tyrant_tpu.scene.scene import Scene
+
+    asset = MeshAsset.load(_build_test_glb(tmp_path))
+    assert asset.n_tris == 7
+    assert asset.textures is not None and len(asset.textures) == 1
+    sc = Scene.from_instances(
+        [asset], [(0, translate([0, 0, 0])), (0, translate([10, 0, 0]))],
+        builder="numpy")
+    assert sc.stats["triangles"] == 14
+    # both instances of the one asset share its texture entry (per-MESH
+    # offsetting in flatten_instances, not per-instance)
+    assert sc.textures is not None and len(sc.textures) == 1
+    assert sc.tri_tex.max() == 0

@@ -119,6 +119,11 @@ def _build(args):
         from .scene.gltf import load_gltf_bundle
         bundle = load_gltf_bundle(args.scene, builder=args.builder,
                                   scale=args.scale)
+    if bundle is not None and getattr(args, "envmap", None):
+        # bundle scenes (JSON/glTF) can't thread --envmap through
+        # Scene.load; apply the override directly
+        from .scene.texture import load_texture
+        bundle.scene.envmap = load_texture(args.envmap)
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        num_rays=args.rays, max_bounces=args.bounces,

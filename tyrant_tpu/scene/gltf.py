@@ -35,7 +35,9 @@ Not supported (documented degradations): per-texel metalness (the B channel
 of metallicRoughnessTexture; the material's ``metallicFactor`` decides
 DIFF-vs-GGX for the whole primitive), KHR_texture_transform, skinning /
 morph targets / animations (static pose only), TEXCOORD_1, vertex colors,
-non-TRIANGLES primitive modes (raised), alpha BLEND (treated as MASK).
+non-TRIANGLES primitive modes (raised), alpha BLEND (treated as MASK),
+``alphaCutoff`` values other than 0.5 (the shade-time cutout threshold is
+fixed, render.py PASS pseudo-material).
 """
 
 from __future__ import annotations
@@ -281,9 +283,24 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
         bin_chunk = None
     bufs = _load_buffers(gltf, base_dir, bin_chunk)
 
+    # image sources any MASK/BLEND material taps for coverage: these decode
+    # once as RGBA; an OPAQUE material sharing the image reuses the same
+    # atlas entry when nothing can be cut at the 0.5 threshold, else gets
+    # its own alpha-neutralised copy (glTF says OPAQUE ignores alpha)
+    alpha_srcs = set()
+    for m in gltf.get("materials", []):
+        if m.get("alphaMode", "OPAQUE") in ("MASK", "BLEND"):
+            bct = m.get("pbrMetallicRoughness", {}).get("baseColorTexture")
+            if bct is not None and bct["index"] < len(gltf.get("textures",
+                                                               [])):
+                src = gltf["textures"][bct["index"]].get("source")
+                if src is not None:
+                    alpha_srcs.add(src)
+
     # --- textures: decode lazily, dedup by (image index, decode mode) ---
     textures: list = []
     tex_cache: dict = {}
+    raw_cache: dict = {}
 
     def texture_id(tex_idx: Optional[int], mode: str) -> int:
         """mode: 'srgb' (albedo), 'srgba' (albedo+coverage), 'linear'
@@ -294,28 +311,41 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
         if src is None:
             return -1
         key = (src, mode)
-        if key not in tex_cache:
-            try:
-                if mode == "rough_g":
-                    img = _decode_image(gltf, bufs, base_dir, src,
-                                        srgb=False)
-                    # glTF packs roughness in G (metalness in B, unsupported
-                    # per-texel); the shade path reads rough maps from
-                    # channel 0 (render.py), so replicate G
-                    img = np.repeat(img[:, :, 1:2], 3, axis=2)
-                elif mode == "srgba":
-                    img = _decode_image(gltf, bufs, base_dir, src,
-                                        srgb=True, want_alpha=True)
+        try:
+            if mode in ("srgb", "srgba") and src in alpha_srcs:
+                if src not in raw_cache:  # one decode for both users
+                    raw_cache[src] = _decode_image(gltf, bufs, base_dir,
+                                                   src, srgb=True,
+                                                   want_alpha=True)
+                img = raw_cache[src]
+                if mode == "srgb" and float(img[:, :, 3].min()) < 0.5:
+                    img = img.copy()
+                    img[:, :, 3] = 1.0  # OPAQUE user: neutralise cutout
                 else:
-                    img = _decode_image(gltf, bufs, base_dir, src,
-                                        srgb=(mode == "srgb"))
-                tex_cache[key] = len(textures)
-                textures.append(np.ascontiguousarray(img))
-            except Exception as e:  # undecodable image: degrade like obj.py
-                import sys
-                print(f"warning: glTF texture {src} failed to decode "
-                      f"({e}); shading untextured", file=sys.stderr)
-                tex_cache[key] = -1
+                    key = (src, "srgba")  # fully-opaque alpha: shareable
+                if key in tex_cache:
+                    return tex_cache[key]
+            elif key in tex_cache:
+                return tex_cache[key]
+            elif mode == "rough_g":
+                img = _decode_image(gltf, bufs, base_dir, src, srgb=False)
+                # glTF packs roughness in G (metalness in B, unsupported
+                # per-texel); the shade path reads rough maps from
+                # channel 0 (render.py), so replicate G
+                img = np.repeat(img[:, :, 1:2], 3, axis=2)
+            elif mode == "srgba":
+                img = _decode_image(gltf, bufs, base_dir, src, srgb=True,
+                                    want_alpha=True)
+            else:
+                img = _decode_image(gltf, bufs, base_dir, src,
+                                    srgb=(mode == "srgb"))
+            tex_cache[key] = len(textures)
+            textures.append(np.ascontiguousarray(img))
+        except Exception as e:  # undecodable image: degrade like obj.py
+            import sys
+            print(f"warning: glTF texture {src} failed to decode "
+                  f"({e}); shading untextured", file=sys.stderr)
+            tex_cache[key] = -1
         return tex_cache[key]
 
     # --- meshes: one MeshAsset per (mesh, primitive) ---
@@ -331,7 +361,10 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                     "(only TRIANGLES)")
             attrs = prim["attributes"]
             pos = _read_accessor(gltf, bufs, attrs["POSITION"])
-            pos = pos[:, :3].astype(np.float32) * np.float32(scale)
+            # NB: ``scale`` is folded into the ROOT matrix (below), not the
+            # vertices — node translations, lights and the camera must all
+            # scale together or the layout distorts
+            pos = pos[:, :3].astype(np.float32)
             if "indices" in prim:
                 faces = _read_accessor(gltf, bufs, prim["indices"])
                 faces = faces.reshape(-1).astype(np.int64)
@@ -367,9 +400,13 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
             v0 = pos[faces[:, 0]]
             v1 = pos[faces[:, 1]]
             v2 = pos[faces[:, 2]]
-            if rec["double_sided"]:
+            if rec["double_sided"] and rec["refl"] != _LIGHT:
                 # traversal backface-culls (loader.h:28 parity); a flipped-
-                # winding duplicate restores two-sided visibility
+                # winding duplicate restores two-sided visibility.  LIGHT
+                # primitives skip it: emissive triangles are already
+                # two-sided in shade (NEE flips the emitter normal toward
+                # the shading point, render.py), so a duplicate would
+                # double-count their power in NEE
                 v0 = np.concatenate([v0, v0])
                 v1, v2 = (np.concatenate([v1, v2]),
                           np.concatenate([v2, v1]))
@@ -407,8 +444,8 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
 
     # --- scene graph walk: instances + lights + camera ---
     root = np.eye(4)
-    if y_up_to_z_up:
-        root[:3, :3] = _YUP_TO_ZUP
+    root[:3, :3] = ((_YUP_TO_ZUP if y_up_to_z_up else np.eye(3))
+                    * float(scale))
     instances: list = []
     lights: list = []
     camera: Optional[dict] = None
@@ -445,8 +482,16 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
 
     scene_idx = gltf.get("scene", 0)
     scenes = gltf.get("scenes", [])
-    roots = (scenes[scene_idx].get("nodes", [])
-             if scene_idx < len(scenes) else range(len(gltf.get("nodes", []))))
+    if scene_idx < len(scenes):
+        roots = scenes[scene_idx].get("nodes", [])
+    else:
+        # no usable "scenes" entry: walk every node that is not some other
+        # node's child (walking ALL nodes would visit children twice, once
+        # with the parent transform and once spuriously from the origin)
+        children = {c for nd in gltf.get("nodes", [])
+                    for c in nd.get("children", [])}
+        roots = [i for i in range(len(gltf.get("nodes", [])))
+                 if i not in children]
     for n in roots:
         walk(n, root)
 
@@ -476,8 +521,28 @@ def _punctual_spec(light: dict, world: np.ndarray) -> dict:
             "intensity": rgb, "inner_deg": inner, "outer_deg": outer}
 
 
+def load_gltf_asset(path: str, scale: float = 1.0,
+                    y_up_to_z_up: bool = True):
+    """One instanceable ``MeshAsset`` from a glTF file: the whole scene
+    graph pre-flattened (instancing.MeshAsset.load's .glb/.gltf branch, so
+    JSON scene descriptions can instance glTF assets under further
+    transforms)."""
+    from .instancing import flatten_instances
+
+    g = load_gltf(path, y_up_to_z_up=y_up_to_z_up, scale=scale)
+    if not g.instances:
+        raise ValueError(f"{path}: no renderable TRIANGLES instances")
+    flat = flatten_instances(g.meshes, g.instances)
+    # load_gltf's texture ids are global into g.textures (every sub-asset
+    # carries textures=None, so flatten applied zero offsets); attaching
+    # the list here makes those ids LOCAL to this merged asset, which is
+    # exactly what a second flatten_instances pass expects
+    flat.textures = g.textures
+    return flat
+
+
 def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
-                     y_up_to_z_up: bool = True):
+                     y_up_to_z_up: bool = True, bvh_cfg=None):
     """Build a ready-to-render SceneBundle (scene + optional camera) the
     same shape the JSON description loader returns (description.py), so
     the CLI and API treat .glb/.gltf like any other composed scene."""
@@ -497,9 +562,13 @@ def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
     spheres = Spheres(center=empty, radius=np.zeros(0, np.float32),
                       color=empty.copy(), emission=empty.copy(),
                       refl=np.zeros(0, np.int32))
+    if bvh_cfg is None:
+        from ..config import BVHConfig
+        bvh_cfg = BVHConfig()
     flat = flatten_instances(g.meshes, g.instances)
     scene = Scene.from_triangles(
         flat.v0, flat.v1, flat.v2, spheres=spheres, builder=builder,
+        bvh_cfg=bvh_cfg,
         tri_refl=flat.tri_refl, tri_color=flat.tri_color,
         tri_uv=flat.tri_uv, tri_tex=flat.tri_tex,
         textures=g.textures,  # global ids: see load_gltf

@@ -76,6 +76,12 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     one flat BVH over the union, so per-asset trees would be wasted)."""
     from .scene import _ply_has_normals, load_mesh
 
+    if path.endswith((".glb", ".gltf")):
+        # a glTF file is itself a (possibly instanced) graph: pre-flatten
+        # it into one asset so it can be re-instanced like any mesh
+        from .gltf import load_gltf_asset
+        return load_gltf_asset(path, scale=scale)
+
     tri_uv = tri_tex = textures = tri_color = tri_vn = None
     tri_refl = tri_rough = tri_ntex = tri_rtex = None
     if path.endswith(".obj"):

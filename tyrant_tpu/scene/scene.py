@@ -371,7 +371,8 @@ class Scene:
             # (scene/gltf.py, beyond-reference); delegate and honour the
             # caller's envmap/spheres/delta-light overrides
             from .gltf import load_gltf_bundle
-            sc = load_gltf_bundle(path, builder=builder, scale=scale).scene
+            sc = load_gltf_bundle(path, builder=builder, scale=scale,
+                                  bvh_cfg=bvh_cfg).scene
             if isinstance(envmap, str):
                 from .texture import load_texture
                 envmap = load_texture(envmap)
