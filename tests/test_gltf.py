@@ -101,7 +101,8 @@ def _build_test_glb(tmp_path, lights=True, camera=True):
                         {"emissiveStrength": 2.0}}},
         {"extensions": {"KHR_materials_transmission":
                         {"transmissionFactor": 1.0}},
-         "pbrMetallicRoughness": {"metallicFactor": 0.0}},
+         "pbrMetallicRoughness": {"metallicFactor": 0.0,
+                                  "roughnessFactor": 0.0}},
         {"doubleSided": True,
          "pbrMetallicRoughness": {"metallicFactor": 0.0}},
     ]
@@ -200,7 +201,7 @@ def test_glb_materials(tmp_path):
     # doubleSided emitter is NOT winding-duplicated (shade's tri-light NEE
     # is already two-sided; a copy would double its power)
     assert light.n_tris == 1
-    assert glass.tri_refl[0] == REFR
+    assert glass.tri_refl[0] == REFR  # roughness 0 -> smooth glass
     # doubleSided: flipped-winding duplicate
     assert dbl.n_tris == 2
     np.testing.assert_allclose(dbl.v1[1], dbl.v2[0], atol=1e-6)

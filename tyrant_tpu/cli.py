@@ -373,7 +373,7 @@ def cmd_info(args):
     s = scene.spheres
     print(f"  spheres: {s.count}")
     mats = {0: "DIFF", 1: "SPEC", 2: "REFR", 3: "PHONG", 4: "LIGHT",
-            5: "GGX"}
+            5: "GGX", 8: "RREFR"}
     if scene.tri_refl is not None:
         refl = np.asarray(scene.tri_refl)
         counts = {mats[k]: int((refl == k).sum())

@@ -47,7 +47,8 @@ from .ops.sampling import (concentric_sample_disk, cone_sample,
                            triangle_sample_from_uniforms)
 from .ops.traverse import any_hit, closest_hit
 from .scene.envlight import LUM_RGB
-from .scene.scene import DIFF, GGX, LIGHT, PHONG, REFR, SPEC, SceneData
+from .scene.scene import (DIFF, GGX, LIGHT, PHONG, REFR, RREFR, SPEC,
+                          SceneData)
 
 PHONG_EXPONENT = 40.0  # kernel.cu:520
 
@@ -743,6 +744,9 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
     mul_mask = hit & (refl != REFR) & (refl != LIGHT)
+    if scene.has_rrefr:
+        # rough glass colours through Beer-Lambert absorption like REFR
+        mul_mask = mul_mask & (refl != RREFR)
     if scene.has_alpha_tex:
         mul_mask = mul_mask & (refl != PASS)
     if scene.has_ggx:
@@ -1364,6 +1368,51 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         new_dir = jnp.where(is_ggx[:, None], ggx_dir, new_dir)
         direct = direct * jnp.where(is_ggx[:, None], ggx_w, 1.0)
 
+    rr_transmit = None
+    if scene.has_rrefr:
+        # RREFR (beyond-reference): rough dielectric — "frosted glass".
+        # The REFR Fresnel/TIR/refraction math above, evaluated through a
+        # VNDF-sampled GGX microfacet h instead of the geometric normal.
+        # The VNDF estimator weight for either lobe is G2/G1 = G1(n.out)
+        # (separable Smith, ops/sampling.py).  Like smooth glass, rough
+        # glass takes no NEE: both lobes shade as delta-born (lastSpecular
+        # on, MIS pdf 0), so emitters/env arrive through BSDF hits at
+        # weight 1 — unbiased, just noisier than a true transmission pdf.
+        is_rrefr = hit & (refl == RREFR)
+        rr_rough = jnp.where(is_sphere, srow[:, 11], rough_tri)
+        rr_alpha = jnp.clip(rr_rough * rr_rough, 1e-4, 1.0)
+        if use_sobol:
+            ru1, ru2 = b_u, b_v  # same purpose (bounce dir), same pair
+        else:
+            rsd = rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                                0x4F61)
+            rsd, ru1 = rng.random_float(rsd)
+            _, ru2 = rng.random_float(rsd)
+        rr_h = ggx_vndf_sample_from_uniforms(-d, normal, rr_alpha, ru1, ru2)
+        cos_im = -dot(rr_h, d)
+        sin_t2m = nr * nr * (1.0 - cos_im * cos_im)
+        fres_m = jnp.where(
+            sin_t2m > 1.0, 1.0,
+            r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cos_im, 0.0), 5.0))
+        rr_reflects = fr < fres_m  # the REFR coin (same purpose, same draw)
+        cos_tm = jnp.sqrt(jnp.maximum(1.0 - sin_t2m, 0.0))
+        rr_dir = jnp.where(
+            rr_reflects[:, None], reflect(d, rr_h),
+            nr[:, None] * d + (nr * cos_im - cos_tm)[:, None] * rr_h)
+        out_cos = dot(normal, rr_dir)
+        # reflected lobes must leave above the surface, transmitted below;
+        # sideways microfacet samples get weight 0 (path dies in RR)
+        rr_valid = (cos_im > 0.0) & jnp.where(rr_reflects, out_cos > eps,
+                                              out_cos < -eps)
+        rr_w = jnp.where(rr_valid,
+                         ggx_g1(jnp.abs(out_cos), rr_alpha), 0.0)
+        new_dir = jnp.where(is_rrefr[:, None], rr_dir, new_dir)
+        direct = direct * jnp.where(is_rrefr[:, None], rr_w[:, None], 1.0)
+        # Beer-Lambert inside the medium, exactly like REFR
+        direct = direct * jnp.where((is_rrefr & ~outside)[:, None],
+                                    beer, 1.0)
+        rr_transmit = is_rrefr & ~rr_reflects
+
     if fog_on:
         # medium-event bounce: exact HG inverse-CDF sample around the
         # incoming direction; pdf == phase, so the estimator weight is 1
@@ -1378,6 +1427,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         new_dir = jnp.where(is_fog[:, None], fog_dir, new_dir)
 
     new_last_spec = (hit & (refl == SPEC)) | (is_refr & refr_reflects)
+    if scene.has_rrefr:
+        # both rough-glass lobes skip NEE, so emitter hits must count
+        # (and MIS marks them delta-born through new_last_spec below)
+        new_last_spec = new_last_spec | is_rrefr
     if scene.has_alpha_tex:
         # a pass-through does not change the path's BSDF history: a
         # specular-born ray seen through a leaf hole must still collect
@@ -1403,6 +1456,10 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         + jnp.where((is_refr & ~refr_reflects)[:, None],
                     -2.0 * eps * normal, 0.0) \
         + jnp.where(is_phong[:, None], eps * w_refl, 0.0)  # kernel.cu:505,592
+    if rr_transmit is not None:
+        # transmitted rough-glass rays start behind the surface, like REFR
+        origin_out = origin_out + jnp.where(rr_transmit[:, None],
+                                            -2.0 * eps * normal, 0.0)
     if scene.has_alpha_tex:
         # step through the cutout surface (the +eps face-forward offset
         # above would re-hit it)

@@ -49,12 +49,13 @@ import numpy as np
 
 from ..camera import Camera
 from ..config import BVHConfig
-from .scene import (DIFF, GGX, LIGHT, PHONG, REFR, SPEC, DeltaLights, Scene,
+from .scene import (DIFF, GGX, LIGHT, PHONG, REFR, RREFR, SPEC, DeltaLights, Scene,
                     Spheres)
 
 _MATERIALS = {"diffuse": DIFF, "specular": SPEC, "mirror": SPEC,
               "refractive": REFR, "glass": REFR, "phong": PHONG,
-              "light": LIGHT, "ggx": GGX, "metal": GGX}
+              "light": LIGHT, "ggx": GGX, "metal": GGX,
+              "rough_glass": RREFR, "frosted": RREFR}
 
 # "render" keys -> RenderConfig fields (bool -> on/off where needed)
 _RENDER_KEYS = {

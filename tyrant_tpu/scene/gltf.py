@@ -18,7 +18,9 @@ already has:
                                 (area lights with NEE)
   * alphaMode "MASK"         -> combined rgb+alpha atlas entry (the map_d
                                 cutout path; BLEND degrades to MASK)
-  * KHR_materials_transmission (factor > 0.5) -> REFR glass
+  * KHR_materials_transmission (factor > 0.5) -> REFR glass, or the
+                                RREFR frosted-glass BSDF when
+                                roughnessFactor > 0.05
   * doubleSided              -> a flipped-winding duplicate of each triangle
                                 (traversal backface-culls per the reference,
                                 loader.h:28; the duplicate restores two-sided
@@ -54,7 +56,7 @@ import numpy as np
 
 # material codes (scene.scene; duplicated to avoid a circular import, like
 # scene/obj.py does)
-_DIFF, _SPEC, _REFR, _PHONG, _LIGHT, _GGX = 0, 1, 2, 3, 4, 5
+_DIFF, _SPEC, _REFR, _PHONG, _LIGHT, _GGX, _RREFR = 0, 1, 2, 3, 4, 5, 8
 
 _COMPONENT_DTYPES = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
@@ -263,7 +265,9 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
         rec["refl"] = _LIGHT
         rec["color"] = tuple(float(c) for c in emissive)
     elif transmission > 0.5:
-        rec["refl"] = _REFR
+        # roughnessFactor > ~0 makes the glass frosted (RREFR: the REFR
+        # math through a VNDF-sampled microfacet, render.py)
+        rec["refl"] = _REFR if rec["rough"] < 0.05 else _RREFR
     elif metallic > 0.5:
         rec["refl"] = _GGX
     return rec
@@ -395,7 +399,7 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                              "srgba" if rec["alpha_mask"] else "srgb")
             ntex = texture_id(rec["n_tex"], "linear")
             rtex = (texture_id(rec["mr_tex"], "rough_g")
-                    if rec["refl"] == _GGX else -1)
+                    if rec["refl"] in (_GGX, _RREFR) else -1)
 
             v0 = pos[faces[:, 0]]
             v1 = pos[faces[:, 1]]

@@ -32,6 +32,11 @@ from .bvh import BVHArrays, build_bvh, bvh_stats
 # importance-sampled rough-conductor microfacet BSDF (VNDF sampling,
 # separable Smith; ops/sampling.py ggx_*) with per-surface roughness.
 DIFF, SPEC, REFR, PHONG, LIGHT, GGX = 0, 1, 2, 3, 4, 5
+# RREFR (beyond-reference): rough dielectric — "frosted glass".  The REFR
+# Fresnel/TIR/Beer-Lambert math evaluated through a VNDF-sampled GGX
+# microfacet instead of the geometric normal (render.py).  Ids 6/7 are
+# reserved by the shade-level FOG/PASS pseudo-materials (render.py).
+RREFR = 8
 
 
 @dataclasses.dataclass
@@ -267,6 +272,9 @@ class SceneData:
     # shade terms at trace time so non-GGX scenes compile the identical
     # program as before (zero cost, goldens bitwise stable).
     has_ggx: bool = False
+    # STATIC flag: any RREFR (rough-dielectric) surface — same static-gate
+    # policy as has_ggx.
+    has_rrefr: bool = False
     # Delta lights (beyond-reference; DeltaLights.pack rows [L_pad, 12]):
     # point / spot / directional emitters reachable only through NEE.
     # Dummy [1, 12] zeros when none; count is STATIC aux (zero count
@@ -310,7 +318,7 @@ class SceneData:
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
                  self.has_rough_maps, self.has_alpha_tex,
-                 self.n_delta_lights))
+                 self.n_delta_lights, self.has_rrefr))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -324,7 +332,7 @@ class SceneData:
                    env_data=leaves[13], tri_lights=leaves[14],
                    env_alias=leaves[15], delta_lights=leaves[16],
                    n_delta_lights=aux[11], light_alias=leaves[17],
-                   light_powers=leaves[18])
+                   light_powers=leaves[18], has_rrefr=aux[12])
 
 
 @dataclasses.dataclass
@@ -804,6 +812,8 @@ class Scene:
             sphere_table[0, 3] = 1.0
             sphere_table[0, 11] = 0.3
         has_ggx = bool((s.refl == GGX).any() or (tri_refl == GGX).any())
+        has_rrefr = bool((s.refl == RREFR).any()
+                         or (tri_refl == RREFR).any())
 
         return SceneData(
             bvh=bvh_dev,
@@ -835,6 +845,7 @@ class Scene:
             tri_lights=tri_lights,
             n_tri_lights=n_tri_lights,
             has_ggx=has_ggx,
+            has_rrefr=has_rrefr,
             delta_lights=delta_rows,
             n_delta_lights=n_delta,
             light_powers=light_powers,
