@@ -441,3 +441,34 @@ def test_gltf_as_instanced_asset(tmp_path):
     # offsetting in flatten_instances, not per-instance)
     assert sc.textures is not None and len(sc.textures) == 1
     assert sc.tri_tex.max() == 0
+
+
+def test_gltf_vertex_colors(tmp_path):
+    """COLOR_0 (normalized ubyte VEC4) multiplies into the base color as
+    a per-triangle mean (linear per spec, no sRGB decode)."""
+    b = _Bin()
+    bv_tri = b.add(TRI_POS.tobytes())
+    cols = np.array([[255, 0, 0, 255]] * 3, np.uint8)
+    bv_col = b.add(cols.tobytes())
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "buffers": [{"byteLength": len(b.blob)}],
+        "bufferViews": b.views,
+        "accessors": [
+            {"bufferView": bv_tri, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": bv_col, "componentType": 5121, "count": 3,
+             "type": "VEC4", "normalized": True}],
+        "materials": [{"pbrMetallicRoughness":
+                       {"baseColorFactor": [0.5, 1.0, 1.0, 1.0],
+                        "metallicFactor": 0.0}}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0,
+                                                   "COLOR_0": 1},
+                                    "material": 0}]}],
+    }
+    p = tmp_path / "vcol.glb"
+    p.write_bytes(_glb(gltf, b.blob))
+    g = load_gltf(str(p))
+    np.testing.assert_allclose(g.meshes[0].tri_color[0], [0.5, 0.0, 0.0],
+                               atol=1e-6)

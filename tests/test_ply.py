@@ -43,3 +43,49 @@ def test_binary_roundtrip(tmp_path):
     # tri + fan-triangulated quad = 3 faces
     assert fc.shape == (3, 3)
     np.testing.assert_array_equal(fc[0], [0, 1, 2])
+
+
+def test_vertex_colors_ascii(tmp_path):
+    """PLY red/green/blue (scanned-mesh attribute): 8-bit decodes as sRGB
+    to linear; Scene.load shades them as per-triangle mean albedo."""
+    import numpy as np
+    from tyrant_tpu.scene.ply import load_ply_attrs
+    from tyrant_tpu.scene.scene import Scene
+    p = tmp_path / "col.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 255 0 0\n1 0 0 255 0 0\n0 1 0 255 0 0\n"
+        "3 0 1 2\n")
+    v, f, n, c = load_ply_attrs(str(p))
+    assert n is None and c is not None
+    np.testing.assert_allclose(c[0], [1.0, 0.0, 0.0], atol=1e-6)
+    sc = Scene.load(str(p), builder="numpy")
+    np.testing.assert_allclose(sc.tri_color[0], [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_vertex_colors_binary(tmp_path):
+    import numpy as np
+    from tyrant_tpu.scene.ply import load_ply_attrs
+    p = tmp_path / "colb.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 3\n")
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property uchar red\nproperty uchar green\n"
+                b"property uchar blue\n")
+        f.write(b"element face 1\n")
+        f.write(b"property list uchar int vertex_indices\nend_header\n")
+        import struct
+        for vert, col in [((0, 0, 0), (128, 128, 128)),
+                          ((1, 0, 0), (128, 128, 128)),
+                          ((0, 1, 0), (128, 128, 128))]:
+            f.write(struct.pack("<fff3B", *vert, *col))
+        f.write(struct.pack("<B3i", 3, 0, 1, 2))
+    v, f2, n, c = load_ply_attrs(str(p))
+    assert v.shape == (3, 3) and f2.shape == (1, 3)
+    np.testing.assert_allclose(c, (128 / 255.0) ** 2.2, atol=1e-6)

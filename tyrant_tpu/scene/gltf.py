@@ -14,6 +14,8 @@ already has:
   * baseColorTexture         -> albedo atlas entry (sRGB-decoded)
   * metallicRoughnessTexture -> roughness map (G channel, linear)
   * normalTexture            -> tangent-space normal map (linear)
+  * COLOR_0 vertex colors    -> per-triangle mean albedo x base color
+                                (flat; same policy as PLY scanned colors)
   * emissiveFactor (x KHR_materials_emissive_strength) -> LIGHT triangles
                                 (area lights with NEE)
   * alphaMode "MASK"         -> combined rgb+alpha atlas entry (the map_d
@@ -36,7 +38,7 @@ agrees with the atmosphere's.
 Not supported (documented degradations): per-texel metalness (the B channel
 of metallicRoughnessTexture; the material's ``metallicFactor`` decides
 DIFF-vs-GGX for the whole primitive), KHR_texture_transform, skinning /
-morph targets / animations (static pose only), TEXCOORD_1, vertex colors,
+morph targets / animations (static pose only), TEXCOORD_1,
 non-TRIANGLES primitive modes (raised), alpha BLEND (treated as MASK),
 ``alphaCutoff`` values other than 0.5 (the shade-time cutout threshold is
 fixed, render.py PASS pseudo-material).
@@ -393,6 +395,14 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
             if "NORMAL" in attrs:
                 nr = _read_accessor(gltf, bufs, attrs["NORMAL"])
                 vn = nr[:, :3].astype(np.float32)[faces]  # [T, 3, 3]
+            vcol = None
+            if "COLOR_0" in attrs:
+                # vertex colors are linear per spec (normalized u8/u16
+                # decode in _read_accessor); shaded as per-triangle mean
+                # albedo multiplied into the base color factor (flat —
+                # same policy as PLY scanned colors, scene/scene.py)
+                vc = _read_accessor(gltf, bufs, attrs["COLOR_0"])
+                vcol = vc[:, :3].astype(np.float32)[faces].mean(axis=1)
 
             rec = _material_record(gltf, prim.get("material"))
             tex = texture_id(rec["base_tex"],
@@ -418,13 +428,18 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                     uv = np.concatenate([uv, uv[:, [0, 2, 1]]])
                 if vn is not None:
                     vn = np.concatenate([vn, -vn[:, [0, 2, 1]]])
+                if vcol is not None:
+                    vcol = np.concatenate([vcol, vcol])
                 n_tris *= 2
 
+            base_col = np.tile(np.asarray(rec["color"], np.float32),
+                               (n_tris, 1))
+            if vcol is not None and rec["refl"] != _LIGHT:
+                base_col = base_col * vcol
             asset = MeshAsset(
                 v0=v0, v1=v1, v2=v2,
                 tri_refl=np.full(n_tris, rec["refl"], np.int32),
-                tri_color=np.tile(np.asarray(rec["color"], np.float32),
-                                  (n_tris, 1)),
+                tri_color=base_col,
                 tri_rough=np.full(n_tris,
                                   max(0.03, min(rec["rough"], 1.0)),
                                   np.float32),

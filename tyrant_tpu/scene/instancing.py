@@ -74,7 +74,7 @@ class MeshAsset:
 def _load_no_bvh(path: str, scale: float) -> MeshAsset:
     """Scene.load's loader stage without the BVH build (instances rebuild
     one flat BVH over the union, so per-asset trees would be wasted)."""
-    from .scene import _ply_has_normals, load_mesh
+    from .scene import _ply_has_attrs, load_mesh
 
     if path.endswith((".glb", ".gltf")):
         # a glTF file is itself a (possibly instanced) graph: pre-flatten
@@ -94,11 +94,14 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         tri_refl, tri_rough = m.tri_refl, m.tri_rough
         tri_ntex = m.tri_ntex
         tri_rtex = m.tri_rtex
-    elif path.endswith(".ply") and _ply_has_normals(path):
-        from .ply import load_ply_full
-        vertices, faces, vnorm = load_ply_full(path)
+    elif path.endswith(".ply") and _ply_has_attrs(path):
+        from .ply import load_ply_attrs
+        vertices, faces, vnorm, vcol = load_ply_attrs(path)
         if vnorm is not None:
             tri_vn = vnorm[faces]
+        if vcol is not None:
+            # per-triangle mean of the scanned vertex colors (scene.py)
+            tri_color = vcol[faces].mean(axis=1).astype(np.float32)
     else:
         vertices, faces = load_mesh(path)
     vertices = vertices * np.float32(scale)

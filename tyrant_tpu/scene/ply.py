@@ -37,7 +37,7 @@ def _strip_comment(line: str) -> str:
 
 def load_ply(path: str):
     """Returns (vertices [V,3] float32, faces [F,3] int32)."""
-    return load_ply_full(path)[:2]
+    return load_ply_attrs(path)[:2]
 
 
 def load_ply_full(path: str):
@@ -45,6 +45,15 @@ def load_ply_full(path: str):
     None).  Vertex normals (nx/ny/nz properties) feed smooth shading
     (beyond-reference: the reference requests Assimp GenSmoothNormals,
     Scene.cpp:5, then never reads the result, static_mesh.cpp:18)."""
+    return load_ply_attrs(path)[:3]
+
+
+def load_ply_attrs(path: str):
+    """Returns (vertices, faces, normals or None, colors [V,3] f32 or
+    None).  Vertex colors (``red/green/blue`` properties — the standard
+    scanned-mesh attribute) decode to LINEAR light: 8-bit values are
+    treated as sRGB (gamma-2.2, matching scene/texture.load_texture),
+    float values as already linear."""
     with open(path, "rb") as f:
         data = f.read()
 
@@ -82,7 +91,14 @@ def load_ply_full(path: str):
 
     vertices = None
     normals = None
+    colors = None
     faces = []
+
+    def _decode_colors(stacked, is_u8):
+        c = stacked.astype(np.float32)
+        if is_u8:
+            c = (c / 255.0) ** 2.2  # 8-bit scanner colors are sRGB
+        return c
 
     if fmt == "ascii":
         # cube.ply carries `{ ... }` comments on body lines too
@@ -103,6 +119,12 @@ def load_ply_full(path: str):
                 if all(k in names for k in ("nx", "ny", "nz")):
                     normals = arr[:, [names.index("nx"), names.index("ny"),
                                       names.index("nz")]].astype(np.float32)
+                if all(k in names for k in ("red", "green", "blue")):
+                    ri = names.index("red")
+                    colors = _decode_colors(
+                        arr[:, [ri, names.index("green"),
+                                names.index("blue")]],
+                        props[ri][1] == "u1")
                 pos += count * width
             elif name == "face":
                 for _ in range(count):
@@ -126,6 +148,11 @@ def load_ply_full(path: str):
                 if all(k in dt.names for k in ("nx", "ny", "nz")):
                     normals = np.stack([arr["nx"], arr["ny"], arr["nz"]],
                                        axis=1).astype(np.float32)
+                if all(k in dt.names for k in ("red", "green", "blue")):
+                    colors = _decode_colors(
+                        np.stack([arr["red"], arr["green"], arr["blue"]],
+                                 axis=1),
+                        dt["red"] == np.dtype("u1"))
             elif name == "face":
                 # faces: one list property (vertex indices)
                 lp = [p for p in props if p[2]][0]
@@ -156,4 +183,4 @@ def load_ply_full(path: str):
     if vertices is None:
         raise ValueError(f"{path}: no vertex element")
     return (vertices, np.asarray(faces, dtype=np.int32).reshape(-1, 3),
-            normals)
+            normals, colors)

@@ -423,13 +423,19 @@ class Scene:
             tri_refl, tri_rough = m.tri_refl, m.tri_rough
             tri_ntex = m.tri_ntex
             tri_rtex = m.tri_rtex
-        elif path.endswith(".ply") and _ply_has_normals(path):
-            # vertex normals present: the python loader extracts them for
-            # smooth shading (the native fast path returns positions only)
-            from .ply import load_ply_full
-            vertices, faces, vnorm = load_ply_full(path)
+        elif path.endswith(".ply") and _ply_has_attrs(path):
+            # vertex normals and/or colors present: the python loader
+            # extracts them (the native fast path returns positions only).
+            # Vertex colors — the standard scanned-mesh attribute — shade
+            # as per-triangle mean albedo (flat: the 32-lane attr row has
+            # no room for 9 more floats; at scan densities the difference
+            # is sub-pixel)
+            from .ply import load_ply_attrs
+            vertices, faces, vnorm, vcol = load_ply_attrs(path)
             if vnorm is not None:
                 tri_vn = vnorm[faces]  # [F, 3, 3]
+            if vcol is not None:
+                tri_color = vcol[faces].mean(axis=1).astype(np.float32)
         else:
             vertices, faces = load_mesh(path)
         vertices = vertices * np.float32(scale)  # Scene.cpp:14-16 unit-scale hook
@@ -853,12 +859,14 @@ class Scene:
         )
 
 
-def _ply_has_normals(path: str) -> bool:
-    """Header sniff: does this PLY carry nx/ny/nz vertex properties?"""
+def _ply_has_attrs(path: str) -> bool:
+    """Header sniff: vertex normals OR colors (either routes the load
+    through the python attribute loader instead of the native fast path)."""
     try:
         with open(path, "rb") as f:
             head = f.read(4096)
-        return b" nx" in head[:head.find(b"end_header") + 1 or None]
+        head = head[:head.find(b"end_header") + 1 or None]
+        return b" nx" in head or b" red" in head
     except OSError:
         return False
 
