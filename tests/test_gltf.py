@@ -443,6 +443,66 @@ def test_gltf_as_instanced_asset(tmp_path):
     assert sc.tri_tex.max() == 0
 
 
+def test_gltf_texture_transform(tmp_path):
+    """KHR_texture_transform bakes offset/rotation/scale into tri_uv in
+    glTF UV space (before the OBJ-convention v-flip)."""
+    b = _Bin()
+    bv_tri = b.add(TRI_POS.tobytes())
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    bv_uv = b.add(uvs.tobytes())
+    img = _png_bytes(np.full((2, 2, 3), 128, np.uint8))
+    bv_img = b.add(img)
+
+    def make(tt):
+        tex_info = {"index": 0}
+        if tt is not None:
+            tex_info["extensions"] = {"KHR_texture_transform": tt}
+        return {
+            "asset": {"version": "2.0"},
+            "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+            "buffers": [{"byteLength": len(b.blob)}],
+            "bufferViews": b.views,
+            "accessors": [
+                {"bufferView": bv_tri, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": bv_uv, "componentType": 5126, "count": 3,
+                 "type": "VEC2"}],
+            "images": [{"bufferView": bv_img, "mimeType": "image/png"}],
+            "textures": [{"source": 0}],
+            "materials": [{"pbrMetallicRoughness":
+                           {"baseColorTexture": tex_info,
+                            "metallicFactor": 0.0}}],
+            "meshes": [{"primitives": [{"attributes": {"POSITION": 0,
+                                                       "TEXCOORD_0": 1},
+                                        "material": 0}]}],
+        }
+
+    # offset + scale: u' = 0.5u + 0.25, v' = 0.5v + 0.125 (gltf space),
+    # then the loader's v-flip -> (u', 1 - v')
+    p = tmp_path / "tt.glb"
+    p.write_bytes(_glb(make({"offset": [0.25, 0.125],
+                             "scale": [0.5, 0.5]}), b.blob))
+    g = load_gltf(str(p))
+    np.testing.assert_allclose(
+        g.meshes[0].tri_uv[0],
+        [[0.25, 1 - 0.125], [0.75, 1 - 0.125], [0.25, 1 - 0.625]],
+        atol=1e-6)
+
+    # pure rotation pi/2: R=[[c,s],[-s,c]] -> (u,v)=(1,0) maps to (0,-1)
+    p2 = tmp_path / "tt2.glb"
+    p2.write_bytes(_glb(make({"rotation": np.pi / 2}), b.blob))
+    g2 = load_gltf(str(p2))
+    np.testing.assert_allclose(g2.meshes[0].tri_uv[0, 1], [0.0, 2.0],
+                               atol=1e-6)  # v'=-1 -> flipped 1-(-1)
+
+    # no extension: identity (regression guard for the rec reorder)
+    p3 = tmp_path / "tt3.glb"
+    p3.write_bytes(_glb(make(None), b.blob))
+    g3 = load_gltf(str(p3))
+    np.testing.assert_allclose(g3.meshes[0].tri_uv[0],
+                               [[0, 1], [1, 1], [0, 0]], atol=1e-6)
+
+
 def test_gltf_vertex_colors(tmp_path):
     """COLOR_0 (normalized ubyte VEC4) multiplies into the base color as
     a per-triangle mean (linear per spec, no sRGB decode)."""

@@ -16,6 +16,9 @@ already has:
   * normalTexture            -> tangent-space normal map (linear)
   * COLOR_0 vertex colors    -> per-triangle mean albedo x base color
                                 (flat; same policy as PLY scanned colors)
+  * KHR_texture_transform    -> baked into the per-triangle UVs at load
+                                (one transform per primitive: baseColor's
+                                wins if slots disagree)
   * emissiveFactor (x KHR_materials_emissive_strength) -> LIGHT triangles
                                 (area lights with NEE)
   * alphaMode "MASK"         -> combined rgb+alpha atlas entry (the map_d
@@ -37,7 +40,8 @@ agrees with the atmosphere's.
 
 Not supported (documented degradations): per-texel metalness (the B channel
 of metallicRoughnessTexture; the material's ``metallicFactor`` decides
-DIFF-vs-GGX for the whole primitive), KHR_texture_transform, skinning /
+DIFF-vs-GGX for the whole primitive), per-texture-slot UV transforms
+(see KHR_texture_transform above), skinning /
 morph targets / animations (static pose only), TEXCOORD_1,
 non-TRIANGLES primitive modes (raised), alpha BLEND (treated as MASK),
 ``alphaCutoff`` values other than 0.5 (the shade-time cutout threshold is
@@ -237,7 +241,7 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     """Flatten one glTF material to the fields the shade path consumes."""
     rec = {"refl": _DIFF, "color": (1.0, 1.0, 1.0), "rough": 1.0,
            "base_tex": None, "mr_tex": None, "n_tex": None,
-           "alpha_mask": False, "double_sided": False}
+           "alpha_mask": False, "double_sided": False, "uv_xform": None}
     if mat_idx is None:
         return rec
     m = gltf["materials"][mat_idx]
@@ -253,6 +257,18 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
         rec["mr_tex"] = pbr["metallicRoughnessTexture"]["index"]
     if "normalTexture" in m:
         rec["n_tex"] = m["normalTexture"]["index"]
+    # KHR_texture_transform: one transform per PRIMITIVE (UVs are baked
+    # per-triangle at load, shared by every texture slot), taken from the
+    # first slot carrying it in baseColor > normal > metallicRoughness
+    # order — differing per-slot transforms are a documented degradation
+    for info in (pbr.get("baseColorTexture"), m.get("normalTexture"),
+                 pbr.get("metallicRoughnessTexture")):
+        tt = (info or {}).get("extensions", {}).get("KHR_texture_transform")
+        if tt is not None:
+            rec["uv_xform"] = (tuple(tt.get("offset", (0.0, 0.0))),
+                               float(tt.get("rotation", 0.0)),
+                               tuple(tt.get("scale", (1.0, 1.0))))
+            break
     if m.get("alphaMode", "OPAQUE") in ("MASK", "BLEND"):
         rec["alpha_mask"] = True
 
@@ -382,10 +398,22 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
             if n_tris == 0:
                 continue
 
+            rec = _material_record(gltf, prim.get("material"))
+
             uv = None
             if "TEXCOORD_0" in attrs:
                 vt = _read_accessor(gltf, bufs, attrs["TEXCOORD_0"])
                 vt = vt[:, :2].astype(np.float32)
+                if rec["uv_xform"] is not None:
+                    # KHR_texture_transform in glTF UV space (before the
+                    # v-flip below): uv' = T(offset) R(rot) S(scale) [u,v,1]
+                    # with R = [[c,s],[-s,c]] (Khronos sample-viewer matrix)
+                    (ou, ov), rot, (su, sv) = rec["uv_xform"]
+                    c, s = np.cos(rot), np.sin(rot)
+                    u_s, v_s = su * vt[:, 0], sv * vt[:, 1]
+                    vt = np.stack([c * u_s + s * v_s + ou,
+                                   -s * u_s + c * v_s + ov],
+                                  axis=1).astype(np.float32)
                 # glTF v runs top-down; the atlas sampler flips v at sample
                 # time for OBJ's bottom-up convention (texture.py), so
                 # pre-flip here to land in OBJ convention
@@ -404,7 +432,6 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                 vc = _read_accessor(gltf, bufs, attrs["COLOR_0"])
                 vcol = vc[:, :3].astype(np.float32)[faces].mean(axis=1)
 
-            rec = _material_record(gltf, prim.get("material"))
             tex = texture_id(rec["base_tex"],
                              "srgba" if rec["alpha_mask"] else "srgb")
             ntex = texture_id(rec["n_tex"], "linear")
