@@ -130,3 +130,43 @@ def test_cli_info(capsys):
     assert "lights:" in out
     assert "packet tables:" in out
     assert "render config:" in out
+
+
+def test_cli_dof_autofocus(tmp_path, capsys):
+    """--focus-at sets the focus plane from the primary-hit depth; --lens-
+    radius/--focal-distance plumb the reference's DoF sliders (world
+    units: the slider's 3x scale is unapplied, kernel.cu:286)."""
+    out = tmp_path / "dof.png"
+    # default 7-sphere scene; aim at the floor so the focus pixel hits
+    cli.main(["render", "--width", "48", "--height", "32", "--rays", "1024",
+              "--steps", "2", "--camera", "0", "-170", "40", "0", "-0.10",
+              "--lens-radius", "2.0", "--focus-at", "0.5", "0.8",
+              "--out", str(out)])
+    _png_ok(out, size=(48, 32))
+    err = capsys.readouterr().err
+    assert "autofocus: depth" in err
+
+    # --focal-distance is a WORLD distance: the camera field divides out
+    # the slider scale
+    import argparse
+    ns = argparse.Namespace(
+        scene=None, width=8, height=8, rays=64, bounces=2, no_spheres=False,
+        sun=(0.05, 0.3), camera=None, scale=1.0, clamp=0.0, denoise=False,
+        tonemap="reinhard", exposure=1.0, envmap=None, adaptive=False,
+        mis=False, sampler="xorshift", seed=0, light_sampling="uniform",
+        fog=False, projection="perspective", texture_filter="bilinear",
+        builder="numpy", lens_radius=0.5, focal_distance=30.0)
+    cfg, scene, cam = cli._build(ns)
+    assert cam.lens_radius == 0.5
+    np.testing.assert_allclose(
+        cam.focal_distance * cfg.focal_distance_scale, 30.0)
+
+
+def test_cli_autofocus_sky_warns(tmp_path, capsys):
+    out = tmp_path / "sky.png"
+    cli.main(["render", "--no-spheres", "--width", "32", "--height", "24",
+              "--rays", "512", "--steps", "1",
+              "--lens-radius", "1.0", "--focus-at", "0.5", "0.1",
+              "--out", str(out)])
+    _png_ok(out)
+    assert "hits the sky" in capsys.readouterr().err

@@ -38,6 +38,20 @@ def _add_common(p):
     p.add_argument("--camera", type=float, nargs=5, metavar=("X", "Y", "Z", "H", "V"),
                    default=None, help="position + horizontal/vertical angles")
     p.add_argument("--scale", type=float, default=1.0, help="mesh unit scale")
+    p.add_argument("--lens-radius", type=float, default=0.0,
+                   help="DoF aperture radius, world units (0 = pinhole; "
+                        "the reference's LensRadius slider)")
+    p.add_argument("--focal-distance", type=float, default=None,
+                   help="world distance to the focus plane (the "
+                        "reference's FocalDistance slider carries a 3x "
+                        "scale, kernel.cu:286 — this flag is the real "
+                        "distance)")
+    p.add_argument("--focus-at", type=float, nargs=2, default=None,
+                   metavar=("FX", "FY"),
+                   help="autofocus: image-fraction point (0-1 from the "
+                        "top-left) whose primary-hit depth sets the focus "
+                        "plane (overrides --focal-distance; pair with "
+                        "--lens-radius)")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="firefly clamp: per-bounce radiance bound (0 = off)")
     p.add_argument("--denoise", action="store_true",
@@ -186,7 +200,34 @@ def _build(args):
     if bundle is not None and bundle.sun is not None \
             and tuple(args.sun) == (0.05, 0.3):
         args.sun = bundle.sun
+    if getattr(args, "lens_radius", 0.0):
+        cam.lens_radius = float(args.lens_radius)
+    if getattr(args, "focal_distance", None):
+        # the flag is the world distance; the camera field is the
+        # reference's slider value (x cfg.focal_distance_scale at raygen)
+        cam.focal_distance = float(args.focal_distance) \
+            / cfg.focal_distance_scale
     return cfg, scene, cam
+
+
+def _autofocus(renderer, cam, cfg, fx: float, fy: float) -> None:
+    """Set cam.focal_distance from the primary-hit depth at image
+    fraction (fx, fy) — one deterministic AOV pass (render.render_aovs).
+    A sky pixel leaves the focal distance unchanged (warning)."""
+    from .render import VERY_FAR, render_aovs
+
+    aovs = render_aovs(renderer.scene, cam.to_device(cfg), cfg,
+                       packet_tables=renderer.packet_tables)
+    px = min(max(int(fx * cfg.width), 0), cfg.width - 1)
+    py = min(max(int(fy * cfg.height), 0), cfg.height - 1)
+    d = float(aovs["depth"][py, px])
+    if d >= VERY_FAR:
+        print(f"warning: --focus-at ({fx}, {fy}) hits the sky; "
+              "focal distance unchanged", file=sys.stderr)
+        return
+    cam.focal_distance = d / cfg.focal_distance_scale
+    print(f"autofocus: depth {d:.3f} at pixel ({px}, {py})",
+          file=sys.stderr)
 
 
 def cmd_render(args):
@@ -197,6 +238,8 @@ def cmd_render(args):
 
     cfg, scene, cam = _build(args)
     r = Renderer(scene, cfg, sun_position=tuple(args.sun))
+    if getattr(args, "focus_at", None) is not None:
+        _autofocus(r, cam, cfg, *args.focus_at)
 
     # checkpoint/resume (long renders; SURVEY.md §5 — the reference loses
     # its accumulation on exit).  Resume is EXACT: the carried rays, RNG
@@ -298,6 +341,10 @@ def cmd_anim(args):
 
     cfg, scene, cam = _build(args)
     r = Renderer(scene, cfg, sun_position=tuple(args.sun))
+    if getattr(args, "focus_at", None) is not None:
+        # autofocus once, at the path's start pose (a per-frame re-focus
+        # would pump the focus plane through the sweep)
+        _autofocus(r, cam, cfg, *args.focus_at)
     os.makedirs(args.out, exist_ok=True)
     n = max(args.frames, 1)
     base_pos = cam.position.copy()
