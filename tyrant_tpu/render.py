@@ -646,6 +646,11 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         trow = scene.tri_shade[tid]  # [N, 8]
         normal_tri = trow[:, 0:3]
         refl_tri = trow[:, 3].astype(jnp.int32)
+        if scene.has_blend:
+            # stochastic-BLEND flag rides the refl lane as +16
+            # (scene.py to_device; zero extra gathers)
+            blend_tri = refl_tri >= 16
+            refl_tri = refl_tri - jnp.where(blend_tri, 16, 0)
         color_tri = trow[:, 4:7]
         rough_tri = trow[:, 7]
         if scene.has_textures or scene.smooth_normals \
@@ -737,7 +742,20 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # ray continues BEHIND the surface next step (one wavefront step
         # per transparent layer, like a REFR transmission with no bend).
         # Shadow rays stay alpha-blind (see SceneData.has_alpha_tex).
-        is_pass = hit & is_tri & (cut_alpha < 0.5)
+        thresh = 0.5
+        if scene.has_blend:
+            # stochastic transparency (glTF alphaMode BLEND / MTL d<1):
+            # a BLEND hit shades with probability alpha and passes
+            # through with probability 1-alpha — unbiased linear
+            # over-compositing at one wavefront step per layer.  Side
+            # RNG stream (like fog): blend-free scenes compile the
+            # identical program and their goldens stay bitwise stable.
+            _, u_b = rng.random_float(
+                rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                              0xB1E2D))
+            thresh = jnp.where(blend_tri,
+                               jnp.clip(u_b, 1e-6, 1.0 - 1e-6), 0.5)
+        is_pass = hit & is_tri & (cut_alpha < thresh)
         if fog_on:
             is_pass = is_pass & ~is_fog
         refl = jnp.where(is_pass, PASS, refl)

@@ -22,7 +22,11 @@ already has:
   * emissiveFactor (x KHR_materials_emissive_strength) -> LIGHT triangles
                                 (area lights with NEE)
   * alphaMode "MASK"         -> combined rgb+alpha atlas entry (the map_d
-                                cutout path; BLEND degrades to MASK)
+                                0.5-cutout path)
+  * alphaMode "BLEND"        -> stochastic transparency: shade with
+                                probability alpha, pass through with 1-alpha
+                                (unbiased; constant baseColorFactor alpha
+                                rides a synthesized 1x1 texel)
   * KHR_materials_transmission (factor > 0.5) -> REFR glass, or the
                                 RREFR frosted-glass BSDF when
                                 roughnessFactor > 0.05
@@ -43,7 +47,8 @@ of metallicRoughnessTexture; the material's ``metallicFactor`` decides
 DIFF-vs-GGX for the whole primitive), per-texture-slot UV transforms
 (see KHR_texture_transform above), skinning /
 morph targets / animations (static pose only), TEXCOORD_1,
-non-TRIANGLES primitive modes (raised), alpha BLEND (treated as MASK),
+non-TRIANGLES primitive modes (raised), baseColorFactor alpha combined
+with a base texture (texel alpha wins under BLEND),
 ``alphaCutoff`` values other than 0.5 (the shade-time cutout threshold is
 fixed, render.py PASS pseudo-material).
 """
@@ -241,7 +246,8 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     """Flatten one glTF material to the fields the shade path consumes."""
     rec = {"refl": _DIFF, "color": (1.0, 1.0, 1.0), "rough": 1.0,
            "base_tex": None, "mr_tex": None, "n_tex": None,
-           "alpha_mask": False, "double_sided": False, "uv_xform": None}
+           "alpha_mask": False, "blend": False, "alpha": 1.0,
+           "double_sided": False, "uv_xform": None}
     if mat_idx is None:
         return rec
     m = gltf["materials"][mat_idx]
@@ -249,6 +255,7 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     pbr = m.get("pbrMetallicRoughness", {})
     bc = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
     rec["color"] = tuple(float(c) for c in bc[:3])
+    rec["alpha"] = float(bc[3]) if len(bc) > 3 else 1.0
     metallic = float(pbr.get("metallicFactor", 1.0))
     rec["rough"] = float(pbr.get("roughnessFactor", 1.0))
     if "baseColorTexture" in pbr:
@@ -271,6 +278,9 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
             break
     if m.get("alphaMode", "OPAQUE") in ("MASK", "BLEND"):
         rec["alpha_mask"] = True
+        # BLEND -> stochastic transparency (render.py): shade with
+        # probability alpha instead of the 0.5 MASK cutout
+        rec["blend"] = m["alphaMode"] == "BLEND"
 
     ext = m.get("extensions", {})
     emissive = np.asarray(m.get("emissiveFactor", (0.0, 0.0, 0.0)),
@@ -434,6 +444,25 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
 
             tex = texture_id(rec["base_tex"],
                              "srgba" if rec["alpha_mask"] else "srgb")
+            blend_on = rec["blend"] and rec["refl"] in (_DIFF, _GGX)
+            if blend_on and tex < 0 and rec["alpha"] < 1.0:
+                # constant-alpha BLEND with no base texture: a shared 1x1
+                # white RGBA texel carries the factor alpha (the coverage
+                # taps shade already pays; rgb=1 keeps the color factor).
+                # LIMITATION: with a base texture, the factor alpha is
+                # ignored (texel alpha wins) — scaling would need a
+                # per-material texture copy.
+                key = ("const_alpha", round(rec["alpha"], 6))
+                if key not in tex_cache:
+                    tex_cache[key] = len(textures)
+                    textures.append(np.asarray(
+                        [[[1.0, 1.0, 1.0, rec["alpha"]]]], np.float32))
+                tex = tex_cache[key]
+                if uv is None:
+                    # the atlas taps need UVs; for a 1x1 texel any
+                    # parameterisation works
+                    uv = np.zeros((n_tris, 3, 2), np.float32)
+            blend_on = blend_on and tex >= 0
             ntex = texture_id(rec["n_tex"], "linear")
             rtex = (texture_id(rec["mr_tex"], "rough_g")
                     if rec["refl"] in (_GGX, _RREFR) else -1)
@@ -478,7 +507,9 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                 tri_rtex=(np.full(n_tris, rtex, np.int32)
                           if rtex >= 0 else None),
                 textures=None,
-                tri_vn=vn)
+                tri_vn=vn,
+                tri_blend=(np.full(n_tris, True)
+                           if blend_on else None))
             ids.append(len(assets))
             assets.append(asset)
         mesh_asset_ids.append(ids)
@@ -620,6 +651,7 @@ def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
         textures=g.textures,  # global ids: see load_gltf
         tri_vn=flat.tri_vn, tri_rough=flat.tri_rough,
         tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
+        tri_blend=flat.tri_blend,
         delta_lights=dl)
     scene.stats["instances"] = len(g.instances)
     scene.stats["unique_meshes"] = len(g.meshes)

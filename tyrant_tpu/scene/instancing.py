@@ -59,6 +59,8 @@ class MeshAsset:
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
     tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
     tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
+    tri_blend: Optional[np.ndarray] = None  # [T] bool: stochastic alpha
+    #   BLEND (glTF alphaMode BLEND / MTL d<1) vs the 0.5 MASK cutout
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -83,7 +85,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         return load_gltf_asset(path, scale=scale)
 
     tri_uv = tri_tex = textures = tri_color = tri_vn = None
-    tri_refl = tri_rough = tri_ntex = tri_rtex = None
+    tri_refl = tri_rough = tri_ntex = tri_rtex = tri_blend = None
     if path.endswith(".obj"):
         from .obj import load_obj_scene
         m = load_obj_scene(path)
@@ -94,6 +96,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         tri_refl, tri_rough = m.tri_refl, m.tri_rough
         tri_ntex = m.tri_ntex
         tri_rtex = m.tri_rtex
+        tri_blend = m.tri_blend
     elif path.endswith(".ply") and _ply_has_attrs(path):
         from .ply import load_ply_attrs
         vertices, faces, vnorm, vcol = load_ply_attrs(path)
@@ -109,7 +112,8 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
                      v2=vertices[faces[:, 2]], tri_color=tri_color,
                      tri_uv=tri_uv, tri_tex=tri_tex, textures=textures,
                      tri_vn=tri_vn, tri_refl=tri_refl, tri_rough=tri_rough,
-                     tri_ntex=tri_ntex, tri_rtex=tri_rtex)
+                     tri_ntex=tri_ntex, tri_rtex=tri_rtex,
+                     tri_blend=tri_blend)
 
 
 def _as_affine(m) -> tuple[np.ndarray, np.ndarray]:
@@ -176,6 +180,8 @@ def flatten_instances(meshes: Sequence[MeshAsset],
     out_rough, out_ntex, out_rtex = [], [], []
     any_ntex = any(m.tri_ntex is not None for m in meshes)
     any_rtex = any(m.tri_rtex is not None for m in meshes)
+    any_blend = any(m.tri_blend is not None for m in meshes)
+    out_blend = []
     for mesh_id, xf in instances:
         m = meshes[mesh_id]
         a, t = _as_affine(xf)
@@ -226,6 +232,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
             out_rtex.append(np.where(rt >= 0, rt, -1).astype(np.int32))
         if any_vn:
             out_vn.append(vn)
+        if any_blend:
+            out_blend.append(m.tri_blend if m.tri_blend is not None
+                             else np.zeros(n, bool))
 
     cat = np.concatenate
     return MeshAsset(
@@ -238,4 +247,5 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         tri_vn=cat(out_vn) if any_vn else None,
         tri_rough=cat(out_rough) if any_rough else None,
         tri_ntex=cat(out_ntex) if any_ntex else None,
-        tri_rtex=cat(out_rtex) if any_rtex else None)
+        tri_rtex=cat(out_rtex) if any_rtex else None,
+        tri_blend=cat(out_blend) if any_blend else None)

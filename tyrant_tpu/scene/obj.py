@@ -34,6 +34,7 @@ class ObjMesh:
     tri_rough: np.ndarray | None = None  # [F] f32 GGX roughness (or None)
     tri_ntex: np.ndarray | None = None  # [F] i32 normal-map id, -1 = none
     tri_rtex: np.ndarray | None = None  # [F] i32 roughness-map id, -1 = none
+    tri_blend: np.ndarray | None = None  # [F] bool stochastic alpha (d < 1)
 
 
 # scene.scene.GGX, duplicated to avoid a circular import (scene.py imports
@@ -46,6 +47,8 @@ def _parse_mtl(path: str):
     """Returns {material name: [Kd rgb, map_Kd path|None, Pr|None, Pm,
     normal-map path|None, roughness-map path|None, alpha-map path|None,
     Ke rgb|None]}.
+
+    ...plus constant dissolve ``d`` (or ``Tr``) as slot 8.
 
     ``Pr`` (roughness) and ``Pm`` (metallic) are the common PBR extension
     keys; a metallic material (Pm > 0.5) shades as the GGX rough conductor
@@ -62,7 +65,7 @@ def _parse_mtl(path: str):
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
                 mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None, None,
-                             None, None]
+                             None, None, 1.0]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
@@ -80,6 +83,11 @@ def _parse_mtl(path: str):
                 mats[cur][5] = os.path.join(base, parts[-1])
             elif parts[0] == "map_d" and cur and len(parts) > 1:
                 mats[cur][6] = os.path.join(base, parts[-1])
+            elif parts[0] == "d" and cur and len(parts) > 1:
+                mats[cur][8] = float(parts[1])
+            elif parts[0] == "Tr" and cur and len(parts) > 1:
+                # inverted-dissolve spelling some exporters use
+                mats[cur][8] = 1.0 - float(parts[1])
             elif parts[0] == "Ke" and cur and len(parts) >= 4:
                 ke = (float(parts[1]), float(parts[2]), float(parts[3]))
                 if max(ke) > 0.0:
@@ -180,12 +188,14 @@ def load_obj_scene(path: str) -> ObjMesh:
     tri_rough = None
     tri_ntex = None
     tri_rtex = None
+    tri_blend = None
     if mats and any(m is not None for m in face_mat):
         from .texture import load_texture
         tri_color = np.ones((f_count, 3), np.float32)
         tri_tex = np.full(f_count, -1, np.int32)
         tri_ntex = np.full(f_count, -1, np.int32)
         tri_rtex = np.full(f_count, -1, np.int32)
+        tri_blend = np.zeros(f_count, bool)
         any_metal = any(rec[3] > 0.5 for rec in mats.values())
         any_emissive = any(rec[7] is not None for rec in mats.values())
         if any_metal or any_emissive:
@@ -267,6 +277,21 @@ def load_obj_scene(path: str) -> ObjMesh:
                 tri_tex[i] = tex_paths[key]
             elif rec[1] and os.path.exists(rec[1]):
                 tri_tex[i] = tex_id(rec[1], srgb=True)
+            is_light = tri_refl is not None and tri_refl[i] == _LIGHT
+            if rec[8] < 1.0 and not is_light:
+                # constant dissolve d < 1: stochastic transparency
+                # (render.py BLEND).  With no alpha map a shared 1x1
+                # white texel carries the alpha; with one, the texel
+                # alpha wins and d is ignored (same degradation as the
+                # glTF factor-alpha-with-texture case, scene/gltf.py).
+                tri_blend[i] = True
+                if tri_tex[i] < 0:
+                    key = ("const_d", round(rec[8], 6))
+                    if key not in tex_paths:
+                        tex_paths[key] = len(textures)
+                        textures.append(np.asarray(
+                            [[[1.0, 1.0, 1.0, rec[8]]]], np.float32))
+                    tri_tex[i] = tex_paths[key]
             if rec[4] and os.path.exists(rec[4]):
                 tri_ntex[i] = tex_id(rec[4], srgb=False)
             if rec[5] and os.path.exists(rec[5]):
@@ -281,6 +306,8 @@ def load_obj_scene(path: str) -> ObjMesh:
             tri_tex = None
             tri_ntex = None
             tri_rtex = None
+        if not tri_blend.any():
+            tri_blend = None
         else:
             if (tri_ntex < 0).all():
                 tri_ntex = None
@@ -290,7 +317,8 @@ def load_obj_scene(path: str) -> ObjMesh:
     return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
                    tri_color=tri_color, tri_tex=tri_tex, textures=textures,
                    normals=normals, tri_refl=tri_refl, tri_rough=tri_rough,
-                   tri_ntex=tri_ntex, tri_rtex=tri_rtex)
+                   tri_ntex=tri_ntex, tri_rtex=tri_rtex,
+                   tri_blend=tri_blend)
 
 
 def load_obj(path: str):

@@ -250,6 +250,12 @@ class SceneData:
     # (the any-hit kernel is alpha-blind) — the standard real-time
     # trade; documented in README
     has_alpha_tex: bool = False
+    # STATIC (pytree aux): any triangle uses stochastic alpha BLEND
+    # (glTF alphaMode BLEND / MTL constant d < 1): shade thresholds its
+    # coverage alpha against a per-ray uniform instead of 0.5 — unbiased
+    # over-compositing, one wavefront step per transparent layer.  Blend
+    # triangles carry +16 on the tri_shade refl lane (zero extra gathers).
+    has_blend: bool = False
     # Environment-map lighting (beyond-reference): equirectangular radiance
     # map replacing the analytic atmosphere on the miss path.  env_data is
     # the same flat-row layout as tex_data; env_meta = (height, width)
@@ -318,7 +324,7 @@ class SceneData:
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
                  self.has_rough_maps, self.has_alpha_tex,
-                 self.n_delta_lights, self.has_rrefr))
+                 self.n_delta_lights, self.has_rrefr, self.has_blend))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -332,7 +338,8 @@ class SceneData:
                    env_data=leaves[13], tri_lights=leaves[14],
                    env_alias=leaves[15], delta_lights=leaves[16],
                    n_delta_lights=aux[11], light_alias=leaves[17],
-                   light_powers=leaves[18], has_rrefr=aux[12])
+                   light_powers=leaves[18], has_rrefr=aux[12],
+                   has_blend=aux[13])
 
 
 @dataclasses.dataclass
@@ -355,6 +362,7 @@ class Scene:
     tri_rough: Optional[np.ndarray] = None  # [T] f32 GGX roughness
     tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
     tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
+    tri_blend: Optional[np.ndarray] = None  # [T] bool stochastic alpha BLEND
     delta_lights: Optional[DeltaLights] = None  # point/spot/directional
 
     @classmethod
@@ -410,7 +418,7 @@ class Scene:
                        delta_lights=delta_lights)
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
-        tri_refl = tri_rough = tri_ntex = tri_rtex = None
+        tri_refl = tri_rough = tri_ntex = tri_rtex = tri_blend = None
         if path.endswith(".obj"):
             # full OBJ record: UVs + MTL Kd/map_Kd/Pr/Pm/map_Kn + vn
             # (beyond-reference)
@@ -423,6 +431,7 @@ class Scene:
             tri_refl, tri_rough = m.tri_refl, m.tri_rough
             tri_ntex = m.tri_ntex
             tri_rtex = m.tri_rtex
+            tri_blend = m.tri_blend
         elif path.endswith(".ply") and _ply_has_attrs(path):
             # vertex normals and/or colors present: the python loader
             # extracts them (the native fast path returns positions only).
@@ -457,6 +466,7 @@ class Scene:
                    textures=textures, tri_vn=tri_vn, envmap=envmap,
                    tri_refl=tri_refl, tri_rough=tri_rough,
                    tri_ntex=tri_ntex, tri_rtex=tri_rtex,
+                   tri_blend=tri_blend,
                    delta_lights=delta_lights)
 
     @classmethod
@@ -466,7 +476,7 @@ class Scene:
                        tri_refl=None, tri_color=None,
                        tri_uv=None, tri_tex=None, textures=None,
                        tri_vn=None, envmap=None, tri_rough=None,
-                       tri_ntex=None, tri_rtex=None,
+                       tri_ntex=None, tri_rtex=None, tri_blend=None,
                        delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
@@ -499,6 +509,8 @@ class Scene:
                    envmap=envmap,
                    tri_rough=None if tri_rough is None
                    else np.asarray(tri_rough, np.float32),
+                   tri_blend=None if tri_blend is None
+                   else np.asarray(tri_blend, bool),
                    tri_ntex=None if tri_ntex is None
                    else np.asarray(tri_ntex, np.int32),
                    tri_rtex=None if tri_rtex is None
@@ -531,6 +543,7 @@ class Scene:
             tri_tex=flat.tri_tex, textures=flat.textures,
             tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough,
             tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
+            tri_blend=flat.tri_blend,
             delta_lights=delta_lights)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
@@ -583,6 +596,11 @@ class Scene:
         tri_shade = np.zeros((tp.shape[0], 8), np.float32)
         tri_shade[:, 0:3] = normal
         tri_shade[:, 3] = tri_refl.astype(np.float32)
+        blend = np.zeros(tp.shape[0], bool)
+        if self.tri_blend is not None and self.bvh is not None \
+                and np.asarray(self.tri_blend).any():
+            tb = np.asarray(self.tri_blend, bool)[self.bvh.perm]
+            blend[:tb.shape[0]] = tb
         tri_shade[:, 4:7] = tri_color
         # GGX perceptual roughness (clamped: alpha -> 0 degenerates D(h)
         # to a delta the estimator can't importance-sample stably)
@@ -608,6 +626,13 @@ class Scene:
         has_alpha = has_tex and any(
             im.shape[2] >= 4 and (np.asarray(im[:, :, 3]) < 1.0).any()
             for im in self.textures)
+        # stochastic BLEND needs the cutout machinery (coverage alpha
+        # taps); the +16 refl-lane flag (decoded in render._shade) is
+        # written ONLY when the gate is on — a blend flag without alpha
+        # textures must not corrupt the refl codes
+        has_blend = bool(has_alpha and blend.any())
+        if has_blend:
+            tri_shade[:, 3] += 16.0 * blend
         if has_tex or has_smooth or has_nmap or has_rmap:
             perm = self.bvh.perm
             e1 = self.tri_e1[perm].astype(np.float64)
@@ -845,6 +870,7 @@ class Scene:
             has_normal_maps=has_nmap,
             has_rough_maps=has_rmap,
             has_alpha_tex=has_alpha,
+            has_blend=has_blend,
             env_data=env_data,
             env_alias=env_alias,
             env_meta=env_meta,
