@@ -646,6 +646,12 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         trow = scene.tri_shade[tid]  # [N, 8]
         normal_tri = trow[:, 0:3]
         refl_tri = trow[:, 3].astype(jnp.int32)
+        if scene.has_metal_maps:
+            # per-texel-metalness flag rides the refl lane as +32
+            # (scene.py to_device); the stochastic lobe pick happens
+            # after the rough-map tap below (metalness = texel ch 1)
+            metal_tri = refl_tri >= 32
+            refl_tri = refl_tri - jnp.where(metal_tri, 32, 0)
         if scene.has_blend:
             # stochastic-BLEND flag rides the refl lane as +16
             # (scene.py to_device; zero extra gathers)
@@ -713,10 +719,27 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             # red channel overrides the material's scalar Pr, same clamp
             # as the host path (alpha -> 0 degenerates D(h))
             rtexid = arow[:, 31].astype(jnp.int32)
-            rmap = _sample_texture(scene, rtexid, uv_t[:, 0], uv_t[:, 1],
-                                   cfg.texture_filter)[:, 0]
+            rrow = _sample_texture(scene, rtexid, uv_t[:, 0], uv_t[:, 1],
+                                   cfg.texture_filter)
             rough_tri = jnp.where(rtexid >= 0,
-                                  jnp.clip(rmap, 0.03, 1.0), rough_tri)
+                                  jnp.clip(rrow[:, 0], 0.03, 1.0),
+                                  rough_tri)
+            if scene.has_metal_maps:
+                # per-texel metalness (glTF appendix B:
+                # mix(dielectric_brdf, metal_brdf, metalness)): shade the
+                # GGX conductor with probability metalness (channel 1 of
+                # the SAME texel row — zero extra gathers), DIFF
+                # otherwise — an unbiased stochastic evaluation of the
+                # spec's linear lobe mix.  Side RNG stream like fog/
+                # blend: metal-free scenes compile identically.
+                _, u_m = rng.random_float(
+                    rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                                  0x4E7A1))
+                m_tex = jnp.where(rtexid >= 0, rrow[:, 1], 1.0)
+                pick_ggx = metal_tri & (u_m < m_tex)
+                refl_tri = jnp.where(metal_tri,
+                                     jnp.where(pick_ggx, GGX, DIFF),
+                                     refl_tri)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
     # triangles honour per-triangle materials (defaults: white DIFF, the

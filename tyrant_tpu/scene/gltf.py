@@ -14,6 +14,9 @@ already has:
   * baseColorTexture         -> albedo atlas entry (sRGB-decoded)
   * metallicRoughnessTexture -> roughness map (G channel, linear)
   * normalTexture            -> tangent-space normal map (linear)
+  * per-texel metalness      -> the mr texture's B channel (x factor)
+                                drives a stochastic DIFF/GGX lobe pick
+                                (appendix B mix(dielectric, metal, m))
   * COLOR_0 vertex colors    -> per-triangle mean albedo x base color
                                 (flat; same policy as PLY scanned colors)
   * KHR_texture_transform    -> baked into the per-triangle UVs at load
@@ -42,9 +45,9 @@ Axis convention: glTF is +Y-up right-handed; this framework's sky model is
 whole scene by +90 deg about X — (x, y, z) -> (x, -z, y) — so glTF "up"
 agrees with the atmosphere's.
 
-Not supported (documented degradations): per-texel metalness (the B channel
-of metallicRoughnessTexture; the material's ``metallicFactor`` decides
-DIFF-vs-GGX for the whole primitive), per-texture-slot UV transforms
+Not supported (documented degradations): the dielectric specular lobe
+(the 0.04-F0 half of dielectric_brdf — non-metal texels shade pure
+DIFF), per-texture-slot UV transforms
 (see KHR_texture_transform above), skinning /
 morph targets / animations (static pose only), TEXCOORD_1,
 non-TRIANGLES primitive modes (raised), baseColorFactor alpha combined
@@ -247,6 +250,7 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     rec = {"refl": _DIFF, "color": (1.0, 1.0, 1.0), "rough": 1.0,
            "base_tex": None, "mr_tex": None, "n_tex": None,
            "alpha_mask": False, "blend": False, "alpha": 1.0,
+           "metallic": 1.0,
            "double_sided": False, "uv_xform": None}
     if mat_idx is None:
         return rec
@@ -257,6 +261,7 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     rec["color"] = tuple(float(c) for c in bc[:3])
     rec["alpha"] = float(bc[3]) if len(bc) > 3 else 1.0
     metallic = float(pbr.get("metallicFactor", 1.0))
+    rec["metallic"] = metallic
     rec["rough"] = float(pbr.get("roughnessFactor", 1.0))
     if "baseColorTexture" in pbr:
         rec["base_tex"] = pbr["baseColorTexture"]["index"]
@@ -334,15 +339,18 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
     tex_cache: dict = {}
     raw_cache: dict = {}
 
-    def texture_id(tex_idx: Optional[int], mode: str) -> int:
+    def texture_id(tex_idx: Optional[int], mode: str,
+                   metal_factor: float = 1.0) -> int:
         """mode: 'srgb' (albedo), 'srgba' (albedo+coverage), 'linear'
-        (normal map), 'rough_g' (G channel of metallicRoughness)."""
+        (normal map), 'rough_g' (metallicRoughness repacked as
+        ch0 = G roughness, ch1 = B metalness x metallicFactor)."""
         if tex_idx is None:
             return -1
         src = gltf["textures"][tex_idx].get("source")
         if src is None:
             return -1
-        key = (src, mode)
+        key = (src, mode, round(metal_factor, 5)) if mode == "rough_g" \
+            else (src, mode)
         try:
             if mode in ("srgb", "srgba") and src in alpha_srcs:
                 if src not in raw_cache:  # one decode for both users
@@ -361,10 +369,13 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                 return tex_cache[key]
             elif mode == "rough_g":
                 img = _decode_image(gltf, bufs, base_dir, src, srgb=False)
-                # glTF packs roughness in G (metalness in B, unsupported
-                # per-texel); the shade path reads rough maps from
-                # channel 0 (render.py), so replicate G
-                img = np.repeat(img[:, :, 1:2], 3, axis=2)
+                # glTF packs roughness in G, metalness in B: the shade
+                # path reads roughness from channel 0 and per-texel
+                # metalness (x metallicFactor, baked here) from channel 1
+                # of the SAME texel row (render.py — zero extra gathers)
+                img = np.stack([img[:, :, 1],
+                                img[:, :, 2] * np.float32(metal_factor),
+                                img[:, :, 1]], axis=2)
             elif mode == "srgba":
                 img = _decode_image(gltf, bufs, base_dir, src, srgb=True,
                                     want_alpha=True)
@@ -464,8 +475,22 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                     uv = np.zeros((n_tris, 3, 2), np.float32)
             blend_on = blend_on and tex >= 0
             ntex = texture_id(rec["n_tex"], "linear")
-            rtex = (texture_id(rec["mr_tex"], "rough_g")
+            # per-texel metalness (glTF appendix B: material =
+            # mix(dielectric, metal, metalness)): a DIFF/GGX primitive
+            # with a metallicRoughness texture and metallicFactor > 0
+            # becomes a stochastic DIFF/GGX mixture — shade picks the
+            # conductor lobe with probability metalness (texel B x
+            # factor, baked into the repacked map's channel 1)
+            metal_on = (rec["mr_tex"] is not None
+                        and rec["refl"] in (_DIFF, _GGX)
+                        and rec["metallic"] > 0.0)
+            if metal_on:
+                rec["refl"] = _GGX  # engages roughness taps + GGX machinery
+            rtex = (texture_id(rec["mr_tex"], "rough_g",
+                               metal_factor=rec["metallic"]
+                               if metal_on else 1.0)
                     if rec["refl"] in (_GGX, _RREFR) else -1)
+            metal_on = metal_on and rtex >= 0
 
             v0 = pos[faces[:, 0]]
             v1 = pos[faces[:, 1]]
@@ -509,7 +534,9 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                 textures=None,
                 tri_vn=vn,
                 tri_blend=(np.full(n_tris, True)
-                           if blend_on else None))
+                           if blend_on else None),
+                tri_metal=(np.full(n_tris, True)
+                           if metal_on else None))
             ids.append(len(assets))
             assets.append(asset)
         mesh_asset_ids.append(ids)
@@ -652,6 +679,7 @@ def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
         tri_vn=flat.tri_vn, tri_rough=flat.tri_rough,
         tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
         tri_blend=flat.tri_blend,
+        tri_metal=flat.tri_metal,
         delta_lights=dl)
     scene.stats["instances"] = len(g.instances)
     scene.stats["unique_meshes"] = len(g.meshes)

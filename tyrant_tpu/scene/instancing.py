@@ -61,6 +61,8 @@ class MeshAsset:
     tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
     tri_blend: Optional[np.ndarray] = None  # [T] bool: stochastic alpha
     #   BLEND (glTF alphaMode BLEND / MTL d<1) vs the 0.5 MASK cutout
+    tri_metal: Optional[np.ndarray] = None  # [T] bool: per-texel metalness
+    #   (glTF mr-texture B channel; shade picks GGX w.p. metalness)
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -182,6 +184,8 @@ def flatten_instances(meshes: Sequence[MeshAsset],
     any_rtex = any(m.tri_rtex is not None for m in meshes)
     any_blend = any(m.tri_blend is not None for m in meshes)
     out_blend = []
+    any_metal2 = any(m.tri_metal is not None for m in meshes)
+    out_metal = []
     for mesh_id, xf in instances:
         m = meshes[mesh_id]
         a, t = _as_affine(xf)
@@ -235,6 +239,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         if any_blend:
             out_blend.append(m.tri_blend if m.tri_blend is not None
                              else np.zeros(n, bool))
+        if any_metal2:
+            out_metal.append(m.tri_metal if m.tri_metal is not None
+                             else np.zeros(n, bool))
 
     cat = np.concatenate
     return MeshAsset(
@@ -248,4 +255,5 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         tri_rough=cat(out_rough) if any_rough else None,
         tri_ntex=cat(out_ntex) if any_ntex else None,
         tri_rtex=cat(out_rtex) if any_rtex else None,
-        tri_blend=cat(out_blend) if any_blend else None)
+        tri_blend=cat(out_blend) if any_blend else None,
+        tri_metal=cat(out_metal) if any_metal2 else None)

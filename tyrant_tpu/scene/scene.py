@@ -256,6 +256,13 @@ class SceneData:
     # over-compositing, one wavefront step per transparent layer.  Blend
     # triangles carry +16 on the tri_shade refl lane (zero extra gathers).
     has_blend: bool = False
+    # STATIC (pytree aux): any triangle carries per-texel metalness
+    # (glTF metallicRoughness B channel x metallicFactor, repacked into
+    # channel 1 of the rough-map texel row): shade stochastically picks
+    # the GGX conductor lobe with probability metalness, DIFF otherwise
+    # (glTF appendix B mix(dielectric, metal, metalness)).  Flag rides
+    # the tri_shade refl lane as +32.
+    has_metal_maps: bool = False
     # Environment-map lighting (beyond-reference): equirectangular radiance
     # map replacing the analytic atmosphere on the miss path.  env_data is
     # the same flat-row layout as tex_data; env_meta = (height, width)
@@ -324,7 +331,8 @@ class SceneData:
                  self.smooth_normals, self.env_meta, self.n_tri_lights,
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
                  self.has_rough_maps, self.has_alpha_tex,
-                 self.n_delta_lights, self.has_rrefr, self.has_blend))
+                 self.n_delta_lights, self.has_rrefr, self.has_blend,
+                 self.has_metal_maps))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -339,7 +347,7 @@ class SceneData:
                    env_alias=leaves[15], delta_lights=leaves[16],
                    n_delta_lights=aux[11], light_alias=leaves[17],
                    light_powers=leaves[18], has_rrefr=aux[12],
-                   has_blend=aux[13])
+                   has_blend=aux[13], has_metal_maps=aux[14])
 
 
 @dataclasses.dataclass
@@ -363,6 +371,7 @@ class Scene:
     tri_ntex: Optional[np.ndarray] = None   # [T] i32 normal-map id, -1=none
     tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
     tri_blend: Optional[np.ndarray] = None  # [T] bool stochastic alpha BLEND
+    tri_metal: Optional[np.ndarray] = None  # [T] bool per-texel metalness
     delta_lights: Optional[DeltaLights] = None  # point/spot/directional
 
     @classmethod
@@ -477,6 +486,7 @@ class Scene:
                        tri_uv=None, tri_tex=None, textures=None,
                        tri_vn=None, envmap=None, tri_rough=None,
                        tri_ntex=None, tri_rtex=None, tri_blend=None,
+                       tri_metal=None,
                        delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
@@ -511,6 +521,8 @@ class Scene:
                    else np.asarray(tri_rough, np.float32),
                    tri_blend=None if tri_blend is None
                    else np.asarray(tri_blend, bool),
+                   tri_metal=None if tri_metal is None
+                   else np.asarray(tri_metal, bool),
                    tri_ntex=None if tri_ntex is None
                    else np.asarray(tri_ntex, np.int32),
                    tri_rtex=None if tri_rtex is None
@@ -544,6 +556,7 @@ class Scene:
             tri_vn=flat.tri_vn, envmap=envmap, tri_rough=flat.tri_rough,
             tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
             tri_blend=flat.tri_blend,
+            tri_metal=flat.tri_metal,
             delta_lights=delta_lights)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
@@ -601,6 +614,11 @@ class Scene:
                 and np.asarray(self.tri_blend).any():
             tb = np.asarray(self.tri_blend, bool)[self.bvh.perm]
             blend[:tb.shape[0]] = tb
+        metal = np.zeros(tp.shape[0], bool)
+        if self.tri_metal is not None and self.bvh is not None \
+                and np.asarray(self.tri_metal).any():
+            tm = np.asarray(self.tri_metal, bool)[self.bvh.perm]
+            metal[:tm.shape[0]] = tm
         tri_shade[:, 4:7] = tri_color
         # GGX perceptual roughness (clamped: alpha -> 0 degenerates D(h)
         # to a delta the estimator can't importance-sample stably)
@@ -633,6 +651,13 @@ class Scene:
         has_blend = bool(has_alpha and blend.any())
         if has_blend:
             tri_shade[:, 3] += 16.0 * blend
+        # per-texel metalness needs the rough-map taps (metalness rides
+        # channel 1 of the same texel row) AND the GGX shading branch
+        # (loaders force flagged triangles to GGX); gated like blend
+        has_metal = bool(has_rmap and metal.any()
+                         and (metal <= (tri_refl == GGX)).all())
+        if has_metal:
+            tri_shade[:, 3] += 32.0 * metal
         if has_tex or has_smooth or has_nmap or has_rmap:
             perm = self.bvh.perm
             e1 = self.tri_e1[perm].astype(np.float64)
@@ -871,6 +896,7 @@ class Scene:
             has_rough_maps=has_rmap,
             has_alpha_tex=has_alpha,
             has_blend=has_blend,
+            has_metal_maps=has_metal,
             env_data=env_data,
             env_alias=env_alias,
             env_meta=env_meta,
