@@ -170,3 +170,21 @@ def test_cli_autofocus_sky_warns(tmp_path, capsys):
               "--out", str(out)])
     _png_ok(out)
     assert "hits the sky" in capsys.readouterr().err
+
+
+def test_cli_render_look_at(tmp_path, capsys):
+    """--look-at re-aims the camera: pointing straight at the green light
+    sphere (0,-80,120) from below makes the top rows bright."""
+    out = tmp_path / "look.png"
+    cli.main(["render", "--width", "32", "--height", "24",
+              "--rays", "4096", "--steps", "3",
+              "--camera", "0", "-80", "60", "0", "0",
+              "--look-at", "0", "-80", "120", "--out", str(out)])
+    _png_ok(out, size=(32, 24))
+    from PIL import Image
+    img = np.asarray(Image.open(out), np.float32)
+    # the emissive sphere is dead ahead: the centre pixels saturate at
+    # the tonemapped emission, well above every corner
+    corners = np.mean([img[:4, :4].mean(), img[:4, -4:].mean(),
+                       img[-4:, :4].mean(), img[-4:, -4:].mean()])
+    assert img[10:14, 14:18].mean() > 1.5 * corners

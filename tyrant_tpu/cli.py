@@ -237,6 +237,8 @@ def cmd_render(args):
     import jax.numpy as jnp
 
     cfg, scene, cam = _build(args)
+    if getattr(args, "look_at", None) is not None:
+        cam.look_at(args.look_at)
     r = Renderer(scene, cfg, sun_position=tuple(args.sun))
     if getattr(args, "focus_at", None) is not None:
         _autofocus(r, cam, cfg, *args.focus_at)
@@ -522,6 +524,10 @@ def main(argv=None):
                         "back bit-for-bit)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="also checkpoint every N steps (0 = only at end)")
+    p.add_argument("--look-at", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="aim the camera at this world point (applied "
+                        "after --camera; camera.look_at)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("anim", help="camera-path animation to PNG frames")
