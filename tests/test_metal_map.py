@@ -119,3 +119,26 @@ def test_gltf_metal_map_loader(tmp_path):
     tex = g.textures[m.tri_rtex[0]]
     np.testing.assert_allclose(tex[0, 0, 0], 102 / 255.0, atol=1e-6)
     np.testing.assert_allclose(tex[0, 0, 1], 204 / 255.0 * 0.5, atol=1e-6)
+
+
+def test_obj_map_pm(tmp_path):
+    """MTL map_Pm: roughness (map_Pr red / scalar Pr) packs into ch0,
+    metalness (map_Pm red) into ch1 of one texel row; faces gain the
+    stochastic-metal flag and GGX machinery."""
+    from PIL import Image
+
+    from tyrant_tpu.scene.obj import load_obj_scene
+
+    Image.fromarray(np.full((2, 2), 51, np.uint8)).save(tmp_path / "pm.png")
+    (tmp_path / "m.mtl").write_text(
+        "newmtl brushed\nKd 0.8 0.8 0.8\nPr 0.22\nmap_Pm pm.png\n")
+    (tmp_path / "s.obj").write_text(
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\n"
+        "usemtl brushed\nf 1/1 2/2 3/3\n")
+    m = load_obj_scene(str(tmp_path / "s.obj"))
+    assert m.tri_metal is not None and m.tri_metal[0]
+    assert m.tri_refl[0] == 5  # GGX
+    tex = m.textures[m.tri_rtex[0]]
+    np.testing.assert_allclose(tex[0, 0, 0], 0.22, atol=1e-6)  # scalar Pr
+    np.testing.assert_allclose(tex[0, 0, 1], 51 / 255.0, atol=1e-3)

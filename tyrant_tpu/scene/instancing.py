@@ -88,6 +88,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
 
     tri_uv = tri_tex = textures = tri_color = tri_vn = None
     tri_refl = tri_rough = tri_ntex = tri_rtex = tri_blend = None
+    tri_metal = None
     if path.endswith(".obj"):
         from .obj import load_obj_scene
         m = load_obj_scene(path)
@@ -99,6 +100,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
         tri_ntex = m.tri_ntex
         tri_rtex = m.tri_rtex
         tri_blend = m.tri_blend
+        tri_metal = m.tri_metal
     elif path.endswith(".ply") and _ply_has_attrs(path):
         from .ply import load_ply_attrs
         vertices, faces, vnorm, vcol = load_ply_attrs(path)
@@ -115,7 +117,7 @@ def _load_no_bvh(path: str, scale: float) -> MeshAsset:
                      tri_uv=tri_uv, tri_tex=tri_tex, textures=textures,
                      tri_vn=tri_vn, tri_refl=tri_refl, tri_rough=tri_rough,
                      tri_ntex=tri_ntex, tri_rtex=tri_rtex,
-                     tri_blend=tri_blend)
+                     tri_blend=tri_blend, tri_metal=tri_metal)
 
 
 def _as_affine(m) -> tuple[np.ndarray, np.ndarray]:

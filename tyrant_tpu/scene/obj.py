@@ -35,6 +35,7 @@ class ObjMesh:
     tri_ntex: np.ndarray | None = None  # [F] i32 normal-map id, -1 = none
     tri_rtex: np.ndarray | None = None  # [F] i32 roughness-map id, -1 = none
     tri_blend: np.ndarray | None = None  # [F] bool stochastic alpha (d < 1)
+    tri_metal: np.ndarray | None = None  # [F] bool per-texel metalness
 
 
 # scene.scene.GGX, duplicated to avoid a circular import (scene.py imports
@@ -65,7 +66,7 @@ def _parse_mtl(path: str):
             if parts[0] == "newmtl" and len(parts) > 1:
                 cur = parts[1]
                 mats[cur] = [(1.0, 1.0, 1.0), None, None, 0.0, None, None,
-                             None, None, 1.0]
+                             None, None, 1.0, None]
             elif parts[0] == "Kd" and cur and len(parts) >= 4:
                 mats[cur][0] = (float(parts[1]), float(parts[2]),
                                 float(parts[3]))
@@ -81,6 +82,8 @@ def _parse_mtl(path: str):
                 mats[cur][4] = os.path.join(base, parts[-1])
             elif parts[0] == "map_Pr" and cur and len(parts) > 1:
                 mats[cur][5] = os.path.join(base, parts[-1])
+            elif parts[0] == "map_Pm" and cur and len(parts) > 1:
+                mats[cur][9] = os.path.join(base, parts[-1])
             elif parts[0] == "map_d" and cur and len(parts) > 1:
                 mats[cur][6] = os.path.join(base, parts[-1])
             elif parts[0] == "d" and cur and len(parts) > 1:
@@ -189,6 +192,7 @@ def load_obj_scene(path: str) -> ObjMesh:
     tri_ntex = None
     tri_rtex = None
     tri_blend = None
+    tri_metal = None
     if mats and any(m is not None for m in face_mat):
         from .texture import load_texture
         tri_color = np.ones((f_count, 3), np.float32)
@@ -196,6 +200,7 @@ def load_obj_scene(path: str) -> ObjMesh:
         tri_ntex = np.full(f_count, -1, np.int32)
         tri_rtex = np.full(f_count, -1, np.int32)
         tri_blend = np.zeros(f_count, bool)
+        tri_metal_a = np.zeros(f_count, bool)
         any_metal = any(rec[3] > 0.5 for rec in mats.values())
         any_emissive = any(rec[7] is not None for rec in mats.values())
         if any_metal or any_emissive:
@@ -294,8 +299,54 @@ def load_obj_scene(path: str) -> ObjMesh:
                     tri_tex[i] = tex_paths[key]
             if rec[4] and os.path.exists(rec[4]):
                 tri_ntex[i] = tex_id(rec[4], srgb=False)
-            if rec[5] and os.path.exists(rec[5]):
-                tri_rtex[i] = tex_id(rec[5], srgb=False)
+            pm_map = rec[9] if rec[9] and os.path.exists(rec[9]) else None
+            pr_map = rec[5] if rec[5] and os.path.exists(rec[5]) else None
+            if pm_map is not None and not is_light:
+                # per-texel metalness (map_Pm, like the glTF mr B channel):
+                # pack roughness (map_Pr red, or the scalar Pr) into ch0
+                # and metalness (map_Pm red) into ch1 of ONE texel row —
+                # shade stochastically picks GGX w.p. metalness (render.py)
+                rough_c = rec[2] if rec[2] is not None else 0.3
+                key = ("rm", pr_map, pm_map, round(rough_c, 5))
+                if key not in tex_paths:
+                    try:
+                        from .texture import load_texture
+                        pm = load_texture(pm_map, srgb=False)
+                        if pr_map is not None:
+                            pr = load_texture(pr_map, srgb=False)
+                            if pr.shape[:2] != pm.shape[:2]:
+                                from PIL import Image
+                                im = Image.fromarray(
+                                    (np.clip(pm[:, :, 0], 0, 1)
+                                     * 255).astype(np.uint8))
+                                im = im.resize((pr.shape[1], pr.shape[0]))
+                                pm_r = (np.asarray(im, np.float32)
+                                        / 255.0)
+                            else:
+                                pm_r = pm[:, :, 0]
+                            rough_ch = pr[:, :, 0]
+                        else:
+                            pm_r = pm[:, :, 0]
+                            rough_ch = np.full_like(pm_r, rough_c)
+                        tex_paths[key] = len(textures)
+                        textures.append(np.stack(
+                            [rough_ch, pm_r, rough_ch],
+                            axis=2).astype(np.float32))
+                    except Exception as e:
+                        import sys
+                        print(f"warning: metal map {pm_map!r} failed to "
+                              f"load ({e}); shading by scalar Pm",
+                              file=sys.stderr)
+                        tex_paths[key] = -1
+                if tex_paths[key] >= 0:
+                    tri_rtex[i] = tex_paths[key]
+                    tri_metal_a[i] = True
+                    if tri_refl is None:
+                        tri_refl = np.zeros(f_count, np.int32)
+                        tri_rough = np.full(f_count, 0.3, np.float32)
+                    tri_refl[i] = _GGX
+            elif pr_map is not None:
+                tri_rtex[i] = tex_id(pr_map, srgb=False)
                 if tri_refl is None:
                     # a roughness map implies a GGX surface even without Pm
                     tri_refl = np.zeros(f_count, np.int32)
@@ -306,19 +357,21 @@ def load_obj_scene(path: str) -> ObjMesh:
             tri_tex = None
             tri_ntex = None
             tri_rtex = None
-        if not tri_blend.any():
-            tri_blend = None
         else:
             if (tri_ntex < 0).all():
                 tri_ntex = None
             if (tri_rtex < 0).all():
                 tri_rtex = None
+        if not tri_blend.any():
+            tri_blend = None
+        tri_metal = tri_metal_a if tri_metal_a.any() else None
 
     return ObjMesh(vertices=vertices, faces=faces_a, uvs=uvs,
                    tri_color=tri_color, tri_tex=tri_tex, textures=textures,
                    normals=normals, tri_refl=tri_refl, tri_rough=tri_rough,
                    tri_ntex=tri_ntex, tri_rtex=tri_rtex,
-                   tri_blend=tri_blend)
+                   tri_blend=tri_blend,
+                   tri_metal=tri_metal)
 
 
 def load_obj(path: str):

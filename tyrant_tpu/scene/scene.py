@@ -428,6 +428,7 @@ class Scene:
 
         tri_uv = tri_tex = textures = tri_color = tri_vn = None
         tri_refl = tri_rough = tri_ntex = tri_rtex = tri_blend = None
+        tri_metal = None
         if path.endswith(".obj"):
             # full OBJ record: UVs + MTL Kd/map_Kd/Pr/Pm/map_Kn + vn
             # (beyond-reference)
@@ -441,6 +442,7 @@ class Scene:
             tri_ntex = m.tri_ntex
             tri_rtex = m.tri_rtex
             tri_blend = m.tri_blend
+            tri_metal = m.tri_metal
         elif path.endswith(".ply") and _ply_has_attrs(path):
             # vertex normals and/or colors present: the python loader
             # extracts them (the native fast path returns positions only).
@@ -476,6 +478,7 @@ class Scene:
                    tri_refl=tri_refl, tri_rough=tri_rough,
                    tri_ntex=tri_ntex, tri_rtex=tri_rtex,
                    tri_blend=tri_blend,
+                   tri_metal=tri_metal,
                    delta_lights=delta_lights)
 
     @classmethod
