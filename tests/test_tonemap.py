@@ -41,3 +41,52 @@ def test_zero_count_pixels_resolve_black():
     acc = jnp.zeros((4, 4), jnp.float32)
     img = np.asarray(resolve(acc, 2, 2))
     np.testing.assert_array_equal(img, 0.0)
+
+
+def test_bloom_halo_and_gates():
+    """Bloom spreads a gaussian halo from above-threshold pixels only;
+    strength/threshold gates leave the image untouched."""
+    import jax.numpy as jnp
+
+    from tyrant_tpu.ops.tonemap import bloom
+
+    img = np.zeros((32, 32, 3), np.float32)
+    img[16, 16] = 50.0
+    out = np.asarray(bloom(jnp.asarray(img), strength=0.1,
+                           threshold=1.0, radius=4))
+    assert out[16, 17, 0] > 0.1          # halo at the neighbour
+    assert out[16, 20, 0] > 1e-3         # gaussian tail inside radius
+    assert out[0, 0, 0] == 0.0           # far field untouched
+    assert out[16, 16, 0] > 50.0         # energy added, not redistributed
+    # threshold above every pixel: exact identity
+    idem = np.asarray(bloom(jnp.asarray(img), strength=0.1,
+                            threshold=100.0, radius=4))
+    np.testing.assert_array_equal(idem, img)
+
+
+def test_bloom_in_renderer_image():
+    """cfg.bloom_strength routes the display resolve through the bloom;
+    radiance() (the HDR export) stays bloom-free."""
+    import dataclasses
+
+    from tyrant_tpu.config import small_config
+    from tyrant_tpu.render import Renderer
+    from tyrant_tpu.scene.scene import Scene
+
+    from .test_cli import _png_ok  # noqa: F401  (import proves no cycle)
+
+    cfg = small_config(width=32, height=24, num_rays=1 << 10)
+    cfgb = dataclasses.replace(cfg, bloom_strength=0.5, bloom_threshold=0.2,
+                               bloom_radius=4)
+    from tyrant_tpu.camera import Camera
+    cam = Camera()
+    r = Renderer(Scene.load(None), cfg, donate=False)
+    rb = Renderer(Scene.load(None), cfgb, donate=False)
+    r.step(cam, 3)
+    rb.step(cam, 3)
+    base = np.asarray(r.image())
+    bloomed = np.asarray(rb.image())
+    assert bloomed.mean() > base.mean()  # glare adds display energy
+    # HDR radiance identical (bloom is display-only)
+    np.testing.assert_array_equal(np.asarray(r.radiance()),
+                                  np.asarray(rb.radiance()))

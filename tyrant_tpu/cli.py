@@ -60,6 +60,14 @@ def _add_common(p):
     p.add_argument("--tonemap", default="reinhard",
                    choices=["reinhard", "aces"])
     p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--bloom", type=float, default=0.0,
+                   help="lens-glare bloom strength on the displayed "
+                        "image (0 = off; display-only, HDR export is "
+                        "untouched)")
+    p.add_argument("--bloom-threshold", type=float, default=1.0,
+                   help="linear-radiance bright-pass threshold")
+    p.add_argument("--bloom-radius", type=int, default=12,
+                   help="bloom gaussian radius in pixels (sigma = r/2)")
     p.add_argument("--envmap", default=None,
                    help="equirect environment map (png/jpg/npy) replacing "
                         "the analytic sun/sky on the miss path")
@@ -148,6 +156,9 @@ def _build(args):
                                               "bilinear"),
                        tonemap=getattr(args, "tonemap", "reinhard"),
                        exposure=getattr(args, "exposure", 1.0),
+                       bloom_strength=getattr(args, "bloom", 0.0),
+                       bloom_threshold=getattr(args, "bloom_threshold", 1.0),
+                       bloom_radius=getattr(args, "bloom_radius", 12),
                        denoise="on" if getattr(args, "denoise", False)
                        else "off",
                        mis="on" if getattr(args, "mis", False) else "off",

@@ -135,6 +135,14 @@ class RenderConfig:
     # radiance before the curve.
     tonemap: str = "reinhard"
     exposure: float = 1.0
+    # Lens-glare bloom on the displayed image (beyond-reference;
+    # ops/tonemap.bloom): bright-pass above ``bloom_threshold`` (linear
+    # radiance), separable gaussian of pixel ``bloom_radius``, added back
+    # x strength.  0.0 = off (the resolve is untouched); display-only —
+    # the accumulation buffer and HDR export never include it.
+    bloom_strength: float = 0.0
+    bloom_threshold: float = 1.0
+    bloom_radius: int = 12
     # Edge-aware à-trous denoiser for the displayed image
     # (beyond-reference; denoise.py): "on" runs one deterministic AOV
     # pass per pose (render.render_aovs) and filters the radiance mean

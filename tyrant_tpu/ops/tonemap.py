@@ -39,3 +39,35 @@ def tonemap_image(cl: jnp.ndarray, operator: str = "reinhard",
 
 def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+
+def bloom(cl: jnp.ndarray, strength: float = 0.08,
+          threshold: float = 1.0, radius: int = 8) -> jnp.ndarray:
+    """Lens-glare bloom on LINEAR radiance [H, W, 3] (beyond-reference
+    display post-process; applied before the tone curve so highlights
+    spill proportionally to their energy).
+
+    Bright pass (radiance above ``threshold``) -> separable gaussian of
+    sigma = radius/2 -> added back scaled by ``strength``.  Pure jnp
+    (two 1-D convolutions as static shift-sums), so it runs on any
+    backend inside the display resolve; strength 0 is the caller-side
+    no-op gate."""
+    bright = jnp.maximum(cl - threshold, 0.0)
+    sigma = max(radius, 1) / 2.0
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    def blur_axis(img, axis):
+        pad = [(0, 0)] * img.ndim
+        pad[axis] = (radius, radius)
+        p = jnp.pad(img, pad, mode="reflect")
+        out = jnp.zeros_like(img)
+        for i in range(2 * radius + 1):
+            sl = [slice(None)] * img.ndim
+            sl[axis] = slice(i, i + img.shape[axis])
+            out = out + k[i] * p[tuple(sl)]
+        return out
+
+    halo = blur_axis(blur_axis(bright, 0), 1)
+    return cl + strength * halo

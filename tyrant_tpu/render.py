@@ -2073,21 +2073,22 @@ class Renderer:
         cfg.denoise="on" (or denoise=True) the radiance mean is filtered
         by the AOV-guided à-trous denoiser first (denoise.py); the
         accumulation buffer itself is untouched."""
-        from .ops.tonemap import resolve, tonemap_image
+        from .ops.tonemap import bloom, tonemap_image
         use_dn = (self.cfg.denoise == "on") if denoise is None else denoise
-        if not use_dn or getattr(self, "_last_cam", None) is None:
-            return resolve(self.state.accum, self.cfg.width,
-                           self.cfg.height, operator=self.cfg.tonemap,
-                           exposure=self.cfg.exposure)
-        aovs = self._pose_aovs()
-        counts = jnp.maximum(self.state.accum[:, 3:4], 1e-8)
-        mean = (self.state.accum[:, :3] / counts).reshape(
-            self.cfg.height, self.cfg.width, 3)
-        from .denoise import atrous_denoise
-        den = atrous_denoise(mean, aovs["albedo"], aovs["normal"],
-                             aovs["depth"],
-                             iterations=self.cfg.denoise_iterations)
-        return tonemap_image(den, self.cfg.tonemap, self.cfg.exposure)
+        use_dn = use_dn and getattr(self, "_last_cam", None) is not None
+        mean = self.radiance()
+        if use_dn:
+            aovs = self._pose_aovs()
+            from .denoise import atrous_denoise
+            mean = atrous_denoise(mean, aovs["albedo"], aovs["normal"],
+                                  aovs["depth"],
+                                  iterations=self.cfg.denoise_iterations)
+        if self.cfg.bloom_strength > 0.0:
+            # display-only lens glare (linear-radiance bright pass);
+            # the accumulation buffer / radiance() stay bloom-free
+            mean = bloom(mean, self.cfg.bloom_strength,
+                         self.cfg.bloom_threshold, self.cfg.bloom_radius)
+        return tonemap_image(mean, self.cfg.tonemap, self.cfg.exposure)
 
     def noise_estimate(self) -> float:
         """Image-level convergence estimate: mean stabilized relative
