@@ -174,3 +174,42 @@ def test_cli_flag_overrides_json(tmp_path):
     cfg, scene, cam = cli._build(args)
     assert cfg.max_bounces == 7        # CLI wins (non-default)
     assert cfg.exposure == 2.0         # JSON wins (CLI left default)
+
+
+def test_mesh_material_override(tmp_path):
+    """A mesh entry's "material"/"color"/"roughness" force the whole
+    asset's look (composition over raw geometry)."""
+    import json as _json
+
+    from tyrant_tpu.scene.description import load_description
+    from tyrant_tpu.scene.scene import GGX, LIGHT
+
+    ply = tmp_path / "tri.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 1\nproperty list uchar int vertex_indices\n"
+        "end_header\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    desc = {
+        "meshes": [
+            {"name": "a", "path": "tri.ply", "material": "metal",
+             "color": [0.9, 0.5, 0.2], "roughness": 0.15},
+            {"name": "b", "path": "tri.ply", "material": "light",
+             "emission": [4, 4, 4]},
+            {"name": "c", "path": "tri.ply", "color": [0.1, 0.2, 0.3]},
+        ],
+        "default_spheres": False,
+    }
+    p = tmp_path / "s.json"
+    p.write_text(_json.dumps(desc))
+    sc = load_description(str(p)).scene
+    assert sc.tri_refl[0] == GGX and sc.tri_refl[1] == LIGHT
+    np.testing.assert_allclose(sc.tri_color[0], [0.9, 0.5, 0.2])
+    np.testing.assert_allclose(sc.tri_color[1], [4, 4, 4])
+    np.testing.assert_allclose(sc.tri_color[2], [0.1, 0.2, 0.3])
+    np.testing.assert_allclose(sc.tri_rough[0], 0.15)
+
+    desc["meshes"][0]["material"] = "nonsense"
+    p.write_text(_json.dumps(desc))
+    with pytest.raises(ValueError, match="unknown mesh material"):
+        load_description(str(p))

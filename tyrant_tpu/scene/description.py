@@ -9,7 +9,9 @@ config) into one shareable file:
 
 ```json
 {
-  "meshes":   [{"name": "bunny", "path": "bunny.ply", "scale": 2.0}],
+  "meshes":   [{"name": "bunny", "path": "bunny.ply", "scale": 2.0,
+                "material": "glass", "color": [1, 1, 1],
+                "roughness": 0.1}],
   "instances": [
     {"mesh": "bunny", "translate": [0, 40, 0], "rotate_z": 45},
     {"mesh": "bunny", "matrix": [[1,0,0,10],[0,1,0,0],[0,0,1,0]]}
@@ -192,6 +194,28 @@ def load_description(path: str, builder: str = "auto",
         for i, m in enumerate(mesh_entries):
             asset = MeshAsset.load(resolve(m["path"]),
                                    scale=float(m.get("scale", 1.0)))
+            # per-mesh overrides (beyond the file's own materials): force
+            # the whole asset to one material / colour / roughness —
+            # composition needs raw geometry under scene-chosen looks
+            mat = m.get("material")
+            n = asset.n_tris
+            if mat is not None:
+                code = _MATERIALS.get(str(mat).lower())
+                if code is None:
+                    raise ValueError(
+                        f"unknown mesh material {mat!r}; expected one of "
+                        f"{sorted(_MATERIALS)}")
+                asset.tri_refl = np.full(n, code, np.int32)
+                col = (m.get("emission", (1.0, 1.0, 1.0)) if code == LIGHT
+                       else m.get("color", (1.0, 1.0, 1.0)))
+                asset.tri_color = np.tile(
+                    np.asarray(col, np.float32), (n, 1))
+                if "roughness" in m:
+                    asset.tri_rough = np.full(n, float(m["roughness"]),
+                                              np.float32)
+            elif "color" in m:
+                asset.tri_color = np.tile(
+                    np.asarray(m["color"], np.float32), (n, 1))
             names[m.get("name", f"mesh{i}")] = i
             assets.append(asset)
         inst_entries = desc.get("instances")
