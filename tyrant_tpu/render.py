@@ -1339,8 +1339,15 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
 
     # REFR (kernel.cu:476-514): Schlick fresnel + TIR, reversed-IoR
     # convention kept verbatim from the reference
-    n1 = jnp.where(outside, 1.2, 1.0)
-    n2 = jnp.where(outside, 1.0, 1.2)
+    if scene.has_var_ior:
+        # per-triangle glass IOR (KHR_materials_ior / JSON "ior"): REFR
+        # triangles carry eta on the tri_shade lane 7 (rough_tri here);
+        # spheres and RREFR keep the reference's 1.2
+        eta = jnp.where(is_tri & (refl == REFR), rough_tri, 1.2)
+    else:
+        eta = 1.2
+    n1 = jnp.where(outside, eta, 1.0)
+    n2 = jnp.where(outside, 1.0, eta)
     r0 = ((n1 - n2) / (n1 + n2)) ** 2
     cos_i = -dot(normal, d)
     nr = n2 / n1

@@ -213,6 +213,8 @@ def load_description(path: str, builder: str = "auto",
                 if "roughness" in m:
                     asset.tri_rough = np.full(n, float(m["roughness"]),
                                               np.float32)
+                if "ior" in m:
+                    asset.tri_ior = np.full(n, float(m["ior"]), np.float32)
             elif "color" in m:
                 asset.tri_color = np.tile(
                     np.asarray(m["color"], np.float32), (n, 1))

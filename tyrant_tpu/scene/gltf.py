@@ -33,6 +33,8 @@ already has:
   * KHR_materials_transmission (factor > 0.5) -> REFR glass, or the
                                 RREFR frosted-glass BSDF when
                                 roughnessFactor > 0.05
+  * KHR_materials_ior         -> per-triangle glass eta for smooth REFR
+                                (rough glass keeps the reference's 1.2)
   * doubleSided              -> a flipped-winding duplicate of each triangle
                                 (traversal backface-culls per the reference,
                                 loader.h:28; the duplicate restores two-sided
@@ -250,7 +252,7 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     rec = {"refl": _DIFF, "color": (1.0, 1.0, 1.0), "rough": 1.0,
            "base_tex": None, "mr_tex": None, "n_tex": None,
            "alpha_mask": False, "blend": False, "alpha": 1.0,
-           "metallic": 1.0,
+           "metallic": 1.0, "ior": None,
            "double_sided": False, "uv_xform": None}
     if mat_idx is None:
         return rec
@@ -294,6 +296,10 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
         "KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0))
     transmission = float(ext.get(
         "KHR_materials_transmission", {}).get("transmissionFactor", 0.0))
+    if "KHR_materials_ior" in ext:
+        # the extension's own default is 1.5; absent extension keeps the
+        # reference's 1.2 (render.py REFR) for golden parity
+        rec["ior"] = float(ext["KHR_materials_ior"].get("ior", 1.5))
     if emissive.max() > 0.0:
         rec["refl"] = _LIGHT
         rec["color"] = tuple(float(c) for c in emissive)
@@ -536,7 +542,10 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                 tri_blend=(np.full(n_tris, True)
                            if blend_on else None),
                 tri_metal=(np.full(n_tris, True)
-                           if metal_on else None))
+                           if metal_on else None),
+                tri_ior=(np.full(n_tris, rec["ior"], np.float32)
+                         if rec["ior"] is not None
+                         and rec["refl"] in (_REFR, _RREFR) else None))
             ids.append(len(assets))
             assets.append(asset)
         mesh_asset_ids.append(ids)
@@ -680,6 +689,7 @@ def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
         tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
         tri_blend=flat.tri_blend,
         tri_metal=flat.tri_metal,
+        tri_ior=flat.tri_ior,
         delta_lights=dl)
     scene.stats["instances"] = len(g.instances)
     scene.stats["unique_meshes"] = len(g.meshes)

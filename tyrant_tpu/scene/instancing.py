@@ -63,6 +63,8 @@ class MeshAsset:
     #   BLEND (glTF alphaMode BLEND / MTL d<1) vs the 0.5 MASK cutout
     tri_metal: Optional[np.ndarray] = None  # [T] bool: per-texel metalness
     #   (glTF mr-texture B channel; shade picks GGX w.p. metalness)
+    tri_ior: Optional[np.ndarray] = None    # [T] f32 glass IOR for REFR
+    #   triangles (KHR_materials_ior; default 1.2 = reference parity)
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -188,6 +190,8 @@ def flatten_instances(meshes: Sequence[MeshAsset],
     out_blend = []
     any_metal2 = any(m.tri_metal is not None for m in meshes)
     out_metal = []
+    any_ior = any(m.tri_ior is not None for m in meshes)
+    out_ior = []
     for mesh_id, xf in instances:
         m = meshes[mesh_id]
         a, t = _as_affine(xf)
@@ -244,6 +248,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         if any_metal2:
             out_metal.append(m.tri_metal if m.tri_metal is not None
                              else np.zeros(n, bool))
+        if any_ior:
+            out_ior.append(m.tri_ior if m.tri_ior is not None
+                           else np.full(n, 1.2, np.float32))
 
     cat = np.concatenate
     return MeshAsset(
@@ -258,4 +265,5 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         tri_ntex=cat(out_ntex) if any_ntex else None,
         tri_rtex=cat(out_rtex) if any_rtex else None,
         tri_blend=cat(out_blend) if any_blend else None,
-        tri_metal=cat(out_metal) if any_metal2 else None)
+        tri_metal=cat(out_metal) if any_metal2 else None,
+        tri_ior=cat(out_ior) if any_ior else None)

@@ -263,6 +263,11 @@ class SceneData:
     # (glTF appendix B mix(dielectric, metal, metalness)).  Flag rides
     # the tri_shade refl lane as +32.
     has_metal_maps: bool = False
+    # STATIC (pytree aux): any REFR triangle carries a non-default glass
+    # IOR (KHR_materials_ior / JSON "ior"): the tri_shade lane 7 — unused
+    # by REFR (GGX reads it as roughness, LIGHT as area) — doubles as the
+    # per-triangle eta; shade substitutes it for the reference's 1.2.
+    has_var_ior: bool = False
     # Environment-map lighting (beyond-reference): equirectangular radiance
     # map replacing the analytic atmosphere on the miss path.  env_data is
     # the same flat-row layout as tex_data; env_meta = (height, width)
@@ -332,7 +337,7 @@ class SceneData:
                  self.has_ggx, self.has_albedo_tex, self.has_normal_maps,
                  self.has_rough_maps, self.has_alpha_tex,
                  self.n_delta_lights, self.has_rrefr, self.has_blend,
-                 self.has_metal_maps))
+                 self.has_metal_maps, self.has_var_ior))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -347,7 +352,8 @@ class SceneData:
                    env_alias=leaves[15], delta_lights=leaves[16],
                    n_delta_lights=aux[11], light_alias=leaves[17],
                    light_powers=leaves[18], has_rrefr=aux[12],
-                   has_blend=aux[13], has_metal_maps=aux[14])
+                   has_blend=aux[13], has_metal_maps=aux[14],
+                   has_var_ior=aux[15])
 
 
 @dataclasses.dataclass
@@ -372,6 +378,7 @@ class Scene:
     tri_rtex: Optional[np.ndarray] = None   # [T] i32 rough-map id, -1=none
     tri_blend: Optional[np.ndarray] = None  # [T] bool stochastic alpha BLEND
     tri_metal: Optional[np.ndarray] = None  # [T] bool per-texel metalness
+    tri_ior: Optional[np.ndarray] = None    # [T] f32 glass IOR (REFR tris)
     delta_lights: Optional[DeltaLights] = None  # point/spot/directional
 
     @classmethod
@@ -489,7 +496,7 @@ class Scene:
                        tri_uv=None, tri_tex=None, textures=None,
                        tri_vn=None, envmap=None, tri_rough=None,
                        tri_ntex=None, tri_rtex=None, tri_blend=None,
-                       tri_metal=None,
+                       tri_metal=None, tri_ior=None,
                        delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
@@ -526,6 +533,8 @@ class Scene:
                    else np.asarray(tri_blend, bool),
                    tri_metal=None if tri_metal is None
                    else np.asarray(tri_metal, bool),
+                   tri_ior=None if tri_ior is None
+                   else np.asarray(tri_ior, np.float32),
                    tri_ntex=None if tri_ntex is None
                    else np.asarray(tri_ntex, np.int32),
                    tri_rtex=None if tri_rtex is None
@@ -560,6 +569,7 @@ class Scene:
             tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
             tri_blend=flat.tri_blend,
             tri_metal=flat.tri_metal,
+            tri_ior=flat.tri_ior,
             delta_lights=delta_lights)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
@@ -631,6 +641,16 @@ class Scene:
         is_lt = tri_refl == LIGHT
         if is_lt.any():
             tri_shade[is_lt, 7] = 0.5 * norm[is_lt, 0]
+        # REFR triangles reuse lane 7 for their glass IOR (unused as
+        # roughness there); read only under has_var_ior
+        has_var_ior = False
+        if self.tri_ior is not None and self.bvh is not None:
+            ior_p = np.full(tp.shape[0], 1.2, np.float32)
+            ti = np.asarray(self.tri_ior, np.float32)[self.bvh.perm]
+            ior_p[:ti.shape[0]] = ti
+            is_rf = tri_refl == REFR
+            tri_shade[is_rf, 7] = ior_p[is_rf]
+            has_var_ior = bool((is_rf & (np.abs(ior_p - 1.2) > 1e-6)).any())
 
         # texture atlas + per-triangle attribute rows (beyond-reference:
         # textures AND smooth vertex normals share one [T+pad, 32] gather
@@ -900,6 +920,7 @@ class Scene:
             has_alpha_tex=has_alpha,
             has_blend=has_blend,
             has_metal_maps=has_metal,
+            has_var_ior=has_var_ior,
             env_data=env_data,
             env_alias=env_alias,
             env_meta=env_meta,
