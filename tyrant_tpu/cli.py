@@ -122,6 +122,11 @@ def _add_common(p):
     p.add_argument("--texture-filter", default="bilinear",
                    choices=["bilinear", "nearest"],
                    help="albedo texture filtering (textured OBJ scenes)")
+    p.add_argument("--crop", type=int, nargs=4, default=None,
+                   metavar=("X0", "Y0", "CW", "CH"),
+                   help="render only this pixel rectangle (region "
+                        "re-renders / tiled high-res; the rest of the "
+                        "frame stays black)")
     p.add_argument("--builder", default="auto",
                    choices=["auto", "numpy", "native"])
 
@@ -156,6 +161,8 @@ def _build(args):
                                               "bilinear"),
                        tonemap=getattr(args, "tonemap", "reinhard"),
                        exposure=getattr(args, "exposure", 1.0),
+                       crop=(tuple(args.crop)
+                             if getattr(args, "crop", None) else None),
                        bloom_strength=getattr(args, "bloom", 0.0),
                        bloom_threshold=getattr(args, "bloom_threshold", 1.0),
                        bloom_radius=getattr(args, "bloom_radius", 12),

@@ -143,6 +143,13 @@ class RenderConfig:
     bloom_strength: float = 0.0
     bloom_threshold: float = 1.0
     bloom_radius: int = 12
+    # Crop window (beyond-reference): raygen visits ONLY the
+    # (x0, y0, w, h) pixel rectangle — region re-renders, and tiled
+    # ultra-high-resolution renders (one crop pass per tile; pixels
+    # outside stay at zero paths and resolve black).  None = full frame.
+    # STATIC: changing the crop recompiles the step.  Incompatible with
+    # adaptive_sampling and the sharded row-strip path (render.py raises).
+    crop: tuple | None = None
     # Edge-aware à-trous denoiser for the displayed image
     # (beyond-reference; denoise.py): "on" runs one deterministic AOV
     # pass per pose (render.render_aovs) and filters the radiance mean
@@ -299,8 +306,9 @@ class RenderConfig:
 
 
 def small_config(width: int = 512, height: int = 512, num_rays: int = 1 << 16,
-                 max_bounces: int = 5) -> RenderConfig:
+                 max_bounces: int = 5, **kw) -> RenderConfig:
     """A CPU-test-sized config (the reference has no such thing; its
-    resolution is a compile-time constant, variables.h:6-10)."""
+    resolution is a compile-time constant, variables.h:6-10).  Extra
+    keyword arguments pass through to :class:`RenderConfig`."""
     return RenderConfig(width=width, height=height, num_rays=num_rays,
-                        max_bounces=max_bounces)
+                        max_bounces=max_bounces, **kw)

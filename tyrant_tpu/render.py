@@ -274,12 +274,20 @@ def _primary_dirs(cfg: RenderConfig, camera: CameraParams, ni, nj):
     return d, off, None
 
 
+def _scan_total(cfg: RenderConfig, local_height: int) -> int:
+    """Pixels one round-robin raygen pass covers: the crop-window area
+    when cfg.crop is set, else the (strip-local) full frame."""
+    if cfg.crop is not None:
+        return int(cfg.crop[2]) * int(cfg.crop[3])
+    return cfg.width * local_height
+
+
 def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
             local_height: int, row_offset, perm=None, sample_base=None,
             cam_prev=None):
     n = cfg.num_rays
     w, h_global = cfg.width, cfg.height
-    total_local = w * local_height
+    total_local = _scan_total(cfg, local_height)
 
     gen_index = jnp.arange(n, dtype=jnp.int32)
     # Fresh rays occupy the FRONT slots [0, generated); carried survivors
@@ -291,7 +299,24 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     # With 8x8-tile ordering consecutive rays share a screen tile, which
     # keeps ray packets coherent for the traversal kernels.  Any bijection
     # preserves the progressive-accumulation estimator.
-    if perm is not None:
+    if cfg.crop is not None:
+        # crop window (beyond-reference): the round-robin scan covers
+        # only the (x0, y0, cw, ch) rectangle; 8x8 tiling inside it when
+        # it divides evenly (same packet-coherence rationale as below)
+        cx0, cy0, cw, ch = (int(v) for v in cfg.crop)
+        if cfg.raygen_order == "tiled8" and cw % 8 == 0 and ch % 8 == 0:
+            tiles_x = cw // 8
+            tile = scan // 64
+            within = scan % 64
+            cx = (tile % tiles_x) * 8 + within % 8
+            cy = (tile // tiles_x) * 8 + within // 8
+        else:
+            cx = scan % cw
+            cy = scan // cw
+        x_i = cx0 + cx
+        y_i = cy0 + cy
+        pixel = y_i * w + x_i
+    elif perm is not None:
         # adaptive sampling (adaptive.py): the priority permutation defines
         # the visit order outright (with repetition — the per-pixel mean
         # estimator is schedule-independent); equal-priority pixels are
@@ -1762,6 +1787,18 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # below naturally leaves them there), the front slots are fresh
     # primaries
     adaptive = cfg.adaptive_sampling == "on"
+    if cfg.crop is not None:
+        cx0, cy0, cw, ch = (int(v) for v in cfg.crop)
+        if adaptive:
+            raise ValueError("cfg.crop is incompatible with "
+                             "adaptive_sampling='on'")
+        if local_height != cfg.height:
+            raise ValueError("cfg.crop is incompatible with the sharded "
+                             "row-strip path")
+        if not (0 <= cx0 and 0 <= cy0 and cw > 0 and ch > 0
+                and cx0 + cw <= cfg.width and cy0 + ch <= cfg.height):
+            raise ValueError(f"crop {cfg.crop} outside the "
+                             f"{cfg.width}x{cfg.height} frame")
     if adaptive and state.pixel_perm.shape[0] != cfg.width * local_height:
         # fail fast at trace time (C12 policy): a [1]-dummy perm here means
         # the state predates adaptive mode (e.g. an old checkpoint loaded
@@ -1809,7 +1846,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     # the generation index only advanced by the top-off amount
     # (set_wavefront_globals, kernel.cu:230-236)
     generated = n - state.n_carried
-    total_local = cfg.width * local_height
+    total_local = _scan_total(cfg, local_height)
     start_next = (state.start_position + generated) % total_local
     # sobol sample-index bookkeeping: count completed round-robin passes
     sample_base_next = state.sample_base + (
