@@ -497,7 +497,8 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
 
 def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str,
                     channels: int = 3):
-    """Sample the flat texel atlas: repeat wrap, v=0 at image bottom.
+    """Sample the flat texel atlas (v=0 at image bottom; per-texture
+    repeat / clamp / mirror wrap from the static meta tuple).
 
     Per-texture (offset, height, width) come from the STATIC ``tex_meta``
     tuple via a select chain (K is small; a gathered meta row would pay the
@@ -513,8 +514,31 @@ def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str,
         off = jnp.where(sel, int(meta[k][0]), off)
         th = jnp.where(sel, int(meta[k][1]), th)
         tw = jnp.where(sel, int(meta[k][2]), tw)
-    u = u - jnp.floor(u)
-    v = v - jnp.floor(v)
+    # wrap modes (glTF samplers): 0 repeat, 1 clamp-to-edge, 2 mirrored
+    # repeat.  STATIC over the meta tuple — repeat-only scenes compile
+    # the identical (wrap-free) program.
+    any_wrap = any(len(m) > 3 and (m[3] or m[4]) for m in meta)
+    if any_wrap:
+        ws = jnp.full_like(texid, int(meta[0][3]))
+        wt = jnp.full_like(texid, int(meta[0][4]))
+        for k in range(1, len(meta)):
+            sel = texid == k
+            ws = jnp.where(sel, int(meta[k][3]), ws)
+            wt = jnp.where(sel, int(meta[k][4]), wt)
+
+        def wrap_coord(c, mode):
+            rep = c - jnp.floor(c)
+            t2 = c - 2.0 * jnp.floor(c * 0.5)
+            mir = jnp.where(t2 > 1.0, 2.0 - t2, t2)
+            cl = jnp.clip(c, 0.0, 1.0)
+            return jnp.where(mode == 1, cl,
+                             jnp.where(mode == 2, mir, rep))
+
+        u = wrap_coord(u, ws)
+        v = wrap_coord(v, wt)
+    else:
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
     n_rows = scene.tex_data.shape[0]
 
     def tap(xi, yi):
@@ -537,6 +561,16 @@ def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str,
     y0 = jnp.mod(y0f.astype(jnp.int32), th)
     x1 = jnp.mod(x0 + 1, tw)
     y1 = jnp.mod(y0 + 1, th)
+    if any_wrap:
+        # non-repeat borders do not wrap to the opposite edge: clamp the
+        # neighbour texel instead (the half-texel seam approximation for
+        # mirrored mode)
+        x0c = jnp.clip(x0f.astype(jnp.int32), 0, tw - 1)
+        y0c = jnp.clip(y0f.astype(jnp.int32), 0, th - 1)
+        x0 = jnp.where(ws == 0, x0, x0c)
+        y0 = jnp.where(wt == 0, y0, y0c)
+        x1 = jnp.where(ws == 0, x1, jnp.minimum(x0c + 1, tw - 1))
+        y1 = jnp.where(wt == 0, y1, jnp.minimum(y0c + 1, th - 1))
     return (tap(x0, y0) * (1 - ax) * (1 - ay) + tap(x1, y0) * ax * (1 - ay)
             + tap(x0, y1) * (1 - ax) * ay + tap(x1, y1) * ax * ay)
 

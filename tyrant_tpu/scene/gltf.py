@@ -19,6 +19,8 @@ already has:
                                 (appendix B mix(dielectric, metal, m))
   * COLOR_0 vertex colors    -> per-triangle mean albedo x base color
                                 (flat; same policy as PLY scanned colors)
+  * sampler wrap modes       -> repeat / clamp-to-edge / mirrored repeat
+                                per texture (static select in the tap)
   * KHR_texture_transform    -> baked into the per-triangle UVs at load
                                 (one transform per primitive: baseColor's
                                 wins if slots disagree)
@@ -98,6 +100,9 @@ class GltfScene:
     # shared texture images; tri_tex/tri_ntex/tri_rtex ids in ALL assets
     # index this one list (assets carry textures=None — see load_gltf)
     textures: Optional[list] = None
+    # per-texture (wrapS, wrapT) parallel to ``textures``: 0 repeat,
+    # 1 clamp-to-edge, 2 mirrored repeat (glTF sampler modes)
+    tex_wraps: Optional[list] = None
 
 
 def _read_glb(path: str):
@@ -342,8 +347,18 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
 
     # --- textures: decode lazily, dedup by (image index, decode mode) ---
     textures: list = []
+    tex_wraps: list = []   # (wrapS, wrapT) parallel to ``textures``
     tex_cache: dict = {}
     raw_cache: dict = {}
+    _WRAP = {10497: 0, 33071: 1, 33648: 2}  # repeat / clamp / mirror
+
+    def _sampler_wraps(tex_idx: int):
+        smp_i = gltf["textures"][tex_idx].get("sampler")
+        if smp_i is None:
+            return (0, 0)
+        smp = gltf.get("samplers", [])[smp_i]
+        return (_WRAP.get(smp.get("wrapS", 10497), 0),
+                _WRAP.get(smp.get("wrapT", 10497), 0))
 
     def texture_id(tex_idx: Optional[int], mode: str,
                    metal_factor: float = 1.0) -> int:
@@ -355,8 +370,11 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
         src = gltf["textures"][tex_idx].get("source")
         if src is None:
             return -1
-        key = (src, mode, round(metal_factor, 5)) if mode == "rough_g" \
-            else (src, mode)
+        wr = _sampler_wraps(tex_idx)
+        # wraps join the dedup key: two textures sharing an image under
+        # different samplers need separate atlas entries
+        key = (src, mode, round(metal_factor, 5), wr) if mode == "rough_g" \
+            else (src, mode, wr)
         try:
             if mode in ("srgb", "srgba") and src in alpha_srcs:
                 if src not in raw_cache:  # one decode for both users
@@ -368,7 +386,7 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                     img = img.copy()
                     img[:, :, 3] = 1.0  # OPAQUE user: neutralise cutout
                 else:
-                    key = (src, "srgba")  # fully-opaque alpha: shareable
+                    key = (src, "srgba", wr)  # fully-opaque alpha: shareable
                 if key in tex_cache:
                     return tex_cache[key]
             elif key in tex_cache:
@@ -390,6 +408,7 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                                     srgb=(mode == "srgb"))
             tex_cache[key] = len(textures)
             textures.append(np.ascontiguousarray(img))
+            tex_wraps.append(wr)
         except Exception as e:  # undecodable image: degrade like obj.py
             import sys
             print(f"warning: glTF texture {src} failed to decode "
@@ -474,6 +493,7 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
                     tex_cache[key] = len(textures)
                     textures.append(np.asarray(
                         [[[1.0, 1.0, 1.0, rec["alpha"]]]], np.float32))
+                    tex_wraps.append((0, 0))
                 tex = tex_cache[key]
                 if uv is None:
                     # the atlas taps need UVs; for a 1x1 texel any
@@ -609,7 +629,8 @@ def load_gltf(path: str, y_up_to_z_up: bool = True,
         walk(n, root)
 
     return GltfScene(meshes=assets, instances=instances, lights=lights,
-                     camera=camera, textures=textures or None)
+                     camera=camera, textures=textures or None,
+                     tex_wraps=tex_wraps or None)
 
 
 def _punctual_spec(light: dict, world: np.ndarray) -> dict:
@@ -685,6 +706,7 @@ def load_gltf_bundle(path: str, builder: str = "auto", scale: float = 1.0,
         tri_refl=flat.tri_refl, tri_color=flat.tri_color,
         tri_uv=flat.tri_uv, tri_tex=flat.tri_tex,
         textures=g.textures,  # global ids: see load_gltf
+        texture_wraps=g.tex_wraps,
         tri_vn=flat.tri_vn, tri_rough=flat.tri_rough,
         tri_ntex=flat.tri_ntex, tri_rtex=flat.tri_rtex,
         tri_blend=flat.tri_blend,

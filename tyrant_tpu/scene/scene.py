@@ -379,6 +379,10 @@ class Scene:
     tri_blend: Optional[np.ndarray] = None  # [T] bool stochastic alpha BLEND
     tri_metal: Optional[np.ndarray] = None  # [T] bool per-texel metalness
     tri_ior: Optional[np.ndarray] = None    # [T] f32 glass IOR (REFR tris)
+    # per-texture (wrap_s, wrap_t) parallel to ``textures``: 0 repeat,
+    # 1 clamp-to-edge, 2 mirrored repeat (glTF sampler modes).  None =
+    # repeat everywhere (OBJ/MTL has no wrap concept).
+    texture_wraps: Optional[list] = None
     delta_lights: Optional[DeltaLights] = None  # point/spot/directional
 
     @classmethod
@@ -496,7 +500,7 @@ class Scene:
                        tri_uv=None, tri_tex=None, textures=None,
                        tri_vn=None, envmap=None, tri_rough=None,
                        tri_ntex=None, tri_rtex=None, tri_blend=None,
-                       tri_metal=None, tri_ior=None,
+                       tri_metal=None, tri_ior=None, texture_wraps=None,
                        delta_lights: Optional[DeltaLights] = None) -> "Scene":
         """Build directly from triangle vertices [T,3] each.
 
@@ -535,6 +539,7 @@ class Scene:
                    else np.asarray(tri_metal, bool),
                    tri_ior=None if tri_ior is None
                    else np.asarray(tri_ior, np.float32),
+                   texture_wraps=texture_wraps,
                    tri_ntex=None if tri_ntex is None
                    else np.asarray(tri_ntex, np.int32),
                    tri_rtex=None if tri_rtex is None
@@ -710,8 +715,13 @@ class Scene:
                 if has_tex:
                     attr[:t, 15] = np.asarray(self.tri_tex, np.int32)[perm]
                 tex_data = jnp.asarray(atlas.data)
-                tex_meta = tuple((int(o), int(h), int(w))
-                                 for o, h, w in atlas.meta)
+                wraps = (self.texture_wraps
+                         if self.texture_wraps is not None
+                         else [(0, 0)] * len(atlas.meta))
+                tex_meta = tuple(
+                    (int(o), int(h), int(w),
+                     int(wraps[k][0]), int(wraps[k][1]))
+                    for k, (o, h, w) in enumerate(atlas.meta))
             else:
                 tex_data = jnp.ones((1, 4), jnp.float32)
                 tex_meta = ()
