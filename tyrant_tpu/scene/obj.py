@@ -166,6 +166,12 @@ def load_obj_scene(path: str) -> ObjMesh:
 
     vertices = np.asarray(verts, np.float32)
     faces_a = np.asarray(faces, np.int32).reshape(-1, 3)
+    if faces_a.size and (faces_a.min() < 0
+                         or faces_a.max() >= len(verts)):
+        # fail fast (C12): an out-of-range face would otherwise surface
+        # as a numpy IndexError deep inside Scene.load
+        raise ValueError(f"{path}: face references vertex "
+                         f"{int(faces_a.max())} of {len(verts)}")
     f_count = faces_a.shape[0]
 
     uvs = None
