@@ -89,3 +89,38 @@ def test_sharded_strips_cover_whole_image():
     # strips see different scene content (sky gradient): not all equal
     means = acc[:, :, :3].reshape(8, 4, 8, 3).mean((1, 2, 3))
     assert np.unique(np.round(means, 6)).size > 1
+
+
+def test_sharded_blend_metal_flags_flow():
+    """The round-3 SceneData aux flags (has_blend / has_metal_maps /
+    has_var_ior) ride through shard_map: a blend+metal scene steps on the
+    8-device mesh and stays finite (aux is static — a per-shard mismatch
+    would fail at trace time)."""
+    from tyrant_tpu.scene.scene import GGX, Scene
+
+    v0 = np.array([[-20, -20, 0], [-20, -20, 0]], np.float32)
+    v1 = np.array([[20, -20, 0], [20, 20, 0]], np.float32)
+    v2 = np.array([[20, 20, 0], [-20, 20, 0]], np.float32)
+    uv = np.tile(np.array([[[0, 0], [1, 0], [0, 1]]], np.float32),
+                 (2, 1, 1))
+    alpha_tex = np.ones((1, 1, 4), np.float32)
+    alpha_tex[..., 3] = 0.5
+    mr_tex = np.zeros((1, 1, 3), np.float32)
+    mr_tex[..., :] = [0.3, 0.7, 0.3]
+    scene = Scene.from_triangles(
+        v0, v1, v2, builder="numpy", tri_uv=uv,
+        tri_tex=np.array([0, -1], np.int32),
+        tri_rtex=np.array([-1, 1], np.int32),
+        textures=[alpha_tex, mr_tex],
+        tri_refl=np.array([0, GGX], np.int32),
+        tri_blend=np.array([True, False]),
+        tri_metal=np.array([False, True]),
+        tri_ior=np.array([1.2, 1.2], np.float32))
+    sd = scene.to_device()
+    assert sd.has_blend and sd.has_metal_maps
+    cfg = small_config(width=16, height=16, num_rays=1 << 9)
+    r = sharded.ShardedRenderer(scene, cfg)
+    r.step(_cam(), 2)
+    acc = np.asarray(r.state.accum)
+    assert np.isfinite(acc).all()
+    assert (acc[:, 3] > 0).all()
