@@ -532,3 +532,41 @@ def test_gltf_vertex_colors(tmp_path):
     g = load_gltf(str(p))
     np.testing.assert_allclose(g.meshes[0].tri_color[0], [0.5, 0.0, 0.0],
                                atol=1e-6)
+
+
+def test_gltf_emissive_texture(tmp_path):
+    """emissiveTexture rides the albedo slot of LIGHT primitives: direct
+    hits emit factor x texel (render.py tri-light policy)."""
+    b = _Bin()
+    bv_tri = b.add(TRI_POS.tobytes())
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    bv_uv = b.add(uvs.tobytes())
+    img = _png_bytes(np.full((2, 2, 3), 188, np.uint8))
+    bv_img = b.add(img)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "buffers": [{"byteLength": len(b.blob)}],
+        "bufferViews": b.views,
+        "accessors": [
+            {"bufferView": bv_tri, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": bv_uv, "componentType": 5126, "count": 3,
+             "type": "VEC2"}],
+        "images": [{"bufferView": bv_img, "mimeType": "image/png"}],
+        "textures": [{"source": 0}],
+        "materials": [{"emissiveFactor": [2.0, 2.0, 2.0],
+                       "emissiveTexture": {"index": 0}}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0,
+                                                   "TEXCOORD_0": 1},
+                                    "material": 0}]}],
+    }
+    p = tmp_path / "em.glb"
+    p.write_bytes(_glb(gltf, b.blob))
+    g = load_gltf(str(p))
+    m = g.meshes[0]
+    assert m.tri_refl[0] == 4  # LIGHT
+    np.testing.assert_allclose(m.tri_color[0], 2.0)
+    assert m.tri_tex is not None and m.tri_tex[0] >= 0
+    np.testing.assert_allclose(g.textures[m.tri_tex[0]][0, 0, 0],
+                               (188 / 255.0) ** 2.2, atol=1e-3)

@@ -25,7 +25,8 @@ already has:
                                 (one transform per primitive: baseColor's
                                 wins if slots disagree)
   * emissiveFactor (x KHR_materials_emissive_strength) -> LIGHT triangles
-                                (area lights with NEE)
+                                (area lights with NEE); emissiveTexture
+                                modulates direct-hit emission
   * alphaMode "MASK"         -> combined rgb+alpha atlas entry (the map_d
                                 0.5-cutout path)
   * alphaMode "BLEND"        -> stochastic transparency: shade with
@@ -281,7 +282,8 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     # first slot carrying it in baseColor > normal > metallicRoughness
     # order — differing per-slot transforms are a documented degradation
     for info in (pbr.get("baseColorTexture"), m.get("normalTexture"),
-                 pbr.get("metallicRoughnessTexture")):
+                 pbr.get("metallicRoughnessTexture"),
+                 m.get("emissiveTexture")):
         tt = (info or {}).get("extensions", {}).get("KHR_texture_transform")
         if tt is not None:
             rec["uv_xform"] = (tuple(tt.get("offset", (0.0, 0.0))),
@@ -308,6 +310,12 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
     if emissive.max() > 0.0:
         rec["refl"] = _LIGHT
         rec["color"] = tuple(float(c) for c in emissive)
+        if "emissiveTexture" in m:
+            # texture-modulated area light: the emissive texel rides the
+            # albedo slot (LIGHT triangles emit color_tri = factor x
+            # texel on direct hits, render.py; NEE keeps the factor —
+            # the same policy the OBJ Ke path established)
+            rec["base_tex"] = m["emissiveTexture"]["index"]
     elif transmission > 0.5:
         # roughnessFactor > ~0 makes the glass frosted (RREFR: the REFR
         # math through a VNDF-sampled microfacet, render.py)
