@@ -53,7 +53,9 @@ def bloom(cl: jnp.ndarray, strength: float = 0.08,
     backend inside the display resolve; strength 0 is the caller-side
     no-op gate."""
     bright = jnp.maximum(cl - threshold, 0.0)
-    sigma = max(radius, 1) / 2.0
+    # reflect-pad requires pad < axis size: clamp the radius to the image
+    radius = max(1, min(int(radius), cl.shape[0] - 1, cl.shape[1] - 1))
+    sigma = radius / 2.0
     xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (xs / sigma) ** 2)
     k = k / jnp.sum(k)

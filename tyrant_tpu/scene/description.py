@@ -210,6 +210,16 @@ def load_description(path: str, builder: str = "auto",
                        else m.get("color", (1.0, 1.0, 1.0)))
                 asset.tri_color = np.tile(
                     np.asarray(col, np.float32), (n, 1))
+                # the override forces the LOOK: drop the file's per-texel
+                # material state (stale roughness/metal/blend maps would
+                # fight the forced material — e.g. a rough-map tap
+                # overwrites the REFR IOR lane); albedo and normal maps
+                # stay (they compose with any material)
+                asset.tri_rtex = None
+                asset.tri_metal = None
+                asset.tri_blend = None
+                asset.tri_rough = None
+                asset.tri_ior = None
                 if "roughness" in m:
                     asset.tri_rough = np.full(n, float(m["roughness"]),
                                               np.float32)

@@ -313,8 +313,11 @@ def _material_record(gltf: dict, mat_idx: Optional[int]) -> dict:
         if "emissiveTexture" in m:
             # texture-modulated area light: the emissive texel rides the
             # albedo slot (LIGHT triangles emit color_tri = factor x
-            # texel on direct hits, render.py; NEE keeps the factor —
-            # the same policy the OBJ Ke path established)
+            # texel on direct hits, render.py); NEE and the power table
+            # integrate factor x texture MEAN (scene.py), so both MIS
+            # strategies agree on total power — per-point NEE texel
+            # lookup would need UVs in the light rows (documented
+            # approximation)
             rec["base_tex"] = m["emissiveTexture"]["index"]
     elif transmission > 0.5:
         # roughnessFactor > ~0 makes the glass frosted (RREFR: the REFR
@@ -680,6 +683,7 @@ def load_gltf_asset(path: str, scale: float = 1.0,
     # the list here makes those ids LOCAL to this merged asset, which is
     # exactly what a second flatten_instances pass expects
     flat.textures = g.textures
+    flat.tex_wraps = g.tex_wraps
     return flat
 
 

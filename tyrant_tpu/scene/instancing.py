@@ -65,6 +65,8 @@ class MeshAsset:
     #   (glTF mr-texture B channel; shade picks GGX w.p. metalness)
     tri_ior: Optional[np.ndarray] = None    # [T] f32 glass IOR for REFR
     #   triangles (KHR_materials_ior; default 1.2 = reference parity)
+    tex_wraps: Optional[list] = None        # per-texture (wrapS, wrapT)
+    #   parallel to ``textures`` (0 repeat / 1 clamp / 2 mirror)
 
     @classmethod
     def load(cls, path: str, scale: float = 1.0) -> "MeshAsset":
@@ -176,10 +178,13 @@ def flatten_instances(meshes: Sequence[MeshAsset],
 
     tex_offset = []
     textures: list = []
+    tex_wraps: list = []
     for m in meshes:
         tex_offset.append(len(textures))
         if m.textures:
             textures.extend(m.textures)
+            tex_wraps.extend(m.tex_wraps if m.tex_wraps is not None
+                             else [(0, 0)] * len(m.textures))
 
     out_v0, out_v1, out_v2 = [], [], []
     out_refl, out_color, out_uv, out_tex, out_vn = [], [], [], [], []
@@ -260,6 +265,9 @@ def flatten_instances(meshes: Sequence[MeshAsset],
         tri_uv=cat(out_uv) if (any_uv or any_tex) else None,
         tri_tex=cat(out_tex) if (any_uv or any_tex) else None,
         textures=textures if any_tex else None,
+        tex_wraps=(tex_wraps if any_tex and any(w != (0, 0)
+                                                for w in tex_wraps)
+                   else None),
         tri_vn=cat(out_vn) if any_vn else None,
         tri_rough=cat(out_rough) if any_rough else None,
         tri_ntex=cat(out_ntex) if any_ntex else None,

@@ -351,13 +351,20 @@ def load_obj_scene(path: str) -> ObjMesh:
                         tri_refl = np.zeros(f_count, np.int32)
                         tri_rough = np.full(f_count, 0.3, np.float32)
                     tri_refl[i] = _GGX
-            elif pr_map is not None:
+                else:
+                    pm_map = None  # decode failed: fall back to map_Pr
+            if pm_map is None and pr_map is not None:
                 tri_rtex[i] = tex_id(pr_map, srgb=False)
                 if tri_refl is None:
                     # a roughness map implies a GGX surface even without Pm
                     tri_refl = np.zeros(f_count, np.int32)
                     tri_rough = np.full(f_count, 0.3, np.float32)
                 tri_refl[i] = _GGX
+        if uvs is None and textures and (tri_tex >= 0).any():
+            # a synthesized 1x1 texel (constant d) on a UV-less OBJ: any
+            # parameterisation samples the single texel, but the atlas
+            # gate (scene.py has_atlas) needs tri_uv present
+            uvs = np.zeros((f_count, 3, 2), np.float32)
         if not textures:
             textures = None
             tri_tex = None

@@ -94,10 +94,14 @@ def load_ply_attrs(path: str):
     colors = None
     faces = []
 
-    def _decode_colors(stacked, is_u8):
+    def _decode_colors(stacked, dtype):
         c = stacked.astype(np.float32)
-        if is_u8:
-            c = (c / 255.0) ** 2.2  # 8-bit scanner colors are sRGB
+        dt = np.dtype(dtype)
+        if dt.kind in "iu":
+            c = c / float(np.iinfo(dt).max)
+            if dt.itemsize == 1:
+                c = c ** 2.2  # 8-bit scanner colors are sRGB
+            # 16/32-bit integer colors are conventionally already linear
         return c
 
     if fmt == "ascii":
@@ -124,7 +128,7 @@ def load_ply_attrs(path: str):
                     colors = _decode_colors(
                         arr[:, [ri, names.index("green"),
                                 names.index("blue")]],
-                        props[ri][1] == "u1")
+                        props[ri][1])
                 pos += count * width
             elif name == "face":
                 for _ in range(count):
@@ -152,7 +156,7 @@ def load_ply_attrs(path: str):
                     colors = _decode_colors(
                         np.stack([arr["red"], arr["green"], arr["blue"]],
                                  axis=1),
-                        dt["red"] == np.dtype("u1"))
+                        dt["red"])
             elif name == "face":
                 # faces: one list property (vertex indices)
                 lp = [p for p in props if p[2]][0]

@@ -575,6 +575,7 @@ class Scene:
             tri_blend=flat.tri_blend,
             tri_metal=flat.tri_metal,
             tri_ior=flat.tri_ior,
+            texture_wraps=flat.tex_wraps,
             delta_lights=delta_lights)
         s.stats["instances"] = len(instances)
         s.stats["unique_meshes"] = len(meshes)
@@ -680,10 +681,11 @@ class Scene:
         if has_blend:
             tri_shade[:, 3] += 16.0 * blend
         # per-texel metalness needs the rough-map taps (metalness rides
-        # channel 1 of the same texel row) AND the GGX shading branch
-        # (loaders force flagged triangles to GGX); gated like blend
-        has_metal = bool(has_rmap and metal.any()
-                         and (metal <= (tri_refl == GGX)).all())
+        # channel 1 of the same texel row) AND the GGX shading branch —
+        # a flag on a non-GGX triangle (e.g. a JSON material override)
+        # drops per triangle, not scene-wide
+        metal = metal & (tri_refl == GGX)
+        has_metal = bool(has_rmap and metal.any())
         if has_metal:
             tri_shade[:, 3] += 32.0 * metal
         if has_tex or has_smooth or has_nmap or has_rmap:
@@ -776,6 +778,20 @@ class Scene:
             lem = (np.ones((lm.sum(), 3), np.float32)
                    if self.tri_color is None else
                    np.asarray(self.tri_color, np.float32)[lm])
+            if self.textures is not None and self.tri_tex is not None:
+                # texture-modulated emitters (emissiveTexture / Ke +
+                # map_Kd): NEE and the power table integrate the
+                # texture's MEAN so both MIS strategies agree on total
+                # emitted power; direct hits show the per-texel detail.
+                # (Exact per-point NEE would need UVs in the light rows
+                # — documented approximation.)
+                tt = np.asarray(self.tri_tex)[lm]
+                means = np.asarray(
+                    [t[:, :, :3].reshape(-1, 3).mean(0)
+                     for t in self.textures], np.float32)
+                lem = lem * np.where((tt >= 0)[:, None],
+                                     means[np.clip(tt, 0, len(means) - 1)],
+                                     1.0)
             larea = 0.5 * np.linalg.norm(np.cross(le1, le2), axis=1)
             tl = np.concatenate(
                 [lv0, le1, le2, lem, larea[:, None]], axis=1)
