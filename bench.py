@@ -227,6 +227,15 @@ def main():
     print(f"# equivalence gate (compiled packet vs XLA cascade)...",
           file=sys.stderr)
     equivalence = run_equivalence_gate()
+    if equivalence.startswith("error"):
+        # one retry after a flap-probe: the gate's most common failure is
+        # an axon worker outage mid-subprocess (a 900 s timeout), not a
+        # real mismatch — don't let a flap stamp an error into the
+        # recorded JSON if the worker comes back
+        print(f"# equivalence errored ({equivalence[:80]}); waiting for "
+              "the worker and retrying once", file=sys.stderr)
+        _wait_for_tpu()
+        equivalence = run_equivalence_gate()
     print(f"# equivalence: {equivalence}", file=sys.stderr)
 
     print(f"# dragon scene: {dragon.stats} ({time.time() - t0:.1f}s)",
