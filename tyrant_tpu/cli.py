@@ -332,8 +332,7 @@ def cmd_render(args):
     _write_png(args.out, img)
     print(f"wrote {args.out}", file=sys.stderr)
     if args.hdr:
-        from .utils.pfm import write_pfm
-        write_pfm(args.hdr, np.asarray(r.radiance()))
+        _write_hdr(args.hdr, np.asarray(r.radiance()))
         print(f"wrote {args.hdr} (linear radiance)", file=sys.stderr)
     if getattr(args, "aovs", None):
         # deterministic feature buffers (denoiser guides) for
@@ -509,6 +508,17 @@ def cmd_bvh_debug(args):
           file=sys.stderr)
 
 
+def _write_hdr(path, img):
+    """Linear-radiance HDR export, dispatched on extension: .exr writes
+    OpenEXR (half floats, the compositor norm), anything else PFM."""
+    if path.lower().endswith(".exr"):
+        from .utils.exr import write_exr
+        write_exr(path, img)
+    else:
+        from .utils.pfm import write_pfm
+        write_pfm(path, img)
+
+
 def _write_png(path, img):
     try:
         from PIL import Image
@@ -525,8 +535,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--out", default="out.png")
-    p.add_argument("--hdr", default=None, metavar="OUT.pfm",
-                   help="also write the linear radiance as PFM (HDR)")
+    p.add_argument("--hdr", default=None, metavar="OUT.{exr,pfm}",
+                   help="also write the linear radiance as HDR: OpenEXR "
+                        "(half floats) for .exr, PFM otherwise")
     p.add_argument("--until-noise", type=float, default=None,
                    metavar="REL_ERR",
                    help="stop early once the mean relative standard error "

@@ -27,8 +27,9 @@ import numpy as np
 def load_texture(path: str, srgb: bool = True) -> np.ndarray:
     """Decode an image file to a float32 [H, W, 3] array.
 
-    PNG/JPEG/BMP/... via PIL; .npy files (already-linear float arrays) and
-    .pfm HDR images (utils/pfm.py) are loaded directly.  Rows run top-to-bottom in file order; OBJ vt
+    PNG/JPEG/BMP/... via PIL; .npy files (already-linear float arrays),
+    .pfm (utils/pfm.py) and uncompressed .exr (utils/exr.py) HDR images
+    are loaded directly.  Rows run top-to-bottom in file order; OBJ vt
     coordinates put v=0 at the BOTTOM, which :func:`TextureAtlas.sample`
     accounts for (v flip at sample time, not load time).
 
@@ -47,6 +48,10 @@ def load_texture(path: str, srgb: bool = True) -> np.ndarray:
         # HDR input (already linear) — the natural envmap container
         from ..utils.pfm import read_pfm
         return read_pfm(path)
+    if path.lower().endswith(".exr"):
+        # HDR input (already linear); uncompressed scanline subset
+        from ..utils.exr import read_exr
+        return np.ascontiguousarray(read_exr(path)[:, :, :3])
     from PIL import Image
     img = Image.open(path).convert("RGB")
     arr = np.asarray(img, np.uint8).astype(np.float32) / 255.0
