@@ -330,12 +330,28 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
 
     li = scene.light_index
     sun_extent = 1.0 - SUN_ANGULAR_COS
-    # fog = (sigma_s, sigma_a, g, z_min, z_max) — volumetric slab medium
+    # fog = (sigma_s, sigma_a, g, z_min, z_max[, falloff]) — volumetric
+    # slab medium; optional exponential height falloff
+    # density(z) = sigma * exp(-falloff * z)
     fog_on = fog is not None and (fog[0] + fog[1]) > 0
     if fog_on:
-        f_ss, f_sa, f_g, f_zmin, f_zmax = fog
+        f_ss, f_sa, f_g, f_zmin, f_zmax = fog[:5]
+        f_fall = fog[5] if len(fog) > 5 else 0.0
         f_st = f_ss + f_sa
         f_alb = f_ss / f_st
+
+
+    def fog_tau_np(oo, dd, ta, s):
+        """Optical depth over [ta, ta+s] of the (possibly height-falloff)
+        medium along each ray."""
+        if not f_fall:
+            return f_st * s
+        rho0 = np.exp(np.clip(-f_fall * (oo[:, 2] + dd[:, 2] * ta), -60, 60))
+        k = f_fall * dd[:, 2]
+        tiny = np.abs(k) < 1e-12
+        ks = np.where(tiny, 1.0, k)
+        ratio = np.where(tiny, s, -np.expm1(-ks * s) / ks)
+        return f_st * rho0 * ratio
 
     for _ in range(max_bounces + 2):
         if not alive.any():
@@ -348,7 +364,19 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             # before the surface becomes a medium event (kind 2)
             fta, flen = slab_overlap_np(oo, dd, t, f_zmin, f_zmax)
             fu = rng.uniform(size=len(t))
-            fs = -np.log1p(-np.minimum(fu, 1 - 1e-12)) / f_st
+            e = -np.log1p(-np.minimum(fu, 1 - 1e-12))
+            if f_fall:
+                rho0 = np.exp(np.clip(
+                    -f_fall * (oo[:, 2] + dd[:, 2] * fta), -60, 60))
+                k = f_fall * dd[:, 2]
+                tiny = np.abs(k) < 1e-12
+                ks = np.where(tiny, 1.0, k)
+                g_ = e * ks / (f_st * rho0)
+                fs = np.where(tiny, e / (f_st * rho0),
+                              -np.log1p(-np.minimum(g_, 1 - 1e-12)) / ks)
+                fs = np.where(~tiny & (g_ >= 1.0), VERY_FAR, fs)
+            else:
+                fs = e / f_st
             fev = fs < flen
             t = np.where(fev, fta + fs, t)
             kind = np.where(fev, 2, kind)
@@ -547,11 +575,12 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
             if fog_on:
                 contrib = np.where(is_f[sok][:, None], sc_fog[sok], contrib)
                 # slab transmittance along the shadow segment
-                _, shl = slab_overlap_np(
+                shta, shl = slab_overlap_np(
                     oh[sok], shadow_dir[sok],
                     np.where(choose_sun[sok], VERY_FAR, ldist[sok]),
                     f_zmin, f_zmax)
-                contrib = contrib * np.exp(-f_st * shl)[:, None]
+                contrib = contrib * np.exp(-fog_tau_np(
+                    oh[sok], shadow_dir[sok], shta, shl))[:, None]
             if mis:
                 p_sun_sa = 0.5 / (2 * PI * sun_extent)
                 w_sun_nee = p_sun_sa / (p_sun_sa + pdf_toward(sun_s))

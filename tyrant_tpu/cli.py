@@ -102,6 +102,9 @@ def _add_common(p):
                    help="fog absorption coefficient sigma_a")
     p.add_argument("--fog-g", type=float, default=0.0,
                    help="HG phase anisotropy in (-1, 1); >0 forward-scatters")
+    p.add_argument("--fog-falloff", type=float, default=0.0,
+                   help="exponential height falloff (1/world-unit): "
+                        "density = sigma * exp(-falloff * z); 0 = uniform")
     p.add_argument("--fog-z", type=float, nargs=2, default=(-1e8, 1e8),
                    metavar=("ZMIN", "ZMAX"),
                    help="fog slab height bounds (world z-up)")
@@ -185,6 +188,7 @@ def _build(args):
                        fog_sigma_s=getattr(args, "fog_scatter", 0.02),
                        fog_sigma_a=getattr(args, "fog_absorb", 0.0),
                        fog_g=getattr(args, "fog_g", 0.0),
+                       fog_falloff=getattr(args, "fog_falloff", 0.0),
                        fog_z_min=getattr(args, "fog_z", (-1e8, 1e8))[0],
                        fog_z_max=getattr(args, "fog_z", (-1e8, 1e8))[1])
     if bundle is not None:

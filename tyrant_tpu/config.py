@@ -11,6 +11,7 @@ code are static Python values (they become compile-time constants under
 from __future__ import annotations
 
 import dataclasses
+import math
 
 PI = 3.1415926535897932
 INV_PI = 1.0 / PI
@@ -248,6 +249,15 @@ class RenderConfig:
     fog_g: float = 0.0
     fog_z_min: float = -1e8
     fog_z_max: float = 1e8
+    # Exponential height falloff (1/world-unit): density(z) = sigma *
+    # exp(-fog_falloff * z), so sigma_s/sigma_a are the coefficients at
+    # z = 0 and density halves every ln(2)/fog_falloff units of altitude —
+    # the standard "height fog" / aerial-haze profile.  Free-flight
+    # sampling and NEE transmittance both use the closed-form optical
+    # depth of the exponential profile (no ratio tracking needed), so the
+    # estimator stays exactly unbiased.  0 keeps the homogeneous slab and
+    # compiles the identical program (static gate).
+    fog_falloff: float = 0.0
 
     def __post_init__(self):
         if self.packet_kernel_mode not in ("auto", "mono", "wave",
@@ -288,6 +298,8 @@ class RenderConfig:
             raise ValueError("fog_g must be in [-0.999, 0.999]")
         if self.fog_z_min >= self.fog_z_max:
             raise ValueError("fog_z_min must be < fog_z_max")
+        if not math.isfinite(self.fog_falloff):
+            raise ValueError("fog_falloff must be finite")
         if not 0.0 < self.fisheye_fov_degrees <= 360.0:
             raise ValueError("fisheye_fov_degrees must be in (0, 360]")
         if self.ortho_height <= 0.0:

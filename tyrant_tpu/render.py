@@ -80,6 +80,46 @@ def _fog_overlap(origin, direction, t_limit, z_min: float, z_max: float):
     return ta, jnp.maximum(tb - ta, 0.0)
 
 
+def _fog_density_coeffs(origin, direction, t_start, falloff: float):
+    """Per-ray coefficients of the exponential-height fog density along a
+    segment starting at parameter ``t_start``: with world altitude
+    z(s) = z_start + dz*s, density(s) = rho0 * exp(-k s) where
+    rho0 = exp(-falloff * z_start) and k = falloff * dz.  The exponent is
+    clamped to +-60 (exp(60) ~ 1e26 stays finite in f32; beyond that the
+    medium is opaque/vacuum to every practical precision anyway)."""
+    z_start = origin[:, 2] + direction[:, 2] * t_start
+    rho0 = jnp.exp(jnp.clip(-falloff * z_start, -60.0, 60.0))
+    return rho0, falloff * direction[:, 2]
+
+
+def _fog_optical_depth(sigma_t, rho0, k, s):
+    """Closed-form optical depth of the exponential-height medium over a
+    segment of length ``s``:  sigma_t * rho0 * (1 - exp(-k s)) / k,
+    with the k -> 0 limit sigma_t * rho0 * s."""
+    tiny = jnp.abs(k) < 1e-12
+    k_safe = jnp.where(tiny, 1.0, k)
+    ratio = jnp.where(tiny, s, -jnp.expm1(-k_safe * s) / k_safe)
+    return sigma_t * rho0 * ratio
+
+
+def _fog_free_flight(u, sigma_t, rho0, k):
+    """Inverse free-flight CDF of the exponential-height medium: the
+    collision distance s whose optical depth equals -log(1-u).  Closed
+    form: exp(-k s) = 1 - e*k/(sigma_t*rho0); when that bound is <= 0
+    (ray climbing out of the fog faster than the target depth accrues)
+    there is no collision at any distance -> VERY_FAR.  Sampling the TRUE
+    heterogeneous free-flight distribution keeps the event/no-event
+    conditioning exactly transmittance-cancelling, the same unbiased
+    structure as the homogeneous slab."""
+    e = -jnp.log1p(-jnp.minimum(u, 1.0 - 1e-7))
+    tiny = jnp.abs(k) < 1e-12
+    k_safe = jnp.where(tiny, 1.0, k)
+    g = e * k_safe / (sigma_t * rho0)
+    s_het = -jnp.log1p(-jnp.minimum(g, 1.0 - 1e-12)) / k_safe
+    s = jnp.where(tiny, e / (sigma_t * rho0), s_het)
+    return jnp.where(~tiny & (g >= 1.0), VERY_FAR, s)
+
+
 def _ggx_eval(normal, view, light_dir, alpha, f0):
     """Single-scatter GGX BRDF value f(v, l), [n, 3] (beyond-reference).
 
@@ -668,7 +708,14 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             # side stream: fog-off RNG chains are untouched (goldens stable)
             _, u_f = rng.random_float(
                 rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xF06))
-        f_s = -jnp.log1p(-jnp.minimum(u_f, 1.0 - 1e-7)) / f_sigma_t
+        if cfg.fog_falloff:
+            # exponential height profile: invert the true free-flight CDF
+            # of density(z) = sigma * exp(-fog_falloff * z)
+            f_rho0, f_k = _fog_density_coeffs(rays["origin"], d, f_ta,
+                                              cfg.fog_falloff)
+            f_s = _fog_free_flight(u_f, f_sigma_t, f_rho0, f_k)
+        else:
+            f_s = -jnp.log1p(-jnp.minimum(u_f, 1.0 - 1e-7)) / f_sigma_t
         is_fog = f_s < f_len
         t = jnp.where(is_fog, f_ta + f_s, t)
 
@@ -1378,10 +1425,16 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # every NEE connection pays the slab transmittance along its
         # shadow segment (sun rays: to the slab exit; light rays: to the
         # sampled emitter point) — this is what casts the god rays
-        _, sh_len = _fog_overlap(o, shadow_dir,
-                                 jnp.where(choose_sun, VERY_FAR, ldist),
-                                 cfg.fog_z_min, cfg.fog_z_max)
-        shadow_color = shadow_color * jnp.exp(-f_sigma_t * sh_len)[:, None]
+        sh_ta, sh_len = _fog_overlap(o, shadow_dir,
+                                     jnp.where(choose_sun, VERY_FAR, ldist),
+                                     cfg.fog_z_min, cfg.fog_z_max)
+        if cfg.fog_falloff:
+            s_rho0, s_k = _fog_density_coeffs(o, shadow_dir, sh_ta,
+                                              cfg.fog_falloff)
+            sh_tau = _fog_optical_depth(f_sigma_t, s_rho0, s_k, sh_len)
+        else:
+            sh_tau = f_sigma_t * sh_len
+        shadow_color = shadow_color * jnp.exp(-sh_tau)[:, None]
 
     # --- bounce directions ---
     # DIFF cosine hemisphere (kernel.cu:450-467); only resampled when

@@ -25,7 +25,7 @@ config) into one shareable file:
   "camera": {"position": [0,-170,40], "vertical": -0.1,
              "focal_distance": 1.0, "lens_radius": 0.0},
   "sun": [0.05, 0.3],
-  "fog": {"scatter": 0.005, "absorb": 0.0, "g": 0.4, "z": [0, 70]},
+  "fog": {"scatter": 0.005, "absorb": 0.0, "g": 0.4, "z": [0, 70], "falloff": 0.02},
   "render": {"bounces": 5, "tonemap": "aces", "exposure": 1.2,
              "mis": true, "sampler": "sobol", "clamp": 0.0}
 }
@@ -271,6 +271,7 @@ def load_description(path: str, builder: str = "auto",
         config["fog_sigma_s"] = float(fg.get("scatter", 0.02))
         config["fog_sigma_a"] = float(fg.get("absorb", 0.0))
         config["fog_g"] = float(fg.get("g", 0.0))
+        config["fog_falloff"] = float(fg.get("falloff", 0.0))
         z = fg.get("z", (-1e8, 1e8))
         config["fog_z_min"], config["fog_z_max"] = float(z[0]), float(z[1])
     for key, val in desc.get("render", {}).items():
