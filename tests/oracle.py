@@ -300,7 +300,8 @@ def slab_overlap_np(o, d, t_limit, z_min, z_max):
 def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
                   width, height, paths_per_pixel, sun_dir,
                   focal_distance=1.0, lens_radius=0.0, seed=0,
-                  max_bounces=MAX_BOUNCES, mis=False, fog=None):
+                  max_bounces=MAX_BOUNCES, mis=False, fog=None,
+                  dispersion=0.0):
     """Renders [H*W, 4] accumulation (rgb sum + terminated count)."""
     rng = np.random.default_rng(seed)
     P = width * height
@@ -614,8 +615,21 @@ def render_oracle(scene: OracleScene, cam_pos, cam_dir, cam_right, cam_up,
         # REFR
         isr = refl == REFR
         if isr.any():
-            n1 = np.where(outside[isr], 1.2, 1.0)
-            n2 = np.where(outside[isr], 1.0, 1.2)
+            eta = np.full(int(isr.sum()), 1.2)
+            if dispersion:
+                # stochastic wavelength-channel collapse before the
+                # Fresnel test (mirrors render._shade dispersion)
+                dg = dcur[isr]
+                poly = (dg > 0).sum(1) > 1
+                pick = np.minimum(
+                    (rng.uniform(size=len(dg)) * 3).astype(int), 2)
+                chan = np.where(poly, pick, dg.argmax(1))
+                eta = eta * (1 + dispersion * (chan - 1.0))
+                oh3 = np.zeros_like(dg)
+                oh3[np.arange(len(dg)), chan] = 1.0
+                dcur[isr] = np.where(poly[:, None], dg * 3.0 * oh3, dg)
+            n1 = np.where(outside[isr], eta, 1.0)
+            n2 = np.where(outside[isr], 1.0, eta)
             r0 = ((n1 - n2) / (n1 + n2)) ** 2
             cosi = -np.sum(normal[isr] * dh[isr], -1)
             nrr = n2 / n1

@@ -42,13 +42,13 @@ def run_tpu(scene: Scene, cam: Camera, steps: int, num_rays=1 << 14):
     return np.asarray(r.state.accum), cfg
 
 
-def run_oracle(oscene, cam: Camera, ppp: int, cfg, seed=1):
+def run_oracle(oscene, cam: Camera, ppp: int, cfg, seed=1, **kw):
     right, up = cam.basis(cfg)
     sun_dir = np.asarray(skymod.sun_direction_from_position(jnp.asarray(SUN_POS)))
     return oracle.render_oracle(
         oscene, cam.position.astype(float), cam.direction.astype(float),
         right.astype(float), up.astype(float), W, H, ppp,
-        sun_dir.astype(float), seed=seed)
+        sun_dir.astype(float), seed=seed, **kw)
 
 
 def compare(acc_a, acc_b, tol_mean=0.04, tol_px=0.12):

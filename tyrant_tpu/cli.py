@@ -93,6 +93,10 @@ def _add_common(p):
                         "equal probability, or proportional to per-light "
                         "radiant power (helps scenes whose lights differ "
                         "by orders of magnitude)")
+    p.add_argument("--dispersion", type=float, default=0.0,
+                   help="spectral glass dispersion: fractional per-channel "
+                        "IOR spread (rainbow caustics; ~0.01-0.03 real, "
+                        "0 = off)")
     p.add_argument("--fog", action="store_true",
                    help="volumetric fog: homogeneous scattering slab with "
                         "free-flight sampling + HG phase (god rays)")
@@ -184,6 +188,7 @@ def _build(args):
                                                    180.0),
                        ortho_height=getattr(args, "ortho_height", 10.0),
                        motion_blur=getattr(args, "shutter", 0.0),
+                       dispersion=getattr(args, "dispersion", 0.0),
                        fog="on" if getattr(args, "fog", False) else "off",
                        fog_sigma_s=getattr(args, "fog_scatter", 0.02),
                        fog_sigma_a=getattr(args, "fog_absorb", 0.0),

@@ -249,6 +249,14 @@ class RenderConfig:
     fog_g: float = 0.0
     fog_z_min: float = -1e8
     fog_z_max: float = 1e8
+    # Spectral dispersion (beyond-reference): fractional per-channel glass
+    # IOR spread eta_c = eta * (1 + dispersion * (c - 1)) for c = 0/1/2 =
+    # R/G/B (blue bends more — normal dispersion).  A polychromatic path
+    # hitting REFR glass stochastically collapses to one wavelength
+    # channel (unbiased 3x one-hot), giving rainbow caustics and fringes.
+    # 0 = off (static gate, identical program).  ~0.01-0.03 matches real
+    # glasses; larger values exaggerate for effect.
+    dispersion: float = 0.0
     # Exponential height falloff (1/world-unit): density(z) = sigma *
     # exp(-fog_falloff * z), so sigma_s/sigma_a are the coefficients at
     # z = 0 and density halves every ln(2)/fog_falloff units of altitude —
@@ -300,6 +308,9 @@ class RenderConfig:
             raise ValueError("fog_z_min must be < fog_z_max")
         if not math.isfinite(self.fog_falloff):
             raise ValueError("fog_falloff must be finite")
+        if not 0.0 <= self.dispersion <= 0.5:
+            raise ValueError("dispersion must be in [0, 0.5] (fractional "
+                             "per-channel IOR spread)")
         if not 0.0 < self.fisheye_fov_degrees <= 360.0:
             raise ValueError("fisheye_fov_degrees must be in (0, 360]")
         if self.ortho_height <= 0.0:

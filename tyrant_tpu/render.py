@@ -1458,6 +1458,38 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         eta = jnp.where(is_tri & (refl == REFR), rough_tri, 1.2)
     else:
         eta = 1.2
+    if cfg.dispersion:
+        # Spectral dispersion (beyond-reference): per-channel glass IOR
+        # eta_c = eta * (1 + dispersion * (c - 1)), c in {0:R, 1:G, 2:B}
+        # (blue bends more).  A polychromatic path meeting glass collapses
+        # to ONE stochastic wavelength channel BEFORE the Fresnel test so
+        # the reflect/refract decision, TIR and the refraction angle are
+        # all consistent for that wavelength; direct *= 3 * onehot(c)
+        # keeps the estimator exactly unbiased (E[3*onehot] = 1 per
+        # channel).  Monochromatic paths keep their channel through later
+        # glass events (derived from the throughput's surviving channel —
+        # no new ray state).  Side RNG stream / static gate: dispersion=0
+        # compiles the identical program.  RREFR rough glass stays
+        # undispersed (its microfacet blur dominates any fringe).
+        if use_sobol:
+            u_w = sob1(13)
+        else:
+            _, u_w = rng.random_float(
+                rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                              0xD15B))
+        pick = jnp.minimum((u_w * 3.0).astype(jnp.int32), 2)
+        poly = ((direct[:, 0] > 0).astype(jnp.int32)
+                + (direct[:, 1] > 0) + (direct[:, 2] > 0)) > 1
+        chan = jnp.where(poly, pick,
+                         jnp.argmax(direct, axis=1).astype(jnp.int32))
+        at_glass = hit & (refl == REFR)
+        eta = jnp.where(at_glass,
+                        eta * (1.0 + cfg.dispersion
+                               * (chan.astype(jnp.float32) - 1.0)), eta)
+        onehot = (jnp.arange(3, dtype=jnp.int32)[None, :]
+                  == chan[:, None]).astype(direct.dtype)
+        direct = jnp.where((at_glass & poly)[:, None],
+                           direct * 3.0 * onehot, direct)
     n1 = jnp.where(outside, eta, 1.0)
     n2 = jnp.where(outside, 1.0, eta)
     r0 = ((n1 - n2) / (n1 + n2)) ** 2

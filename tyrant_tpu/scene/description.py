@@ -75,6 +75,7 @@ _RENDER_KEYS = {
     "fisheye_fov": ("fisheye_fov_degrees", float),
     "ortho_height": ("ortho_height", float),
     "shutter": ("motion_blur", float),
+    "dispersion": ("dispersion", float),
 }
 
 
