@@ -40,6 +40,24 @@ def test_cli_render_spheres(tmp_path, capsys):
     assert depth.min() > 0  # camera outside all geometry
 
 
+def test_cli_render_aov_exr(tmp_path):
+    out = tmp_path / "demo.png"
+    cli.main(["render", "--width", "48", "--height", "32", "--rays", "1024",
+              "--steps", "2", "--camera", "0", "-170", "40", "0", "-0.10",
+              "--aovs", str(tmp_path / "f"), "--aov-format", "exr",
+              "--out", str(out)])
+    from tyrant_tpu.utils.exr import read_exr
+    alb = read_exr(str(tmp_path / "f_albedo.exr"))
+    nrm = read_exr(str(tmp_path / "f_normal.exr"))
+    dep = read_exr(str(tmp_path / "f_depth.exr"))
+    assert alb.shape[:2] == (32, 48) and np.isfinite(alb).all()
+    # normals keep their sign in the float export (the PNG path remaps)
+    assert nrm.min() < -0.1
+    # depth is exact float32 (half=False), replicated across channels
+    assert np.array_equal(dep[:, :, 0], dep[:, :, 1])
+    assert np.isfinite(dep).all() and dep.min() > 0
+
+
 def test_cli_render_mesh(tmp_path):
     if not os.path.exists(CUBE):
         pytest.skip("reference cube.ply unavailable")

@@ -72,6 +72,23 @@ def test_dispersion_composes_with_mis_and_sobol():
     assert np.isfinite(acc).all() and acc[:, 3].sum() > 0
 
 
+def test_dispersion_sharded_step_runs():
+    import jax
+    from tyrant_tpu import sky as skymod
+    from tyrant_tpu.parallel.sharded import (init_sharded_state, make_mesh,
+                                             make_sharded_step)
+    mesh = make_mesh(jax.devices()[:8])
+    cfg = dataclasses.replace(
+        small_config(width=16, height=16, num_rays=1 << 9), dispersion=0.1)
+    st = init_sharded_state(cfg, mesh)
+    step = make_sharded_step(cfg, mesh)
+    cam = cluster_camera()
+    sun = skymod.sun_direction_from_position(jnp.asarray(SUN_POS))
+    st = step(st, Scene.load(None).to_device(), cam.to_device(cfg), sun)
+    acc = np.asarray(st.accum)
+    assert np.isfinite(acc).all() and acc[:, 3].sum() > 0
+
+
 @pytest.mark.slow
 def test_dispersion_matches_oracle():
     """Dispersed render vs the oracle's independent implementation of the

@@ -348,14 +348,26 @@ def cmd_render(args):
         # compositing/ML: albedo + normal as PNG, exact depth as .npy
         aovs = r.aovs()
         base = args.aovs
-        alb = np.asarray(jnp.clip(aovs["albedo"], 0.0, 1.0))
-        _write_png(base + "_albedo.png", (alb * 255).astype(np.uint8))
-        nrm = np.asarray(aovs["normal"]) * 0.5 + 0.5
-        _write_png(base + "_normal.png",
-                   (np.clip(nrm, 0.0, 1.0) * 255).astype(np.uint8))
-        np.save(base + "_depth.npy", np.asarray(aovs["depth"]))
-        print(f"wrote {base}_albedo.png/_normal.png/_depth.npy",
-              file=sys.stderr)
+        if getattr(args, "aov_format", "png") == "exr":
+            # production compositing path: float AOVs (normals keep their
+            # sign, depth keeps exact f32)
+            from .utils.exr import write_exr
+            write_exr(base + "_albedo.exr", np.asarray(aovs["albedo"]))
+            write_exr(base + "_normal.exr", np.asarray(aovs["normal"]))
+            dep = np.asarray(aovs["depth"], np.float32)
+            write_exr(base + "_depth.exr",
+                      np.repeat(dep[:, :, None], 3, axis=2), half=False)
+            print(f"wrote {base}_albedo.exr/_normal.exr/_depth.exr",
+                  file=sys.stderr)
+        else:
+            alb = np.asarray(jnp.clip(aovs["albedo"], 0.0, 1.0))
+            _write_png(base + "_albedo.png", (alb * 255).astype(np.uint8))
+            nrm = np.asarray(aovs["normal"]) * 0.5 + 0.5
+            _write_png(base + "_normal.png",
+                       (np.clip(nrm, 0.0, 1.0) * 255).astype(np.uint8))
+            np.save(base + "_depth.npy", np.asarray(aovs["depth"]))
+            print(f"wrote {base}_albedo.png/_normal.png/_depth.npy",
+                  file=sys.stderr)
 
 
 def cmd_anim(args):
@@ -552,6 +564,9 @@ def main(argv=None):
                    help="stop early once the mean relative standard error "
                         "of the image drops below this (e.g. 0.02); "
                         "--steps becomes the upper bound")
+    p.add_argument("--aov-format", default="png", choices=["png", "exr"],
+                   help="AOV output format: 8-bit PNGs (+depth .npy) or "
+                        "float EXRs (albedo/normal half, depth float32)")
     p.add_argument("--aovs", default=None, metavar="PREFIX",
                    help="also write deterministic feature buffers: "
                         "PREFIX_albedo.png, PREFIX_normal.png, "
