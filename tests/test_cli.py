@@ -40,6 +40,15 @@ def test_cli_render_spheres(tmp_path, capsys):
     assert depth.min() > 0  # camera outside all geometry
 
 
+def test_cli_render_auto_exposure(tmp_path, capsys):
+    out = tmp_path / "auto.png"
+    cli.main(["render", "--width", "32", "--height", "24", "--rays", "1024",
+              "--steps", "3", "--exposure", "auto", "--tonemap", "aces",
+              "--camera", "0", "-170", "40", "0", "-0.10",
+              "--out", str(out)])
+    _png_ok(out, size=(32, 24))
+
+
 def test_cli_render_aov_exr(tmp_path):
     out = tmp_path / "demo.png"
     cli.main(["render", "--width", "48", "--height", "32", "--rays", "1024",

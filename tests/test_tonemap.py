@@ -90,3 +90,15 @@ def test_bloom_in_renderer_image():
     # HDR radiance identical (bloom is display-only)
     np.testing.assert_array_equal(np.asarray(r.radiance()),
                                   np.asarray(rb.radiance()))
+
+
+def test_auto_exposure_constant_field():
+    """A constant-luminance field maps exactly to the photographic key:
+    exposure = key / L, so exposed radiance hits middle grey."""
+    from tyrant_tpu.ops.tonemap import auto_exposure
+    rad = np.full((8, 8, 3), 0.5, np.float32)
+    ex = auto_exposure(rad)
+    assert abs(ex * 0.5 - 0.18) < 1e-3, ex
+    # scale-invariance of the exposed image: doubling the radiance halves
+    # the exposure
+    assert abs(auto_exposure(rad * 2) - ex / 2) < 1e-3

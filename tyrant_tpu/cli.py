@@ -59,7 +59,10 @@ def _add_common(p):
                         "image (AOV-guided, denoise.py)")
     p.add_argument("--tonemap", default="reinhard",
                    choices=["reinhard", "aces"])
-    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--exposure", default="1.0",
+                   help="radiance scale before the tonemap curve, or "
+                        "'auto' (photographic key: log-average luminance "
+                        "-> middle grey)")
     p.add_argument("--bloom", type=float, default=0.0,
                    help="lens-glare bloom strength on the displayed "
                         "image (0 = off; display-only, HDR export is "
@@ -167,7 +170,9 @@ def _build(args):
                        texture_filter=getattr(args, "texture_filter",
                                               "bilinear"),
                        tonemap=getattr(args, "tonemap", "reinhard"),
-                       exposure=getattr(args, "exposure", 1.0),
+                       exposure=(1.0 if str(getattr(args, "exposure", 1.0))
+                                 == "auto"
+                                 else float(getattr(args, "exposure", 1.0))),
                        crop=(tuple(args.crop)
                              if getattr(args, "crop", None) else None),
                        bloom_strength=getattr(args, "bloom", 0.0),
@@ -337,6 +342,13 @@ def cmd_render(args):
             break
     if ck:
         save_ck()
+    if str(getattr(args, "exposure", 1.0)) == "auto":
+        import dataclasses as _dc
+
+        from .ops.tonemap import auto_exposure
+        ex = auto_exposure(r.radiance())
+        r.cfg = _dc.replace(r.cfg, exposure=ex)
+        print(f"  auto exposure: {ex:.3f}", file=sys.stderr)
     img = np.asarray(to_uint8(r.image()))
     _write_png(args.out, img)
     print(f"wrote {args.out}", file=sys.stderr)

@@ -73,3 +73,13 @@ def bloom(cl: jnp.ndarray, strength: float = 0.08,
 
     halo = blur_axis(blur_axis(bright, 0), 1)
     return cl + strength * halo
+
+
+def auto_exposure(radiance, key: float = 0.18, eps: float = 1e-6) -> float:
+    """Photographic auto-exposure (Reinhard 2002 'key of the scene'):
+    the scale that maps the log-average luminance of the linear radiance
+    image to ``key`` (middle grey).  CLI: ``--exposure auto``."""
+    r = jnp.asarray(radiance, jnp.float32)
+    lum = (0.2126 * r[..., 0] + 0.7152 * r[..., 1] + 0.0722 * r[..., 2])
+    log_avg = jnp.exp(jnp.mean(jnp.log(lum + eps)))
+    return float(key / jnp.maximum(log_avg, eps))
