@@ -89,6 +89,18 @@ def test_dispersion_sharded_step_runs():
     assert np.isfinite(acc).all() and acc[:, 3].sum() > 0
 
 
+def test_dispersion_composes_with_height_fog():
+    """Every round-3 estimator feature at once: height-falloff fog,
+    dispersion, MIS, Sobol — finite accumulation, paths terminate."""
+    cfg = dataclasses.replace(
+        small_config(width=W, height=H, num_rays=1 << 12),
+        dispersion=0.1, fog="on", fog_sigma_s=0.004, fog_g=0.3,
+        fog_z_min=0.0, fog_z_max=80.0, fog_falloff=0.03,
+        mis="on", sampler="sobol")
+    acc = _render(cfg, steps=6)
+    assert np.isfinite(acc).all() and acc[:, 3].sum() > 0
+
+
 @pytest.mark.slow
 def test_dispersion_matches_oracle():
     """Dispersed render vs the oracle's independent implementation of the
