@@ -78,3 +78,32 @@ def test_phong_lobe_concentration():
     cos_t = np.asarray(d)[:, 2]
     # cos^n lobe with n=40: E[cos] = (n+1)/(n+2) ~ 0.976
     assert abs(cos_t.mean() - 41 / 42) < 0.005
+
+
+def test_polygon_sample_disk_membership_and_mean():
+    """Polygon lens samples lie inside the regular N-gon inscribed in the
+    unit disk (checked against every edge half-plane) and average to the
+    centroid; vertices are reached (max radius ~ 1)."""
+    import math as m
+
+    from tyrant_tpu.ops.sampling import polygon_sample_disk
+    rng_ = np.random.default_rng(11)
+    for blades, rot in ((3, 0.0), (5, 0.4), (6, 0.0), (8, 1.1)):
+        u = jnp.asarray(rng_.random((20000, 2)), jnp.float32)
+        p = np.asarray(polygon_sample_disk(u, blades, rot))
+        # inside every edge half-plane: for edge j the outward normal
+        # points at angle rot + 2*pi*(j+0.5)/n, support cos(pi/n)
+        support = m.cos(m.pi / blades)
+        for j in range(blades):
+            a = rot + 2 * m.pi * (j + 0.5) / blades
+            d = p[:, 0] * m.cos(a) + p[:, 1] * m.sin(a)
+            assert d.max() <= support + 1e-5, (blades, j, d.max())
+        r = np.linalg.norm(p, axis=1)
+        assert r.max() > 0.98, (blades, r.max())  # vertices reached
+        assert np.abs(p.mean(0)).max() < 0.02, (blades, p.mean(0))
+        # uniform density: the inscribed-circle (radius cos(pi/n)) hit
+        # fraction equals the area ratio pi*c^2 / (n/2 sin(2pi/n))
+        frac = (r <= support).mean()
+        area_poly = 0.5 * blades * m.sin(2 * m.pi / blades)
+        expect = m.pi * support * support / area_poly
+        assert abs(frac - expect) < 0.02, (blades, frac, expect)

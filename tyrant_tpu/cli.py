@@ -52,6 +52,11 @@ def _add_common(p):
                         "top-left) whose primary-hit depth sets the focus "
                         "plane (overrides --focal-distance; pair with "
                         "--lens-radius)")
+    p.add_argument("--bokeh-blades", type=int, default=0,
+                   help="polygonal aperture blade count for DoF bokeh "
+                        "(>= 3; 0 = circular lens)")
+    p.add_argument("--bokeh-rotation", type=float, default=0.0,
+                   help="aperture rotation in degrees")
     p.add_argument("--clamp", type=float, default=0.0,
                    help="firefly clamp: per-bounce radiance bound (0 = off)")
     p.add_argument("--denoise", action="store_true",
@@ -194,6 +199,8 @@ def _build(args):
                        ortho_height=getattr(args, "ortho_height", 10.0),
                        motion_blur=getattr(args, "shutter", 0.0),
                        dispersion=getattr(args, "dispersion", 0.0),
+                       bokeh_blades=getattr(args, "bokeh_blades", 0),
+                       bokeh_rotation=getattr(args, "bokeh_rotation", 0.0),
                        fog="on" if getattr(args, "fog", False) else "off",
                        fog_sigma_s=getattr(args, "fog_scatter", 0.02),
                        fog_sigma_a=getattr(args, "fog_absorb", 0.0),

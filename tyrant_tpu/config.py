@@ -249,6 +249,11 @@ class RenderConfig:
     fog_g: float = 0.0
     fog_z_min: float = -1e8
     fog_z_max: float = 1e8
+    # Polygonal bokeh (beyond-reference): number of aperture blades for
+    # depth of field (>= 3; 0 = the reference's circular concentric-disk
+    # lens).  bokeh_rotation spins the iris (degrees).  Static gate.
+    bokeh_blades: int = 0
+    bokeh_rotation: float = 0.0
     # Spectral dispersion (beyond-reference): fractional per-channel glass
     # IOR spread eta_c = eta * (1 + dispersion * (c - 1)) for c = 0/1/2 =
     # R/G/B (blue bends more — normal dispersion).  A polychromatic path
@@ -308,6 +313,8 @@ class RenderConfig:
             raise ValueError("fog_z_min must be < fog_z_max")
         if not math.isfinite(self.fog_falloff):
             raise ValueError("fog_falloff must be finite")
+        if self.bokeh_blades != 0 and self.bokeh_blades < 3:
+            raise ValueError("bokeh_blades must be 0 (disk) or >= 3")
         if not 0.0 <= self.dispersion <= 0.5:
             raise ValueError("dispersion must be in [0, 0.5] (fractional "
                              "per-channel IOR spread)")

@@ -72,6 +72,27 @@ def concentric_sample_disk(u):
     return jnp.where(degenerate[..., None], jnp.zeros_like(pt), pt)
 
 
+def polygon_sample_disk(u, blades: int, rotation: float = 0.0):
+    """Map [0,1]^2 uniformly onto a regular ``blades``-gon inscribed in
+    the unit disk (polygonal bokeh for DoF; blades >= 3).  The sector
+    comes from u0's high bits, the in-triangle sample from (u0 remainder,
+    u1) via the standard fold; ``rotation`` (radians) spins the aperture.
+    """
+    nb = float(blades)
+    u0, u1 = u[..., 0], u[..., 1]
+    k = jnp.minimum((u0 * nb).astype(jnp.int32), blades - 1)
+    a = u0 * nb - k.astype(jnp.float32)
+    b = u1
+    flip = a + b > 1.0
+    a = jnp.where(flip, 1.0 - a, a)
+    b = jnp.where(flip, 1.0 - b, b)
+    t0 = (2.0 * PI / nb) * k.astype(jnp.float32) + rotation
+    t1 = t0 + 2.0 * PI / nb
+    v0 = jnp.stack([jnp.cos(t0), jnp.sin(t0)], -1)
+    v1 = jnp.stack([jnp.cos(t1), jnp.sin(t1)], -1)
+    return a[..., None] * v0 + b[..., None] * v1
+
+
 def cone_sample(direction, extent, seed):
     """Uniform sample inside a cone around ``direction`` (sun NEE).
 

@@ -23,6 +23,7 @@ Pipeline map (reference -> here):
 from __future__ import annotations
 
 import dataclasses
+import math
 import types
 from functools import partial
 
@@ -448,8 +449,17 @@ def _raygen(cfg: RenderConfig, camera: CameraParams, start_position, frame,
     else:
         seed, l0 = rng.random_float(seed)
         seed, l1 = rng.random_float(seed)
-    p_lens = cam_i.lens_radius * concentric_sample_disk(
-        jnp.stack([l0, l1], axis=-1))
+    if cfg.bokeh_blades:
+        # polygonal aperture (beyond-reference): out-of-focus highlights
+        # take the iris shape.  Static gate — blades=0 keeps the
+        # reference's concentric disk and the identical program.
+        from .ops.sampling import polygon_sample_disk
+        p_lens = cam_i.lens_radius * polygon_sample_disk(
+            jnp.stack([l0, l1], axis=-1), cfg.bokeh_blades,
+            math.radians(cfg.bokeh_rotation))
+    else:
+        p_lens = cam_i.lens_radius * concentric_sample_disk(
+            jnp.stack([l0, l1], axis=-1))
     origin = base \
         + p_lens[:, 0:1] * _b(cam_i.right) \
         + p_lens[:, 1:2] * _b(cam_i.up)

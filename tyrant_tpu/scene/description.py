@@ -76,6 +76,8 @@ _RENDER_KEYS = {
     "ortho_height": ("ortho_height", float),
     "shutter": ("motion_blur", float),
     "dispersion": ("dispersion", float),
+    "bokeh_blades": ("bokeh_blades", int),
+    "bokeh_rotation": ("bokeh_rotation", float),
 }
 
 
