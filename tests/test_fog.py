@@ -41,6 +41,12 @@ def test_config_validation():
         dataclasses.replace(small_config(), fog_z_min=5.0, fog_z_max=1.0)
     with pytest.raises(ValueError):
         dataclasses.replace(small_config(), fog_falloff=math.inf)
+    # falloff over an unbounded-below slab: infinitely dense at depth
+    with pytest.raises(ValueError):
+        dataclasses.replace(small_config(), fog="on", fog_falloff=0.05)
+    # fine once the slab floor is set
+    dataclasses.replace(small_config(), fog="on", fog_falloff=0.05,
+                        fog_z_min=0.0)
 
 
 # ------------------------------------------------- height-falloff profile

@@ -313,6 +313,18 @@ class RenderConfig:
             raise ValueError("fog_z_min must be < fog_z_max")
         if not math.isfinite(self.fog_falloff):
             raise ValueError("fog_falloff must be finite")
+        if self.fog == "on" and self.fog_falloff > 0 \
+                and self.fog_z_min < -1e6:
+            raise ValueError(
+                "fog_falloff > 0 with an unbounded-below slab makes the "
+                "density exp(-falloff*z) astronomically opaque at depth — "
+                "set a finite fog_z_min (e.g. ground level)")
+        if self.fog == "on" and self.fog_falloff < 0 \
+                and self.fog_z_max > 1e6:
+            raise ValueError(
+                "fog_falloff < 0 with an unbounded-above slab makes the "
+                "density astronomically opaque at altitude — set a finite "
+                "fog_z_max")
         if self.bokeh_blades != 0 and self.bokeh_blades < 3:
             raise ValueError("bokeh_blades must be 0 (disk) or >= 3")
         if not 0.0 <= self.dispersion <= 0.5:
