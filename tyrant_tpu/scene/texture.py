@@ -62,6 +62,23 @@ def load_texture(path: str, srgb: bool = True) -> np.ndarray:
     return arr ** 2.2
 
 
+def downsample_2x(im: np.ndarray) -> np.ndarray:
+    """One mip step: 2x2 box average (odd dimensions edge-clamp the last
+    row/column so every level is ceil(prev/2))."""
+    h, w, c = im.shape
+    if h > 1 and h % 2:
+        im = np.concatenate([im, im[-1:]], axis=0)
+        h += 1
+    if w > 1 and w % 2:
+        im = np.concatenate([im, im[:, -1:]], axis=1)
+        w += 1
+    if h > 1:
+        im = 0.5 * (im[0::2] + im[1::2])
+    if w > 1:
+        im = 0.5 * (im[:, 0::2] + im[:, 1::2])
+    return np.asarray(im, np.float32)
+
+
 @dataclasses.dataclass
 class TextureAtlas:
     """All scene textures packed into one flat texel buffer.
@@ -73,13 +90,19 @@ class TextureAtlas:
           would silently round in f32 and shift every tap of later
           textures; the device sampler folds these in as exact Python
           ints (compile-time constants).
+    mip_meta  per-texture tuple of per-LEVEL (offset, height, width),
+          level 0 first (== the ``meta`` row).  Mip levels are appended
+          AFTER every base image, so enabling mips moves no base offset —
+          nearest/bilinear programs and their goldens are bitwise
+          unaffected.  () when packed without mips.
     """
 
     data: np.ndarray
     meta: np.ndarray
+    mip_meta: tuple = ()
 
     @classmethod
-    def pack(cls, images: list) -> "TextureAtlas":
+    def pack(cls, images: list, mips: bool = False) -> "TextureAtlas":
         total = 1 + sum(int(im.shape[0] * im.shape[1]) for im in images)
         if total > (1 << 31) - 2:
             # the device tap index is i32
@@ -89,7 +112,8 @@ class TextureAtlas:
         data = np.ones((total, 4), np.float32)
         meta = np.zeros((max(len(images), 1), 3), np.int64)
         off = 1
-        for k, im in enumerate(images):
+
+        def put(im, off):
             h, w = im.shape[0], im.shape[1]
             flat = np.asarray(im[:, :, :3], np.float32).reshape(h * w, 3)
             data[off:off + h * w, :3] = flat
@@ -98,9 +122,40 @@ class TextureAtlas:
                 # default to 1.0 (opaque), incl. the row-0 fallback
                 data[off:off + h * w, 3] = np.asarray(
                     im[:, :, 3], np.float32).reshape(h * w)
-            meta[k] = (off, h, w)
-            off += h * w
-        return cls(data=data, meta=meta)
+            return off + h * w
+
+        for k, im in enumerate(images):
+            meta[k] = (off, im.shape[0], im.shape[1])
+            off = put(im, off)
+        if not mips:
+            return cls(data=data, meta=meta)
+        # box-filtered pyramids, appended after every base image (base
+        # offsets untouched); each level is the linear-light average of
+        # the previous, down to 1x1
+        chains = []
+        tails = []
+        for k, im in enumerate(images):
+            levels = [(int(meta[k][0]), im.shape[0], im.shape[1])]
+            cur = np.asarray(im, np.float32)
+            while cur.shape[0] > 1 or cur.shape[1] > 1:
+                cur = downsample_2x(cur)
+                levels.append((None, cur.shape[0], cur.shape[1]))
+                tails.append(cur)
+            chains.append(levels)
+        extra = sum(int(t.shape[0] * t.shape[1]) for t in tails)
+        data = np.concatenate(
+            [data, np.ones((extra, 4), np.float32)], axis=0)
+        ti = 0
+        mip_meta = []
+        for k, levels in enumerate(chains):
+            filled = [levels[0]]
+            for (_, h, w) in levels[1:]:
+                data_off = off
+                off = put(tails[ti], off)
+                ti += 1
+                filled.append((data_off, h, w))
+            mip_meta.append(tuple(filled))
+        return cls(data=data, meta=meta, mip_meta=tuple(mip_meta))
 
     @property
     def count(self) -> int:
