@@ -440,6 +440,16 @@ def cmd_anim(args):
             r.set_sun(tuple(s0 + (s1 - s0) * u))
         r.step(cam, args.steps)
         float(jnp.sum(r.state.accum[:, 3]))  # sync (bench-harness pattern)
+        if f == 0 and str(getattr(args, "exposure", 1.0)) == "auto":
+            # key the photographic exposure off the FIRST frame only and
+            # hold it for the whole sequence — a per-frame key would pump
+            # brightness as the camera sweeps (flicker); ADVICE r3
+            import dataclasses as _dc
+            from .ops.tonemap import auto_exposure
+            ex = auto_exposure(r.radiance())
+            r.cfg = _dc.replace(r.cfg, exposure=ex)
+            print(f"  auto exposure (frame 0, held): {ex:.3f}",
+                  file=sys.stderr)
         img = np.asarray(to_uint8(r.image()))
         path = os.path.join(args.out, f"frame_{f:04d}.png")
         _write_png(path, img)
@@ -452,6 +462,12 @@ def cmd_bench(args):
     from .bench import results_to_dict, run_benchmark
     from .bench.harness import write_performance_txt
 
+    if str(getattr(args, "exposure", 1.0)) == "auto":
+        # bench never resolves an image, so an exposure key would be
+        # computed from nothing — refuse instead of silently rendering
+        # the shared flag meaningless (ADVICE r3)
+        sys.exit("--exposure auto is not meaningful for 'bench' "
+                 "(no image is resolved); pass a numeric exposure")
     cfg, scene, _ = _build(args)
     results = run_benchmark(scene, cfg, seconds_per_pose=args.seconds)
     d = results_to_dict(results)

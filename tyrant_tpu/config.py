@@ -313,18 +313,29 @@ class RenderConfig:
             raise ValueError("fog_z_min must be < fog_z_max")
         if not math.isfinite(self.fog_falloff):
             raise ValueError("fog_falloff must be finite")
+        # The closed-form exponential-height fog clamps its density
+        # exponent to +-60 (render._fog_density_coeffs: exp(60) ~ 1e26 is
+        # the f32 edge), so the advertised exact/unbiased estimator only
+        # holds while |falloff * z| stays inside that range over the whole
+        # slab.  Reject configs whose DENSE end exceeds the clamp instead
+        # of silently saturating (ADVICE r3): the dense end is z_min for
+        # falloff > 0 (density grows with depth), z_max for falloff < 0.
         if self.fog == "on" and self.fog_falloff > 0 \
-                and self.fog_z_min < -1e6:
+                and self.fog_falloff * max(0.0, -self.fog_z_min) > 60.0:
             raise ValueError(
-                "fog_falloff > 0 with an unbounded-below slab makes the "
-                "density exp(-falloff*z) astronomically opaque at depth — "
-                "set a finite fog_z_min (e.g. ground level)")
+                f"fog_falloff * |fog_z_min| = "
+                f"{self.fog_falloff * -self.fog_z_min:.0f} exceeds the "
+                f"exponent clamp (60): density exp(-falloff*z) at the slab "
+                f"floor is outside f32 range and the closed-form optical "
+                f"depth would silently saturate — raise fog_z_min (e.g. "
+                f"ground level) or lower fog_falloff")
         if self.fog == "on" and self.fog_falloff < 0 \
-                and self.fog_z_max > 1e6:
+                and -self.fog_falloff * max(0.0, self.fog_z_max) > 60.0:
             raise ValueError(
-                "fog_falloff < 0 with an unbounded-above slab makes the "
-                "density astronomically opaque at altitude — set a finite "
-                "fog_z_max")
+                f"|fog_falloff| * fog_z_max = "
+                f"{-self.fog_falloff * self.fog_z_max:.0f} exceeds the "
+                f"exponent clamp (60): density at the slab ceiling is "
+                f"outside f32 range — lower fog_z_max or |fog_falloff|")
         if self.bokeh_blades != 0 and self.bokeh_blades < 3:
             raise ValueError("bokeh_blades must be 0 (disk) or >= 3")
         if not 0.0 <= self.dispersion <= 0.5:

