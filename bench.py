@@ -131,8 +131,12 @@ def bench_scene(scene, seconds_per_pose: float):
                             warmup_steps=4)
     d = results_to_dict(results)
     for r in d["poses"]:
+        flap = (f" [dropped {r['outliers_dropped']} flap samples,"
+                f" {r['retries']} retries]"
+                if r["outliers_dropped"] or r["retries"] else "")
         print(f"#   pose {r['pose']}: {r['avg_ms']:.2f} ms "
-              f"({r['fps']:.1f} FPS) {r['total_mrays_per_s']:.1f} Mrays/s",
+              f"({r['fps']:.1f} FPS) {r['total_mrays_per_s']:.1f} Mrays/s "
+              f"spread {r['spread_pct']}%{flap}",
               file=sys.stderr)
     return d, cfg
 
@@ -247,6 +251,7 @@ def main():
     # metric of record: ~1M-triangle scene (BASELINE.md target definition).
     # Falls back to 64k tris (numpy builder) if the native builder is
     # unavailable — flagged in the detail block either way.
+    _wait_for_tpu()   # probe worker health between scenes (VERDICT r3 #4)
     t0 = time.time()
     terrain = _terrain_scene()
     print(f"# terrain scene: {terrain.stats} ({time.time() - t0:.1f}s build)",
@@ -278,6 +283,11 @@ def main():
             "wavefront": cfg.num_rays,
             "dragon_mrays_per_s": round(d_dragon["total_mrays_per_s"], 2),
             "dragon_avg_frame_ms": round(d_dragon["avg_frame_ms"], 2),
+            "pose_ms": [round(r["avg_ms"], 1) for r in d_terr["poses"]],
+            "pose_spread_pct": [r["spread_pct"] for r in d_terr["poses"]],
+            "flap_samples_dropped": sum(r["outliers_dropped"]
+                                        for r in d_terr["poses"]
+                                        + d_dragon["poses"]),
         },
     }))
 

@@ -63,6 +63,8 @@ def measure(renderer, camera, n_frames, steps_per_frame, move,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=262_144)  # README recipe
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--steps-per-frame", type=int, default=1)
     ap.add_argument("--scene", default="dragon")
@@ -81,7 +83,8 @@ def main():
         v0, v1, v2 = benchmark_scene(1_048_576)
         scene = Scene.from_triangles(v0, v1, v2)
 
-    cfg = RenderConfig(width=1920, height=1080, num_rays=args.rays,
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       num_rays=args.rays,
                        max_bounces=5, use_packet_kernel="on")
     r = Renderer(scene, cfg)
 
@@ -97,7 +100,7 @@ def main():
     mean_f, med_f, min_f = measure(r, _camera_for_pose(0), args.frames,
                                    args.steps_per_frame, move=True,
                                    preview_scale=ps)
-    print(f"scene={args.scene} 1080p wavefront={args.rays} "
+    print(f"scene={args.scene} {args.width}x{args.height} wavefront={args.rays} "
           f"steps/frame={args.steps_per_frame} frames={args.frames} "
           f"preview_scale={ps}")
     print(f"fly-through render-only (no display fetch): "

@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--rays", type=int, default=2 * 1_048_576)
     ap.add_argument("--scene", default="dragon")
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--regen-only", action="store_true",
+                    help="only (re)build the cached wavefront, skip timing")
     ap.add_argument("--anyhit", action="store_true")
     ap.add_argument("--mono", action="store_true",
                     help="skip the wave variants")
@@ -94,6 +96,8 @@ def main():
     path = f"/tmp/kernel_bench_{args.scene}_{args.rays}.npz"
     if args.regen or not os.path.exists(path):
         build_workloads(args.scene, args.rays, path)
+    if args.regen_only:
+        return
 
     from tyrant_tpu.config import RenderConfig
     from tyrant_tpu.ops.pallas.traverse_kernel import (PacketTables,

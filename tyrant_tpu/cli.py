@@ -135,8 +135,9 @@ def _add_common(p):
                         "camera motion (0 = off, 1 = full-frame blur; "
                         "pairs with 'anim')")
     p.add_argument("--texture-filter", default="bilinear",
-                   choices=["bilinear", "nearest"],
-                   help="albedo texture filtering (textured OBJ scenes)")
+                   choices=["bilinear", "nearest", "trilinear"],
+                   help="albedo texture filtering (textured OBJ scenes); "
+                        "trilinear adds mip-mapped distance LOD")
     p.add_argument("--crop", type=int, nargs=4, default=None,
                    metavar=("X0", "Y0", "CW", "CH"),
                    help="render only this pixel rectangle (region "

@@ -161,8 +161,10 @@ class RenderConfig:
     denoise_iterations: int = 4
     # Texture filtering for scenes with albedo textures (beyond-reference,
     # scene/texture.py): "bilinear" = 4 atlas taps (4 row gathers/2M),
-    # "nearest" = 1 tap.  No cost for untextured scenes (the branch is
-    # compile-time dead).
+    # "nearest" = 1 tap, "trilinear" = mip-mapped 8 taps (two bilinear
+    # levels blended by a ray-cone hit-distance LOD — kills distant-
+    # texture shimmer at 2x the tap gather cost; opt-in).  No cost for
+    # untextured scenes (the branch is compile-time dead).
     texture_filter: str = "bilinear"
     # Firefly suppression (production knob the reference lacks): clamp each
     # per-bounce radiance contribution (emission / sky / NEE, per channel)
@@ -283,7 +285,7 @@ class RenderConfig:
                 ("use_accum_kernel", ("auto", "on", "off")),
                 ("use_kernel_normals", ("on", "off")),
                 ("fuse_step_chains", ("auto", "on", "off")),
-                ("texture_filter", ("bilinear", "nearest")),
+                ("texture_filter", ("bilinear", "nearest", "trilinear")),
                 ("tonemap", ("reinhard", "aces")),
                 ("denoise", ("on", "off")),
                 ("adaptive_sampling", ("on", "off")),

@@ -74,6 +74,24 @@ _ONE_REDUCE = os.environ.get("TYRANT_ONE_REDUCE", "0") == "1"
 # per-iteration vector->scalar reduces at the price of dead-sibling
 # visits.  Results stay bit-identical (a dead visit accepts nothing).
 _WAVE_ONE_REDUCE = os.environ.get("TYRANT_WAVE_ONE_REDUCE", "0") == "1"
+# Round-4 micro-lever A/Bs (VERDICT r3 item 7 — the last open in-kernel
+# levers; the cost model predicts both are neutral on a latency-bound
+# visit, these knobs measure it):
+#   TYRANT_LEAF_BUCKET=1 -> leaf slots 4-5 run under a nested lax.cond on
+#       (tag > slot): leaves with <= 4 triangles (the vast majority; mean
+#       leaf size ~4.2) skip a third of the Möller-Trumbore unroll at the
+#       price of one extra scalar branch per leaf pass.  Bit-identical
+#       results (skipped slots could never accept).
+#   TYRANT_BF16_SLAB=1 -> child slab tests computed in bfloat16 with a
+#       tmax-relative dilation on the compares, halving the slab VPU word
+#       width.  TIMING A/B ONLY, results are approximate: bf16's (n - o)
+#       cancellation error scales with (|n|+|o|)*2^-8*|inv|, which no
+#       output-relative pad can bound (measured: ~0.05% of rays lose
+#       their hit on the dragon) — an exactly conservative version needs
+#       per-axis error-bound arithmetic that costs more than the halved
+#       word width saves.  Never set in production.
+_LEAF_BUCKET = os.environ.get("TYRANT_LEAF_BUCKET", "0") == "1"
+_BF16_SLAB = os.environ.get("TYRANT_BF16_SLAB", "0") == "1"
 
 from ...config import EPSILON, VERY_FAR
 from ...scene.bvh import META_AXIS_SHIFT, META_COUNT_MASK, META_OFFSET_SHIFT
@@ -406,17 +424,39 @@ def _visit(rd, rowv8, rays, t_init, hstate, stack_ref,
         f_y = jnp.where(negm_y, loy, hiy)
         n_z = jnp.where(negm_z, hiz, loz)
         f_z = jnp.where(negm_z, loz, hiz)
-        # NB keep (b - o) * inv association: the XLA oracle computes the
-        # same expression, and the equivalence gate requires exact id
-        # agreement (an FMA-form rewrite here measurably changes boundary
-        # visits)
-        tmin = jnp.maximum(
-            jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
-            (n_z - oz) * inv_z)
-        tmax = jnp.minimum(
-            jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
-            (f_z - oz) * inv_z)
-        bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
+        if _BF16_SLAB:
+            # A/B knob: half-width slab arithmetic + conservatively
+            # DILATED compares (bf16 rounding is < 2^-8 relative; the
+            # 1 +- 2^-6 factors over-cover it, so a wanted box is never
+            # culled — only ~1-2% extra boundary visits)
+            bf = jnp.bfloat16
+            obx, oby, obz = ox.astype(bf), oy.astype(bf), oz.astype(bf)
+            ibx, iby, ibz = (inv_x.astype(bf), inv_y.astype(bf),
+                             inv_z.astype(bf))
+            tmin = jnp.maximum(
+                jnp.maximum((n_x.astype(bf) - obx) * ibx,
+                            (n_y.astype(bf) - oby) * iby),
+                (n_z.astype(bf) - obz) * ibz).astype(jnp.float32)
+            tmax = jnp.minimum(
+                jnp.minimum((f_x.astype(bf) - obx) * ibx,
+                            (f_y.astype(bf) - oby) * iby),
+                (f_z.astype(bf) - obz) * ibz).astype(jnp.float32)
+            pad = jnp.abs(tmax) * 0.015625 + 1e-3
+            bh = (tmin <= tmax + pad) & (tmin < prune * 1.015625 + 1e-3) \
+                & (tmax > -pad)
+            del pad
+        else:
+            # NB keep (b - o) * inv association: the XLA oracle computes
+            # the same expression, and the equivalence gate requires exact
+            # id agreement (an FMA-form rewrite here measurably changes
+            # boundary visits)
+            tmin = jnp.maximum(
+                jnp.maximum((n_x - ox) * inv_x, (n_y - oy) * inv_y),
+                (n_z - oz) * inv_z)
+            tmax = jnp.minimum(
+                jnp.minimum((f_x - ox) * inv_x, (f_y - oy) * inv_y),
+                (f_z - oz) * inv_z)
+            bh = (tmin <= tmax) & (tmin < prune) & (tmax > 0)
         if not closest:
             # done rays drop out of the union; so do rays that can never
             # accept a hit (maxd <= 2eps, e.g. INVALID shadow slots whose
@@ -445,34 +485,57 @@ def _visit(rd, rowv8, rays, t_init, hstate, stack_ref,
     n_slots = {"noleaf": 0, "leaf2": 2}.get(_ABLATE, LEAF_WIDTH)
 
     def leaf_child(tri_base, tag, ref, box_hit):
-        def run(tb, h, *nn):
-            nn = list(nn)
-            for j in range(n_slots):
-                slot_ok = box_hit & (j < tag)
-                b = tri_base + 9 * j
-                e1x, e1y, e1z = rv(b + 3), rv(b + 4), rv(b + 5)
-                e2x, e2y, e2z = rv(b + 6), rv(b + 7), rv(b + 8)
-                t = _mt_packet(
-                    ox, oy, oz, dx, dy, dz,
-                    rv(b + 0), rv(b + 1), rv(b + 2),
-                    e1x, e1y, e1z, e2x, e2y, e2z)
-                if closest:
-                    # accept rule bvh.h:134
-                    ok = slot_ok & (t > EPSILON) & ((tb - t) > EPSILON)
-                    tb = jnp.where(ok, t, tb)
-                    h = jnp.where(ok, ref + j, h)
-                    if nn:
-                        # cross(e1, e2): per-triangle (sub, 1) scalars,
-                        # selected into the carried normal on accept
-                        nn[0] = jnp.where(ok, e1y * e2z - e1z * e2y, nn[0])
-                        nn[1] = jnp.where(ok, e1z * e2x - e1x * e2z, nn[1])
-                        nn[2] = jnp.where(ok, e1x * e2y - e1y * e2x, nn[2])
-                else:
-                    # accept rule bvh.h:229 vs max dist in t_init
-                    ok = slot_ok & (t > EPSILON) & ((t_init - t) > EPSILON)
-                    h = jnp.where(ok, 1, h)
-            return (tb, h, *nn)
-        return run
+        def slot_block(lo_slot, hi_slot):
+            """Unrolled MT over slots [lo_slot, hi_slot) as a
+            value-carried function (composable under lax.cond)."""
+            def run(tb, h, *nn):
+                nn = list(nn)
+                for j in range(lo_slot, hi_slot):
+                    slot_ok = box_hit & (j < tag)
+                    b = tri_base + 9 * j
+                    e1x, e1y, e1z = rv(b + 3), rv(b + 4), rv(b + 5)
+                    e2x, e2y, e2z = rv(b + 6), rv(b + 7), rv(b + 8)
+                    t = _mt_packet(
+                        ox, oy, oz, dx, dy, dz,
+                        rv(b + 0), rv(b + 1), rv(b + 2),
+                        e1x, e1y, e1z, e2x, e2y, e2z)
+                    if closest:
+                        # accept rule bvh.h:134
+                        ok = slot_ok & (t > EPSILON) & ((tb - t) > EPSILON)
+                        tb = jnp.where(ok, t, tb)
+                        h = jnp.where(ok, ref + j, h)
+                        if nn:
+                            # cross(e1, e2): per-triangle (sub, 1) scalars,
+                            # selected into the carried normal on accept
+                            nn[0] = jnp.where(ok, e1y * e2z - e1z * e2y,
+                                              nn[0])
+                            nn[1] = jnp.where(ok, e1z * e2x - e1x * e2z,
+                                              nn[1])
+                            nn[2] = jnp.where(ok, e1x * e2y - e1y * e2x,
+                                              nn[2])
+                    else:
+                        # accept rule bvh.h:229 vs max dist in t_init
+                        ok = slot_ok & (t > EPSILON) \
+                            & ((t_init - t) > EPSILON)
+                        h = jnp.where(ok, 1, h)
+                return (tb, h, *nn)
+            return run
+
+        if _LEAF_BUCKET and n_slots > 4:
+            # A/B knob: slots 4.. only run when the leaf actually holds
+            # more than 4 triangles (mean leaf size ~4.2 — most leaf
+            # passes skip a third of the MT unroll for one extra scalar
+            # branch).  Bit-identical: skipped slots have j >= tag and
+            # could never accept.
+            head = slot_block(0, 4)
+            tail = slot_block(4, n_slots)
+
+            def run(tb, h, *nn):
+                out = head(tb, h, *nn)
+                return jax.lax.cond(tag > 4, tail,
+                                    lambda tb, h, *nn: (tb, h, *nn), *out)
+            return run
+        return slot_block(0, n_slots)
 
     passthru = lambda tb, h, *nn: (tb, h, *nn)
     t_best, hit, *nrm = jax.lax.cond(

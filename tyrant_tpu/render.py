@@ -549,7 +549,7 @@ def _intersect_scene(origin, direction, scene: SceneData, packet_tables=None,
 # --------------------------------------------------------------------------
 
 def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str,
-                    channels: int = 3):
+                    channels: int = 3, uv_fp=None):
     """Sample the flat texel atlas (v=0 at image bottom; per-texture
     repeat / clamp / mirror wrap from the static meta tuple).
 
@@ -603,29 +603,82 @@ def _sample_texture(scene: SceneData, texid, u, v, filter_mode: str,
         x = jnp.minimum((u * tw).astype(jnp.int32), tw - 1)
         y = jnp.minimum((v * th).astype(jnp.int32), th - 1)
         return tap(x, y)
-    # bilinear: half-texel centred taps, repeat wrap
-    fx = u * tw - 0.5
-    fy = v * th - 0.5
-    x0f = jnp.floor(fx)
-    y0f = jnp.floor(fy)
-    ax = (fx - x0f)[:, None]
-    ay = (fy - y0f)[:, None]
-    x0 = jnp.mod(x0f.astype(jnp.int32), tw)
-    y0 = jnp.mod(y0f.astype(jnp.int32), th)
-    x1 = jnp.mod(x0 + 1, tw)
-    y1 = jnp.mod(y0 + 1, th)
-    if any_wrap:
-        # non-repeat borders do not wrap to the opposite edge: clamp the
-        # neighbour texel instead (the half-texel seam approximation for
-        # mirrored mode)
-        x0c = jnp.clip(x0f.astype(jnp.int32), 0, tw - 1)
-        y0c = jnp.clip(y0f.astype(jnp.int32), 0, th - 1)
-        x0 = jnp.where(ws == 0, x0, x0c)
-        y0 = jnp.where(wt == 0, y0, y0c)
-        x1 = jnp.where(ws == 0, x1, jnp.minimum(x0c + 1, tw - 1))
-        y1 = jnp.where(wt == 0, y1, jnp.minimum(y0c + 1, th - 1))
-    return (tap(x0, y0) * (1 - ax) * (1 - ay) + tap(x1, y0) * ax * (1 - ay)
-            + tap(x0, y1) * (1 - ax) * ay + tap(x1, y1) * ax * ay)
+
+    def bilin(off_l, th_l, tw_l):
+        """Bilinear: half-texel centred taps, repeat wrap (per level in
+        trilinear mode — taps address ``off_l`` with ``th_l x tw_l``)."""
+        fx = u * tw_l - 0.5
+        fy = v * th_l - 0.5
+        x0f = jnp.floor(fx)
+        y0f = jnp.floor(fy)
+        ax = (fx - x0f)[:, None]
+        ay = (fy - y0f)[:, None]
+        x0 = jnp.mod(x0f.astype(jnp.int32), tw_l)
+        y0 = jnp.mod(y0f.astype(jnp.int32), th_l)
+        x1 = jnp.mod(x0 + 1, tw_l)
+        y1 = jnp.mod(y0 + 1, th_l)
+        if any_wrap:
+            # non-repeat borders do not wrap to the opposite edge: clamp
+            # the neighbour texel instead (the half-texel seam
+            # approximation for mirrored mode)
+            x0c = jnp.clip(x0f.astype(jnp.int32), 0, tw_l - 1)
+            y0c = jnp.clip(y0f.astype(jnp.int32), 0, th_l - 1)
+            x0 = jnp.where(ws == 0, x0, x0c)
+            y0 = jnp.where(wt == 0, y0, y0c)
+            x1 = jnp.where(ws == 0, x1, jnp.minimum(x0c + 1, tw_l - 1))
+            y1 = jnp.where(wt == 0, y1, jnp.minimum(y0c + 1, th_l - 1))
+
+        def tap_l(xi, yi):
+            idx = off_l + (th_l - 1 - yi) * tw_l + xi
+            idx = jnp.clip(jnp.where(texid >= 0, idx, 0), 0, n_rows - 1)
+            return jnp.take(scene.tex_data, idx, axis=0)[:, :channels]
+
+        return (tap_l(x0, y0) * (1 - ax) * (1 - ay)
+                + tap_l(x1, y0) * ax * (1 - ay)
+                + tap_l(x0, y1) * (1 - ax) * ay
+                + tap_l(x1, y1) * ax * ay)
+
+    if filter_mode == "trilinear" and uv_fp is not None \
+            and len(meta) > 0 and len(meta[0]) > 5:
+        # Mip-mapped trilinear (beyond-reference; VERDICT r3 item 8):
+        # per-ray LOD from the ray-cone footprint (uv_fp = world-space
+        # footprint mapped through the triangle's uv gradients, computed
+        # in _shade), resolved per texture against its OWN texel density.
+        # Two bilinear level taps (8 gathers) blended by the lod
+        # fraction; the per-(texture, level) offsets/dims are STATIC
+        # (TextureAtlas.pack(mips=True) chains in tex_meta[k][5]) so the
+        # whole pyramid walk is a trace-time select chain — no meta
+        # gathers, matching the base sampler's design.
+        fpu, fpv = uv_fp
+        fp_texels = jnp.maximum(fpu * tw.astype(jnp.float32),
+                                fpv * th.astype(jnp.float32))
+        nlev = jnp.full_like(texid, len(meta[0][5]))
+        for k in range(1, len(meta)):
+            nlev = jnp.where(texid == k, len(meta[k][5]), nlev)
+        lod = jnp.log2(jnp.maximum(fp_texels, 1.0))
+        lod = jnp.clip(lod, 0.0, (nlev - 1).astype(jnp.float32))
+        l0 = lod.astype(jnp.int32)
+        frac = (lod - l0.astype(jnp.float32))[:, None]
+
+        def level_meta(lsel):
+            o = jnp.full_like(texid, int(meta[0][5][0][0]))
+            hh = jnp.full_like(texid, int(meta[0][5][0][1]))
+            ww = jnp.full_like(texid, int(meta[0][5][0][2]))
+            for k in range(len(meta)):
+                for j, (oj, hj, wj) in enumerate(meta[k][5]):
+                    if k == 0 and j == 0:
+                        continue
+                    sel = (texid == k) & (lsel == j)
+                    o = jnp.where(sel, int(oj), o)
+                    hh = jnp.where(sel, int(hj), hh)
+                    ww = jnp.where(sel, int(wj), ww)
+            return o, hh, ww
+
+        c0 = bilin(*level_meta(l0))
+        c1 = bilin(*level_meta(jnp.minimum(l0 + 1, nlev - 1)))
+        return c0 * (1 - frac) + c1 * frac
+
+    return bilin(off, th, tw)
 
 
 def _sample_envmap(scene: SceneData, d, filter_mode: str):
@@ -792,6 +845,29 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                 or scene.has_rough_maps:
             uv_t = arow[:, 9:11] + bu[:, None] * arow[:, 11:13] \
                 + bv[:, None] * arow[:, 13:15]
+            uv_fp = None
+            if cfg.texture_filter == "trilinear" \
+                    and len(scene.tex_meta) > 0 \
+                    and len(scene.tex_meta[0]) > 5:
+                # ray-cone footprint for the mip LOD: one pixel subtends
+                # ~1.5/H world units per unit distance (the camera basis
+                # spans 1.5 vertically, kernel.cu:699-700), so the hit's
+                # world footprint is ~t * 1.5/H; mapped through the
+                # triangle's uv gradients (dual basis s1/s2 against the
+                # uv edge deltas) it becomes a per-axis uv footprint the
+                # sampler scales by each texture's own texel density.
+                # Bounce rays reuse the last segment's t (a ray-cone
+                # without the accumulated-distance/roughness growth
+                # terms — the standard real-time approximation).
+                grad_u = arow[:, 3:6] * arow[:, 11:12] \
+                    + arow[:, 6:9] * arow[:, 13:14]
+                grad_v = arow[:, 3:6] * arow[:, 12:13] \
+                    + arow[:, 6:9] * arow[:, 14:15]
+                fp_world = t_safe * (1.5 / cfg.height)
+                uv_fp = (fp_world * jnp.sqrt(jnp.maximum(
+                             dot(grad_u, grad_u), 1e-20)),
+                         fp_world * jnp.sqrt(jnp.maximum(
+                             dot(grad_v, grad_v), 1e-20)))
         if scene.has_textures:
             # albedo texture: 1 or 4 atlas taps (cfg.texture_filter);
             # with cutout maps in the scene the SAME taps also return the
@@ -799,7 +875,8 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             texid = arow[:, 15].astype(jnp.int32)
             nch = 4 if scene.has_alpha_tex else 3
             albedo4 = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
-                                      cfg.texture_filter, channels=nch)
+                                      cfg.texture_filter, channels=nch,
+                                      uv_fp=uv_fp)
             color_tri = color_tri * jnp.where((texid >= 0)[:, None],
                                               albedo4[:, :3], 1.0)
             if scene.has_alpha_tex:
@@ -821,7 +898,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             # composes with smooth shading); B = cross(N, T) * handedness
             ntexid = arow[:, 26].astype(jnp.int32)
             nm = _sample_texture(scene, ntexid, uv_t[:, 0], uv_t[:, 1],
-                                 cfg.texture_filter)
+                                 cfg.texture_filter, uv_fp=uv_fp)
             n_ts = nm * 2.0 - 1.0
             tang = arow[:, 27:30]
             t_o = tang - normal_tri * dot(normal_tri, tang)[:, None]
@@ -839,7 +916,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
             # as the host path (alpha -> 0 degenerates D(h))
             rtexid = arow[:, 31].astype(jnp.int32)
             rrow = _sample_texture(scene, rtexid, uv_t[:, 0], uv_t[:, 1],
-                                   cfg.texture_filter)
+                                   cfg.texture_filter, uv_fp=uv_fp)
             rough_tri = jnp.where(rtexid >= 0,
                                   jnp.clip(rrow[:, 0], 0.03, 1.0),
                                   rough_tri)
@@ -1818,8 +1895,10 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
                 + bv[:, None] * arow[:, 13:15]
         if scene.has_textures:
             texid = arow[:, 15].astype(jnp.int32)
-            alb = _sample_texture(scene, texid, uv_t[:, 0], uv_t[:, 1],
-                                  cfg.texture_filter)
+            alb = _sample_texture(
+                scene, texid, uv_t[:, 0], uv_t[:, 1],
+                "bilinear" if cfg.texture_filter == "trilinear"
+                else cfg.texture_filter)
             color_tri = color_tri * jnp.where((texid >= 0)[:, None],
                                               alb, 1.0)
         if scene.smooth_normals:
@@ -1832,8 +1911,10 @@ def render_aovs(scene: SceneData, camera: CameraParams, cfg: RenderConfig,
             # mirror of the shade-time perturbation (so the denoiser's
             # normal AOV sees the mapped detail it should preserve)
             ntexid = arow[:, 26].astype(jnp.int32)
-            nm = _sample_texture(scene, ntexid, uv_t[:, 0], uv_t[:, 1],
-                                 cfg.texture_filter)
+            nm = _sample_texture(
+                scene, ntexid, uv_t[:, 0], uv_t[:, 1],
+                "bilinear" if cfg.texture_filter == "trilinear"
+                else cfg.texture_filter)
             n_ts = nm * 2.0 - 1.0
             tang = arow[:, 27:30]
             t_o = tang - normal_tri * dot(normal_tri, tang)[:, None]
@@ -1888,14 +1969,22 @@ def compaction_sort_key(next_rays, survive, node_packed, sent):
 # Per-stage "auto" kernel-generation defaults for HBM-resident tables
 # (VERDICT r3 item 3: extend / connect / AOV-primary are separate traversal
 # calls with different coherence, and one global choice regressed terrain
-# pose 0).  Measured on the 1M-tri terrain (scripts/stage_wave_ab.py,
-# round 4): wave wins the mixed extend wavefront and the coherent AOV
-# primaries; the REAL 32%-valid shadow wavefront is mono's — the round-3
-# invalid-slot union drop already banks the sparsity win wave's
-# per-sublane early exit was hypothesised to add (same result as the
-# dragon A/B, docs/PERFORMANCE.md "Wave kernel on the real connect
-# wavefront").  VMEM-resident tables stay mono everywhere (round-3 A/B).
-_WAVE_AUTO = {"extend": True, "connect": False, "aov": True}
+# pose 0).  Measured IN-STEP on the 1M-tri terrain, full 2x2 square
+# (scripts/stage_wave_ab.py, round 4; ms/step poses 0/1/2):
+#     extend=wave connect=wave  260 / 449 / 384   (the round-3 auto)
+#     extend=wave connect=mono  239 / 440 / 382
+#     extend=mono connect=wave  219 / 433 / 371   <- best mean, no
+#     extend=mono connect=mono  212 / 442 / 389      per-pose regression
+# The round-3 standalone kernel_bench A/B (wave 396 vs mono 515 ms on the
+# synthetic carried mix) does NOT transfer into the step: the real extend
+# wavefront is ~55% fresh coherent primaries where mono leads, and the
+# wave kernel's extra per-sublane buffers raise VMEM pressure inside the
+# full step jit.  Connect's 32%-valid shadow wavefront is where wave's
+# narrower sublane early exit pays (deep poses).  AOV primaries are
+# standalone coherent traversals — wave's regime on HBM tables (161 vs
+# 173 ms standalone).  VMEM-resident tables stay mono everywhere
+# (round-3 A/B).
+_WAVE_AUTO = {"extend": False, "connect": True, "aov": True}
 
 
 def _pick_wave(cfg: RenderConfig, packet_tables, stage: str = "extend") -> bool:

@@ -709,7 +709,12 @@ class Scene:
             attr[:, 31] = -1.0
             if has_tex or has_nmap or has_rmap:
                 from .texture import TextureAtlas
-                atlas = TextureAtlas.pack(self.textures)
+                # mips=True: the box pyramid rides after every base image
+                # (base offsets untouched — nearest/bilinear programs and
+                # goldens are bitwise unaffected; texture.py).  It funds
+                # cfg.texture_filter="trilinear" without a scene reload,
+                # at +1/3 atlas memory.
+                atlas = TextureAtlas.pack(self.textures, mips=True)
                 uv = np.asarray(self.tri_uv, np.float32)[perm]  # [T, 3, 2]
                 attr[:t, 9:11] = uv[:, 0]
                 attr[:t, 11:13] = uv[:, 1] - uv[:, 0]
@@ -720,9 +725,13 @@ class Scene:
                 wraps = (self.texture_wraps
                          if self.texture_wraps is not None
                          else [(0, 0)] * len(atlas.meta))
+                # entry layout: (off, h, w, wrap_s, wrap_t, mip_chain) —
+                # mip_chain = per-LEVEL (off, h, w), level 0 first
                 tex_meta = tuple(
                     (int(o), int(h), int(w),
-                     int(wraps[k][0]), int(wraps[k][1]))
+                     int(wraps[k][0]), int(wraps[k][1]),
+                     tuple((int(mo), int(mh), int(mw))
+                           for (mo, mh, mw) in atlas.mip_meta[k]))
                     for k, (o, h, w) in enumerate(atlas.meta))
             else:
                 tex_data = jnp.ones((1, 4), jnp.float32)

@@ -182,6 +182,54 @@ def sample_nearest_np(atlas: TextureAtlas, tex_id, u, v):
     return atlas.data[idx, :3]
 
 
+def sample_bilinear_at_np(atlas: TextureAtlas, tex_id, u, v, level):
+    """Bilinear tap against one mip LEVEL per sample (numpy reference for
+    the trilinear sampler's per-level taps).  ``level`` is an int array;
+    clamped per texture to its chain length."""
+    tex_id = np.asarray(tex_id)
+    u = np.asarray(u, np.float64) - np.floor(u)
+    v = np.asarray(v, np.float64) - np.floor(v)
+    k = np.clip(tex_id, 0, len(atlas.mip_meta) - 1)
+    nlev = np.asarray([len(c) for c in atlas.mip_meta])[k]
+    level = np.minimum(np.asarray(level), nlev - 1)
+    ohw = np.asarray([[c[min(j, len(c) - 1)] for j in range(
+        max(len(cc) for cc in atlas.mip_meta))] for c in atlas.mip_meta])
+    off = ohw[k, level, 0]
+    h = ohw[k, level, 1]
+    w = ohw[k, level, 2]
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def tap(xi, yi):
+        xi = np.mod(xi, np.maximum(w, 1))
+        yi = np.mod(yi, np.maximum(h, 1))
+        idx = off + (h - 1 - yi) * w + xi
+        return atlas.data[np.where(tex_id >= 0, idx, 0), :3]
+
+    c = (tap(x0, y0) * (1 - ax) * (1 - ay) + tap(x0 + 1, y0) * ax * (1 - ay)
+         + tap(x0, y0 + 1) * (1 - ax) * ay + tap(x0 + 1, y0 + 1) * ax * ay)
+    return c.astype(np.float32)
+
+
+def sample_trilinear_np(atlas: TextureAtlas, tex_id, u, v, lod):
+    """Numpy reference for the device trilinear sampler: two per-level
+    bilinear taps blended by the fractional LOD (lod pre-clamped >= 0)."""
+    lod = np.asarray(lod, np.float64)
+    nlev = np.asarray([len(c) for c in atlas.mip_meta])[
+        np.clip(np.asarray(tex_id), 0, len(atlas.mip_meta) - 1)]
+    lod = np.clip(lod, 0.0, nlev - 1)
+    l0 = lod.astype(np.int64)
+    frac = (lod - l0)[..., None]
+    c0 = sample_bilinear_at_np(atlas, tex_id, u, v, l0)
+    c1 = sample_bilinear_at_np(atlas, tex_id, u, v, np.minimum(l0 + 1,
+                                                               nlev - 1))
+    return (c0 * (1 - frac) + c1 * frac).astype(np.float32)
+
+
 def sample_bilinear_np(atlas: TextureAtlas, tex_id, u, v):
     """Numpy reference for bilinear taps (half-texel centred, repeat wrap)."""
     tex_id = np.asarray(tex_id)
