@@ -103,6 +103,8 @@ def main():
     ap.add_argument("--rays", type=int, default=2 * 1_048_576)
     ap.add_argument("--scene", default="dragon")
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--regen-only", action="store_true",
+                    help="only (re)build the cached shadow wavefront")
     args = ap.parse_args()
     N = args.rays
 
@@ -110,6 +112,8 @@ def main():
     scene = load_scene(args.scene)
     if args.regen or not os.path.exists(path):
         build_shadow_workload(scene, N, path)
+    if args.regen_only:
+        return
 
     from tyrant_tpu.ops.pallas.traverse_kernel import (PacketTables,
                                                        any_hit_packets)

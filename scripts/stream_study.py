@@ -138,12 +138,15 @@ def stream_traverse(rows, o, d, mode="closest",
         prune = tlin if pruning == "lineage" else tglob[ray]
         if mode == "anyhit":
             prune = maxd[ray]
-        row = rows[prow]  # host-side gather stands in for the scalar loads
-        box_l = _slab(row[:, 0:3], row[:, 3:6], ro, rd, rinv, prune)
-        box_r = _slab(row[:, 6:9], row[:, 9:12], ro, rd, rinv, prune)
-        tag_l, tag_r = row[:, L_TAG], row[:, R_TAG]
-        ref_l = row[:, L_REF].astype(np.int64)
-        ref_r = row[:, R_REF].astype(np.int64)
+        # header lanes only (the kernel's 17 scalar loads); leaf payload
+        # rows are gathered per selected pair below — keeps peak sim
+        # memory ~17/128 of a full-row gather at 2M-wavefront frontiers
+        hdr = rows[:, :17][prow]
+        box_l = _slab(hdr[:, 0:3], hdr[:, 3:6], ro, rd, rinv, prune)
+        box_r = _slab(hdr[:, 6:9], hdr[:, 9:12], ro, rd, rinv, prune)
+        tag_l, tag_r = hdr[:, L_TAG], hdr[:, R_TAG]
+        ref_l = hdr[:, L_REF].astype(np.int64)
+        ref_r = hdr[:, R_REF].astype(np.int64)
 
         # leaf passes (inline, both sides)
         pair_hit = np.zeros(m, bool)
@@ -153,13 +156,14 @@ def stream_traverse(rows, o, d, mode="closest",
                 continue
             tot["leaf_pairs"] += int(sel.sum())
             tot["tri_tests"] += int(tag[sel].sum())
+            tri = rows[prow[sel], tri_b:tri_b + 54]
             if mode == "anyhit":
-                _, h = _mt_leaf(row[sel][:, tri_b:tri_b + 54], ro[sel],
+                _, h = _mt_leaf(tri, ro[sel],
                                 rd[sel], None, anyhit_maxd=maxd[ray[sel]])
                 occl[ray[sel][h]] = True
                 pair_hit[np.nonzero(sel)[0][h]] = True
             else:
-                tnew, _ = _mt_leaf(row[sel][:, tri_b:tri_b + 54], ro[sel],
+                tnew, _ = _mt_leaf(tri, ro[sel],
                                    rd[sel], tlin[sel])
                 tlin[sel] = tnew
                 np.minimum.at(tglob, ray[sel], tnew)
@@ -288,7 +292,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="terrain1m")
     ap.add_argument("--rays", type=int, default=2 * 1_048_576)
-    ap.add_argument("--workload", default="mix", choices=["mix", "pri"])
+    ap.add_argument("--workload", default="mix",
+                    choices=["mix", "pri", "shadow"])
     ap.add_argument("--cache", default=None)
     ap.add_argument("--gen-small", action="store_true",
                     help="generate a small CPU workload instead of using "
@@ -337,21 +342,42 @@ def main():
                                 gen["direction"]),
                  pri_o=np.asarray(gen["origin"]),
                  pri_d=np.asarray(gen["direction"]))
-    if not os.path.exists(cache):
+    if args.workload != "shadow" and not os.path.exists(cache):
         sys.exit(f"workload cache {cache} missing — run "
                  f"scripts/kernel_bench.py --regen on TPU first")
-    w = np.load(cache)
-    o = w[f"{args.workload}_o"].astype(np.float32)
-    d = w[f"{args.workload}_d"].astype(np.float32)
+    if args.workload == "shadow":
+        # the REAL steady-state connect wavefront (~32% valid slots) from
+        # scripts/connect_bench.py --regen
+        cache = args.cache or f"/tmp/connect_bench_{args.scene}_{args.rays}.npz"
+        if not os.path.exists(cache):
+            sys.exit(f"{cache} missing — run connect_bench.py --regen")
+        w = np.load(cache)
+        o = w["o"].astype(np.float32)
+        d = w["d"].astype(np.float32)
+        maxd = w["maxd"].astype(np.float32) if "maxd" in w else \
+            w[[k for k in w.files if "max" in k or "dist" in k][0]] \
+            .astype(np.float32)
+        mode = "anyhit"
+    else:
+        w = np.load(cache)
+        o = w[f"{args.workload}_o"].astype(np.float32)
+        d = w[f"{args.workload}_d"].astype(np.float32)
+        maxd = None
+        mode = "closest"
     print(f"workload {args.workload}: {o.shape[0]} rays", flush=True)
 
     t0 = time.time()
-    tga, _, stats_a, tot_a = stream_traverse(rows, o, d, pruning="lineage")
+    tga, oca, stats_a, tot_a = stream_traverse(rows, o, d, mode=mode,
+                                               maxd=maxd, pruning="lineage")
     print(f"lineage pruning done in {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
-    tgb, _, stats_b, tot_b = stream_traverse(rows, o, d, pruning="global")
+    tgb, ocb, stats_b, tot_b = stream_traverse(rows, o, d, mode=mode,
+                                               maxd=maxd, pruning="global")
     print(f"global pruning done in {time.time() - t0:.0f}s", flush=True)
-    assert np.allclose(tga, tgb), "pruning models must agree on t_best"
+    if mode == "closest":
+        assert np.allclose(tga, tgb), "pruning models must agree on t_best"
+    else:
+        assert (oca == ocb).all(), "pruning models must agree on occlusion"
     t0 = time.time()
     dfs = dfs_per_ray_visits(rows, o, d, sample=args.dfs_sample)
     print(f"DFS sample done in {time.time() - t0:.0f}s", flush=True)
