@@ -102,11 +102,23 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         stage[...] = jnp.zeros_like(stage)
         hstage[...] = jnp.zeros_like(hstage)
 
+    def _wait_slot(slot_g, tile, q_hbm, with_rt):
+        pltpu.make_async_copy(flushb.at[pl.ds(slot_g, 1)],
+                              q_hbm.at[pl.ds(tile, 1)],
+                              sem_fq.at[slot_g]).wait()
+        if with_rt:
+            pltpu.make_async_copy(rtflushb.at[pl.ds(slot_g, 1)],
+                                  rtout.at[pl.ds(tile, 1)],
+                                  sem_fr.at[slot_g]).wait()
+
     def flush_tiles(stage_ref, fill_slot, q_hbm, rt_hbm, cap, with_rt):
         """Flush one staged 128-pair tile if full (callers invoke up to
         twice per batch).  Staging holds absolute pairs
         [tiles_flushed*128, fill); a flush writes the first 128 and
-        shifts."""
+        shifts.  Flush DMAs ride a 2-slot ring per queue: the wait is
+        DEFERRED until the slot's buffer is next reused (the serialized
+        start();wait() per tile was the prototype's dominant cost —
+        ~8-12 exposed DMA latencies per block)."""
         fill = cnt_smem[fill_slot]
         tiles_done = cnt_smem[fill_slot + 3]
 
@@ -114,19 +126,27 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         def _():
             @pl.when(tiles_done < cap)
             def _():
-                flushb[0] = stage_ref[pl.ds(0, 128), :].T
-                cp = pltpu.make_async_copy(
-                    flushb, q_hbm.at[pl.ds(tiles_done, 1)], sem_fq)
-                cp.start()
-                cp.wait()
+                k = cnt_smem[6 + fill_slot]     # DMAs issued on this ring
+                slot_g = 2 * fill_slot + (k & 1)
+
+                @pl.when(k >= 2)
+                def _():
+                    _wait_slot(slot_g, cnt_smem[8 + slot_g], q_hbm,
+                               with_rt)
+                flushb[slot_g] = stage_ref[pl.ds(0, 128), :].T
+                pltpu.make_async_copy(
+                    flushb.at[pl.ds(slot_g, 1)],
+                    q_hbm.at[pl.ds(tiles_done, 1)],
+                    sem_fq.at[slot_g]).start()
                 if with_rt:
-                    rtflushb[...] = stage_ref[pl.ds(0, 128),
-                                              F_ROW:F_ROW + 2]
-                    cr = pltpu.make_async_copy(
-                        rtflushb, rt_hbm.at[pl.ds(tiles_done * 128, 128)],
-                        sem_fr)
-                    cr.start()
-                    cr.wait()
+                    rtflushb[slot_g] = stage_ref[pl.ds(0, 128),
+                                                 F_ROW:F_ROW + 2].T
+                    pltpu.make_async_copy(
+                        rtflushb.at[pl.ds(slot_g, 1)],
+                        rt_hbm.at[pl.ds(tiles_done, 1)],
+                        sem_fr.at[slot_g]).start()
+                cnt_smem[8 + slot_g] = tiles_done
+                cnt_smem[6 + fill_slot] = k + 1
 
             @pl.when(tiles_done >= cap)
             def _():
@@ -136,24 +156,44 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                  jnp.zeros((128, NFIELD), jnp.float32)], axis=0)
             cnt_smem[fill_slot + 3] = tiles_done + 1
 
+    def drain_ring(fill_slot, q_hbm, with_rt):
+        """Wait the ring's (up to two) in-flight flush DMAs."""
+        k = cnt_smem[6 + fill_slot]
+
+        @pl.when(k >= 1)
+        def _():
+            s = 2 * fill_slot + ((k - 1) & 1)
+            _wait_slot(s, cnt_smem[8 + s], q_hbm, with_rt)
+
+        @pl.when(k >= 2)
+        def _():
+            s = 2 * fill_slot + (k & 1)
+            _wait_slot(s, cnt_smem[8 + s], q_hbm, with_rt)
+
     @pl.when(b == 0)
     def _():
         cnt_smem[_C_FILL + 3] = 0   # pair tiles flushed this level
         cnt_smem[_C_HFILL + 3] = hbase_ref[0] // 128  # hit tiles flushed
+        cnt_smem[6] = 0             # pair flush-ring DMA count
+        cnt_smem[7] = 0             # hit flush-ring DMA count
 
     @pl.when(active)
     def _process():
         block_n = jnp.minimum(n_pairs - b * BLOCK, BLOCK)
         cpq = pltpu.make_async_copy(qin.at[pl.ds(b * 8, 8)], qbuf, sem_q)
-        cpr = pltpu.make_async_copy(rtin.at[pl.ds(b * BLOCK, BLOCK)],
-                                    rbuf, sem_r)
+        cpr = pltpu.make_async_copy(rtin.at[pl.ds(b * 8, 8)], rbuf, sem_r)
         cpq.start()
         cpr.start()
         cpq.wait()
         cpr.wait()
 
+        def rt_at(p, f):
+            # SMEM is scalar memory: arbitrary scalar indexing, no lane
+            # constraints (the whole reason the side tiles land here)
+            return rbuf[p // 128, f, p % 128].astype(jnp.int32)
+
         # bulk row window over the block's (run-structured) id range
-        row_first = rbuf[0, 0].astype(jnp.int32)
+        row_first = rt_at(0, 0)
         wlo = jnp.clip(row_first, 0, jnp.maximum(n_rows - row_window, 0))
         cw = pltpu.make_async_copy(rows_hbm.at[pl.ds(wlo, row_window)],
                                    rowwin, sem_row)
@@ -187,9 +227,9 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                 lo, hi = lohi
                 mid = (lo + hi) // 2
                 mc = jnp.clip(mid, 0, BLOCK - 1)
-                # rt lane order: 0 = row id (F_ROW), 1 = run id (F_RUN)
-                same = (rbuf[mc, 1].astype(jnp.int32) == cur_run) \
-                    & (rbuf[mc, 0].astype(jnp.int32) == cur_row)
+                # rt plane order: 0 = row id (F_ROW), 1 = run id (F_RUN)
+                same = (rt_at(mc, 1) == cur_run) \
+                    & (rt_at(mc, 0) == cur_row)
                 return (jnp.where(same, mid + 1, lo),
                         jnp.where(same, hi, mid))
             lo, _ = jax.lax.fori_loop(0, 11, step, (pos + 1, block_n))
@@ -200,8 +240,8 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         def visit(carry):
             (pos, k, tlv, hitid, golv, gorv, rowlv, rowrv, instp) = carry
             pc = jnp.clip(pos, 0, BLOCK - 1)
-            cur_run = rbuf[pc, 1].astype(jnp.int32)
-            cur = jnp.clip(rbuf[pc, 0].astype(jnp.int32), 0, n_rows - 1)
+            cur_run = rt_at(pc, 1)
+            cur = jnp.clip(rt_at(pc, 0), 0, n_rows - 1)
             end = span_end(pos, cur_run, cur)
             mask = (iota >= pos) & (iota < end) & lane_ok
 
@@ -268,8 +308,10 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
             go_l = box_l & (tag_l < 0)
             go_r = box_r & (tag_r < 0)
-            golv = golv | go_l
-            gorv = gorv | go_r
+            # carried masks ride as f32 0/1: Mosaic cannot legalize i1
+            # vectors through while-loop yields (round-2 crash list)
+            golv = jnp.maximum(golv, go_l.astype(jnp.float32))
+            gorv = jnp.maximum(gorv, go_r.astype(jnp.float32))
             rowlv = jnp.where(go_l, jnp.float32(ref_l), rowlv)
             rowrv = jnp.where(go_r, jnp.float32(ref_r), rowrv)
             # per-lane SOURCE-instance id: the emission run key.  One
@@ -283,13 +325,16 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
         init = (jnp.int32(0), jnp.float32(0), tl_in,
                 jnp.full((8, 128), -1.0, jnp.float32),
-                jnp.zeros((8, 128), bool), jnp.zeros((8, 128), bool),
+                jnp.zeros((8, 128), jnp.float32),
+                jnp.zeros((8, 128), jnp.float32),
                 jnp.zeros((8, 128), jnp.float32),
                 jnp.zeros((8, 128), jnp.float32),
                 jnp.zeros((8, 128), jnp.float32))
-        _, k_fin, tlv, hitid, go_l, go_r, row_l, row_r, instp = \
+        _, k_fin, tlv, hitid, go_lf, go_rf, row_l, row_r, instp = \
             jax.lax.while_loop(lambda c: c[0] < block_n, visit, init)
         cnt_smem[_C_RUN] = inst_base + k_fin.astype(jnp.int32)
+        go_l = go_lf > 0.5
+        go_r = go_rf > 0.5
 
         improved = ((tl_in - tlv) > 0.0) & lane_ok
 
@@ -333,9 +378,14 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                 + [jnp.zeros((NFIELD - len(planes), 128), jnp.float32)],
                 axis=0)
             onehot = (rows_i == local).astype(jnp.float32)
+            # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by
+            # default, which QUANTIZES the transported payload (row ids
+            # above 256 round — found on-chip).  With a 0/1 one-hot the
+            # bf16x3 decomposition reconstructs each payload f32 exactly.
             stage_ref[...] = stage_ref[...] + jax.lax.dot_general(
                 onehot, stack.T, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             cnt_smem[fill_slot] = base + count
             flush_tiles(stage_ref, fill_slot, q_hbm, rt_hbm, cap, with_rt)
 
@@ -354,9 +404,11 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
             batch(r, improved, ph_x, hit_fields, hstage, _C_HFILL, hq,
                   None, hcap_tiles, counts[16 + r])
 
-    # ---- level close: flush residues, publish counts ----
+    # ---- level close: drain flush rings, flush residues, publish ----
     @pl.when(b == nb - 1)
     def _close():
+        drain_ring(_C_FILL, qout, True)
+        drain_ring(_C_HFILL, hq, False)
         # pair residue (tail lanes of the last tile are garbage; the next
         # level masks by the exact count)
         fillp = cnt_smem[_C_FILL]
@@ -365,13 +417,15 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         @pl.when((fillp - tilesp * 128 > 0) & (tilesp < cap_tiles))
         def _():
             flushb[0] = stage[pl.ds(0, 128), :].T
-            c = pltpu.make_async_copy(flushb, qout.at[pl.ds(tilesp, 1)],
-                                      sem_fq)
+            c = pltpu.make_async_copy(flushb.at[pl.ds(0, 1)],
+                                      qout.at[pl.ds(tilesp, 1)],
+                                      sem_fq.at[0])
             c.start()
             c.wait()
-            rtflushb[...] = stage[pl.ds(0, 128), F_ROW:F_ROW + 2]
+            rtflushb[0] = stage[pl.ds(0, 128), F_ROW:F_ROW + 2].T
             c2 = pltpu.make_async_copy(
-                rtflushb, rtout.at[pl.ds(tilesp * 128, 128)], sem_fr)
+                rtflushb.at[pl.ds(0, 1)], rtout.at[pl.ds(tilesp, 1)],
+                sem_fr.at[0])
             c2.start()
             c2.wait()
 
@@ -391,8 +445,9 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
             hstage[:, H_RAY:H_RAY + 1] = jnp.where(lane_i < n_res, rayc,
                                                    -1.0)
             flushb[0] = hstage[pl.ds(0, 128), :].T
-            c = pltpu.make_async_copy(flushb, hq.at[pl.ds(tilesh, 1)],
-                                      sem_fq)
+            c = pltpu.make_async_copy(flushb.at[pl.ds(0, 1)],
+                                      hq.at[pl.ds(tilesh, 1)],
+                                      sem_fq.at[0])
             c.start()
             c.wait()
 
@@ -430,23 +485,23 @@ def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((8, NFIELD, 128), jnp.float32),   # qbuf
-            pltpu.VMEM((BLOCK, 2), jnp.float32),         # rbuf
+            pltpu.SMEM((8, 2, 128), jnp.float32),        # rbuf
             pltpu.VMEM((row_window, 128), jnp.float32),  # rowwin
             pltpu.VMEM((1, 128), jnp.float32),           # rowone
             pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # stage
             pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # hstage
-            pltpu.VMEM((1, NFIELD, 128), jnp.float32),   # flushb
-            pltpu.VMEM((128, 2), jnp.float32),           # rtflushb
+            pltpu.VMEM((4, NFIELD, 128), jnp.float32),   # flushb (rings)
+            pltpu.VMEM((2, 2, 128), jnp.float32),        # rtflushb
             pltpu.VMEM((24, 128), jnp.float32),          # pfx
             pltpu.VMEM((24, 128), jnp.float32),          # pfxdma
-            pltpu.SMEM((8,), jnp.int32),                 # cnt_smem
+            pltpu.SMEM((12,), jnp.int32),                # cnt_smem
             pltpu.SemaphoreType.DMA,                     # sem_q
             pltpu.SemaphoreType.DMA,                     # sem_r
             pltpu.SemaphoreType.DMA,                     # sem_row
             pltpu.SemaphoreType.DMA,                     # sem_one
             pltpu.SemaphoreType.DMA,                     # sem_cnt
-            pltpu.SemaphoreType.DMA,                     # sem_fq
-            pltpu.SemaphoreType.DMA,                     # sem_fr
+            pltpu.SemaphoreType.DMA((4,)),               # sem_fq (rings)
+            pltpu.SemaphoreType.DMA((2,)),               # sem_fr
         ],
         input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
@@ -497,25 +552,27 @@ def _stream_impl(rows, origin, direction, t_init,
     ray_id = jnp.arange(npad, dtype=jnp.float32)
     q0 = tiles_of(o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                   t0, ray_id, jnp.zeros((npad,), jnp.float32))
-    rt0 = jnp.zeros((cap_tiles * 128, 2), jnp.float32)
+    rt0 = jnp.zeros((cap_tiles, 2, 128), jnp.float32)
     qspare = jnp.zeros_like(q0)
     rtspare = jnp.zeros_like(rt0)
     hq0 = jnp.full((hcap_tiles, NFIELD, 128), -1.0, jnp.float32)
 
+    max_levels = 64  # >> any real tree depth; bounds a runaway frontier
+
     def cond(c):
-        return c[6] > 0
+        return (c[6] > 0) & (c[8] < max_levels)
 
     def body(c):
-        q, rt, qs, rts, hq, hbase, np_, ovf = c
+        q, rt, qs, rts, hq, hbase, np_, ovf, lvl = c
         qo, rto, hqo, nout, hout, ovf1 = _run_level(
             rows, q, rt, qs, rts, hq, np_, hbase, cap_tiles, hcap_tiles,
             interpret)
         return (qo, rto, q, rt, hqo, hout[0], nout[0],
-                ovf | ovf1[0])
+                ovf | ovf1[0], lvl + 1)
 
     init = (q0, rt0, qspare, rtspare, hq0, jnp.int32(0), jnp.int32(npad),
-            jnp.int32(0))
-    _, _, _, _, hq, hfill, _, ovf = jax.lax.while_loop(cond, body, init)
+            jnp.int32(0), jnp.int32(0))
+    _, _, _, _, hq, hfill, _, ovf, _ = jax.lax.while_loop(cond, body, init)
 
     # ---- per-ray min-combine of the hit records ----
     h_ray = hq[:, H_RAY, :].reshape(-1).astype(jnp.int32)
