@@ -82,8 +82,8 @@ _C_FILL, _C_HFILL, _C_OVF, _C_RUN = 0, 1, 2, 5
 def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                   _qspare, _rtspare, _hqin,
                   qout, rtout, hq, nout_ref, hout_ref, ovf_ref,
-                  qbuf, rbuf, rowwin, rowone, stage, hstage, flushb,
-                  rtflushb, pfx, pfxdma, cnt_smem,
+                  qbuf, rbuf, rowwin, rowone, rowv8s, stage, hstage,
+                  flushb, rtflushb, pfx, pfxdma, cnt_smem,
                   sem_q, sem_r, sem_row, sem_one, sem_cnt, sem_fq,
                   sem_fr, *, n_rows, cap_tiles, hcap_tiles, row_window):
     """One frontier level over a sequential block grid.  SMEM/VMEM
@@ -254,7 +254,27 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                 c1.start()
                 c1.wait()
 
+            # ONE dynamic-sublane VECTOR row load (packet-kernel rv()
+            # pattern) — the per-LANE scalar rd() this replaces cost
+            # ~125 serial scalar loads per leaf instance (~11 us/inst
+            # measured at the deep levels, the kernel's dominant term).
+            # Staged through a scratch ref: slicing a broadcast VALUE
+            # lets XLA re-fold the chain into the unsupported
+            # both-dims broadcast (round-1 Mosaic list) — the ref
+            # boundary stops the fusion, exactly like the packet
+            # kernel's row8s staging.
+            row_v = jnp.where(
+                in_win,
+                rowwin[pl.ds(jnp.clip(cur - wlo, 0, row_window - 1), 1),
+                       :],
+                rowone[0:1, :])
+            rowv8s[...] = jnp.broadcast_to(row_v, (8, 128))
+
+            def rv(i):
+                return rowv8s[:, i:i + 1]
+
             def rd(lane):
+                # scalar header fields (4 per instance)
                 return jnp.where(
                     in_win,
                     rowwin[jnp.clip(cur - wlo, 0, row_window - 1), lane],
@@ -266,8 +286,8 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
             ref_r = rd(_R_REF).astype(jnp.int32)
 
             def slab(base):
-                lox, loy, loz = rd(base), rd(base + 1), rd(base + 2)
-                hix, hiy, hiz = rd(base + 3), rd(base + 4), rd(base + 5)
+                lox, loy, loz = rv(base), rv(base + 1), rv(base + 2)
+                hix, hiy, hiz = rv(base + 3), rv(base + 4), rv(base + 5)
                 n_x = jnp.where(dxv < 0, hix, lox)
                 f_x = jnp.where(dxv < 0, lox, hix)
                 n_y = jnp.where(dyv < 0, hiy, loy)
@@ -291,9 +311,9 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                         bq = tri_b + 9 * j
                         t = _mt_packet(
                             ox, oy, oz, dxv, dyv, dzv,
-                            rd(bq + 0), rd(bq + 1), rd(bq + 2),
-                            rd(bq + 3), rd(bq + 4), rd(bq + 5),
-                            rd(bq + 6), rd(bq + 7), rd(bq + 8))
+                            rv(bq + 0), rv(bq + 1), rv(bq + 2),
+                            rv(bq + 3), rv(bq + 4), rv(bq + 5),
+                            rv(bq + 6), rv(bq + 7), rv(bq + 8))
                         ok = box & (j < tag) & (t > EPSILON) \
                             & ((tlv - t) > EPSILON)
                         tlv = jnp.where(ok, t, tlv)
@@ -394,15 +414,24 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         hit_fields = [rayv, tlv, hitid]
         run_l = instp * 2.0
         run_r = instp * 2.0 + 1.0
+        # empty batches skip their onehot/matmul/transpose entirely (the
+        # unconditional 16-batch chain was ~half of the measured ~25 us
+        # per-block floor; deep levels have many empty sub-row batches)
         for r in range(8):
-            batch(r, go_l, pl_x, pair_fields_l, stage, _C_FILL, qout,
-                  rtout, cap_tiles, counts[r], run8=run_l)
+            @pl.when(counts[r] > 0)
+            def _(r=r):
+                batch(r, go_l, pl_x, pair_fields_l, stage, _C_FILL, qout,
+                      rtout, cap_tiles, counts[r], run8=run_l)
         for r in range(8):
-            batch(r, go_r, pr_x, pair_fields_r, stage, _C_FILL, qout,
-                  rtout, cap_tiles, counts[8 + r], run8=run_r)
+            @pl.when(counts[8 + r] > 0)
+            def _(r=r):
+                batch(r, go_r, pr_x, pair_fields_r, stage, _C_FILL, qout,
+                      rtout, cap_tiles, counts[8 + r], run8=run_r)
         for r in range(8):
-            batch(r, improved, ph_x, hit_fields, hstage, _C_HFILL, hq,
-                  None, hcap_tiles, counts[16 + r])
+            @pl.when(counts[16 + r] > 0)
+            def _(r=r):
+                batch(r, improved, ph_x, hit_fields, hstage, _C_HFILL,
+                      hq, None, hcap_tiles, counts[16 + r])
 
     # ---- level close: drain flush rings, flush residues, publish ----
     @pl.when(b == nb - 1)
@@ -488,6 +517,7 @@ def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
             pltpu.SMEM((8, 2, 128), jnp.float32),        # rbuf
             pltpu.VMEM((row_window, 128), jnp.float32),  # rowwin
             pltpu.VMEM((1, 128), jnp.float32),           # rowone
+            pltpu.VMEM((8, 128), jnp.float32),           # rowv8s
             pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # stage
             pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # hstage
             pltpu.VMEM((4, NFIELD, 128), jnp.float32),   # flushb (rings)
