@@ -31,7 +31,7 @@ def fly_path(cam, i):
 
 
 def measure(renderer, camera, n_frames, steps_per_frame, move,
-            preview_scale=1, fetch=True):
+            preview_scale=1, fetch=True, sync_every=1):
     import jax.numpy as jnp
 
     from tyrant_tpu.ops.tonemap import to_uint8
@@ -51,8 +51,12 @@ def measure(renderer, camera, n_frames, steps_per_frame, move,
             pending = img_dev
             img_dev.block_until_ready()
         else:
-            # render-only cadence: hard sync, no display transfer
-            float(jnp.sum(renderer.state.accum[:4, 3]))
+            # render-only cadence: hard sync every ``sync_every`` frames
+            # (sync_every > 1 = the pipelined-viewer dispatch pattern:
+            # frames queue on device and the ~20 ms relay round-trip
+            # amortises; display lags <= sync_every frames)
+            if (i + 1) % sync_every == 0 or i == n_frames - 1:
+                float(jnp.sum(renderer.state.accum[:4, 3]))
         times.append(time.perf_counter() - t0)
     if pending is not None:
         np.asarray(pending)
@@ -70,6 +74,10 @@ def main():
     ap.add_argument("--scene", default="dragon")
     ap.add_argument("--preview-scale", type=int, default=1,
                     help="fetch the framebuffer downsampled by this factor")
+    ap.add_argument("--sync-every", type=int, default=1,
+                    help="render-only mode: hard-sync every K frames "
+                         "(K>1 = pipelined dispatch, amortises the "
+                         "tunnel's ~20 ms relay tax)")
     args = ap.parse_args()
 
     from tyrant_tpu.config import RenderConfig
@@ -96,7 +104,8 @@ def main():
 
     ps = args.preview_scale
     mean_r, med_r, _ = measure(r, _camera_for_pose(0), args.frames,
-                               args.steps_per_frame, move=True, fetch=False)
+                               args.steps_per_frame, move=True, fetch=False,
+                               sync_every=args.sync_every)
     mean_f, med_f, min_f = measure(r, _camera_for_pose(0), args.frames,
                                    args.steps_per_frame, move=True,
                                    preview_scale=ps)

@@ -61,13 +61,14 @@ def test_missing_scene_degrades(tmp_path, capsys):
 
 
 def test_packet_kernel_mode_selection():
-    """Round 2's wave crash (dead-sublane OOB row DMA) is fixed; 'auto' now
-    picks wave for HBM-resident tables and mono for VMEM tables per the
-    round-3 A/B (docs/PERFORMANCE.md).  Unknown values still refuse."""
+    """'auto' picks the kernel generation PER STAGE for HBM-resident
+    tables (round-4 in-step square, docs/PERFORMANCE.md: extend=mono,
+    connect=wave, aov=wave) and mono everywhere for VMEM tables; forced
+    modes override; unknown values refuse."""
     import pytest
 
     from tyrant_tpu.config import RenderConfig
-    from tyrant_tpu.render import _pick_wave
+    from tyrant_tpu.render import _WAVE_AUTO, _pick_wave
 
     with pytest.raises(ValueError, match="packet_kernel_mode"):
         RenderConfig(packet_kernel_mode="nonsense")
@@ -79,9 +80,12 @@ def test_packet_kernel_mode_selection():
             self.fits = fits
 
     auto = RenderConfig(packet_kernel_mode="auto")
-    assert _pick_wave(auto, None) is False
-    assert _pick_wave(auto, _T(fits=True)) is False
-    assert _pick_wave(auto, _T(fits=False)) is True
+    for stage in ("extend", "connect", "aov"):
+        assert _pick_wave(auto, None, stage) is False
+        assert _pick_wave(auto, _T(fits=True), stage) is False
+        assert _pick_wave(auto, _T(fits=False), stage) \
+            is _WAVE_AUTO[stage]
+    assert _WAVE_AUTO == {"extend": False, "connect": True, "aov": True}
     assert _pick_wave(RenderConfig(packet_kernel_mode="mono"),
                       _T(fits=False)) is False
     assert _pick_wave(RenderConfig(packet_kernel_mode="wave"),
