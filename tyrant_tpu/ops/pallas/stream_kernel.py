@@ -488,10 +488,13 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
 
 def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
-               cap_tiles, hcap_tiles, interpret):
+               cap_tiles, hcap_tiles, interpret, grid=None):
     n_rows = rows.shape[0]
     row_window = min(ROW_WINDOW, n_rows)
-    grid = cap_tiles // 8
+    # ``grid`` < cap_tiles//8 compiles a SMALL-GRID variant for tail
+    # levels: idle grid steps cost ~2-3 us each (measured — a 1-block
+    # level burned 30-57 ms walking 16384 dead steps)
+    grid = cap_tiles // 8 if grid is None else grid
     kern = functools.partial(_level_kernel, n_rows=n_rows,
                              cap_tiles=cap_tiles, hcap_tiles=hcap_tiles,
                              row_window=row_window)
@@ -592,11 +595,22 @@ def _stream_impl(rows, origin, direction, t_init,
     def cond(c):
         return (c[6] > 0) & (c[8] < max_levels)
 
+    small_grid = max(cap_tiles // 128, 8)
+
     def body(c):
         q, rt, qs, rts, hq, hbase, np_, ovf, lvl = c
-        qo, rto, hqo, nout, hout, ovf1 = _run_level(
-            rows, q, rt, qs, rts, hq, np_, hbase, cap_tiles, hcap_tiles,
-            interpret)
+
+        def big(args):
+            return _run_level(rows, *args, cap_tiles, hcap_tiles,
+                              interpret)
+
+        def small(args):
+            return _run_level(rows, *args, cap_tiles, hcap_tiles,
+                              interpret, grid=small_grid)
+
+        qo, rto, hqo, nout, hout, ovf1 = jax.lax.cond(
+            np_ > small_grid * BLOCK, big, small,
+            (q, rt, qs, rts, hq, np_, hbase))
         return (qo, rto, q, rt, hqo, hout[0], nout[0],
                 ovf | ovf1[0], lvl + 1)
 
