@@ -113,6 +113,24 @@ def check_equivalence(scene, n_rays: int = 65_536) -> str:
             msgs.append(f"{mode}:anyhit mismatch on {n_bad}/{n_rays}")
             continue
         msgs.append(f"{mode}:ok")
+    # round-4 prototype: the breadth-first ray-streaming kernel is
+    # certified by the same gate (closest-hit only; its own hit-queue +
+    # min-combine path) so the BENCH json also vouches for it on chip
+    try:
+        from tyrant_tpu.ops.pallas.stream_kernel import closest_hit_stream
+        tables.fits = True
+        t_st, id_st = closest_hit_stream(o, d, tables, cap_mult=8)
+        t_st, id_st = np.asarray(t_st), np.asarray(id_st)
+        if (id_ref != id_st).any():
+            msgs.append(f"stream:closest-id mismatch on "
+                        f"{int((id_ref != id_st).sum())}/{n_rays}")
+        elif hits.any() and not np.allclose(t_ref[hits], t_st[hits],
+                                            rtol=1e-4):
+            msgs.append("stream:closest-t mismatch")
+        else:
+            msgs.append("stream:ok")
+    except Exception as e:  # prototype: report, don't block the bench
+        msgs.append(f"stream:error {type(e).__name__}"[:60])
     out = ";".join(msgs)
     return "ok" if all(m.endswith(":ok") for m in msgs) else out
 
