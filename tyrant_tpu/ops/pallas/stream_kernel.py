@@ -177,37 +177,79 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         cnt_smem[6] = 0             # pair flush-ring DMA count
         cnt_smem[7] = 0             # hit flush-ring DMA count
 
+    # ---- double-buffered block fetches (prefetch b+1 during b) ----
+    cur = b & 1
+    nxt = cur ^ 1
+
+    def start_fetch(blk, slot):
+        pltpu.make_async_copy(qin.at[pl.ds(blk * 8, 8)],
+                              qbuf.at[slot],
+                              sem_q.at[slot]).start()
+        pltpu.make_async_copy(rtin.at[pl.ds(blk * 8, 8)],
+                              rbuf.at[slot],
+                              sem_r.at[slot]).start()
+
+    def wait_q(blk, slot):
+        pltpu.make_async_copy(qin.at[pl.ds(blk * 8, 8)],
+                              qbuf.at[slot],
+                              sem_q.at[slot]).wait()
+
+    def wait_r(blk, slot):
+        pltpu.make_async_copy(rtin.at[pl.ds(blk * 8, 8)],
+                              rbuf.at[slot],
+                              sem_r.at[slot]).wait()
+
+    def rt_at_s(slot, p, f):
+        # SMEM is scalar memory: arbitrary scalar indexing, no lane
+        # constraints (the whole reason the side tiles land here)
+        return rbuf[slot, p // 128, f, p % 128].astype(jnp.int32)
+
+    def win_lo(slot):
+        return jnp.clip(rt_at_s(slot, 0, 0), 0,
+                        jnp.maximum(n_rows - row_window, 0))
+
+    def start_win(slot):
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(win_lo(slot), row_window)],
+            rowwin.at[slot], sem_row.at[slot]).start()
+
+    def wait_win(slot):
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(win_lo(slot), row_window)],
+            rowwin.at[slot], sem_row.at[slot]).wait()
+
+    @pl.when(active & (b == 0))
+    def _():
+        # prelude: block 0 fetches its own inputs (no overlap available)
+        start_fetch(0, 0)
+        wait_r(0, 0)
+        start_win(0)
+
     @pl.when(active)
     def _process():
         block_n = jnp.minimum(n_pairs - b * BLOCK, BLOCK)
-        cpq = pltpu.make_async_copy(qin.at[pl.ds(b * 8, 8)], qbuf, sem_q)
-        cpr = pltpu.make_async_copy(rtin.at[pl.ds(b * 8, 8)], rbuf, sem_r)
-        cpq.start()
-        cpr.start()
-        cpq.wait()
-        cpr.wait()
+        # kick b+1's queue/side fetch first so it flies during our work
+        nxt_active = (b + 1) * BLOCK < n_pairs
+
+        @pl.when(nxt_active)
+        def _():
+            start_fetch(b + 1, nxt)
+        wait_q(b, cur)       # started by b-1's tail (b=0: the prelude)
+        wait_win(cur)        # likewise
 
         def rt_at(p, f):
-            # SMEM is scalar memory: arbitrary scalar indexing, no lane
-            # constraints (the whole reason the side tiles land here)
-            return rbuf[p // 128, f, p % 128].astype(jnp.int32)
+            return rt_at_s(cur, p, f)
 
-        # bulk row window over the block's (run-structured) id range
-        row_first = rt_at(0, 0)
-        wlo = jnp.clip(row_first, 0, jnp.maximum(n_rows - row_window, 0))
-        cw = pltpu.make_async_copy(rows_hbm.at[pl.ds(wlo, row_window)],
-                                   rowwin, sem_row)
-        cw.start()
-        cw.wait()
+        wlo = win_lo(cur)
 
-        ox = qbuf[:, F_OX, :]
-        oy = qbuf[:, F_OY, :]
-        oz = qbuf[:, F_OZ, :]
-        dxv = qbuf[:, F_DX, :]
-        dyv = qbuf[:, F_DY, :]
-        dzv = qbuf[:, F_DZ, :]
-        tl_in = qbuf[:, F_T, :]
-        rayv = qbuf[:, F_RAY, :]
+        ox = qbuf[cur, :, F_OX, :]
+        oy = qbuf[cur, :, F_OY, :]
+        oz = qbuf[cur, :, F_OZ, :]
+        dxv = qbuf[cur, :, F_DX, :]
+        dyv = qbuf[cur, :, F_DY, :]
+        dzv = qbuf[cur, :, F_DZ, :]
+        tl_in = qbuf[cur, :, F_T, :]
+        rayv = qbuf[cur, :, F_RAY, :]
         inv_x = 1.0 / dxv
         inv_y = 1.0 / dyv
         inv_z = 1.0 / dzv
@@ -241,15 +283,15 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
             (pos, k, tlv, hitid, golv, gorv, rowlv, rowrv, instp) = carry
             pc = jnp.clip(pos, 0, BLOCK - 1)
             cur_run = rt_at(pc, 1)
-            cur = jnp.clip(rt_at(pc, 0), 0, n_rows - 1)
-            end = span_end(pos, cur_run, cur)
+            curow = jnp.clip(rt_at(pc, 0), 0, n_rows - 1)
+            end = span_end(pos, cur_run, curow)
             mask = (iota >= pos) & (iota < end) & lane_ok
 
-            in_win = (cur >= wlo) & (cur < wlo + row_window)
+            in_win = (curow >= wlo) & (curow < wlo + row_window)
 
             @pl.when(jnp.logical_not(in_win))
             def _():
-                c1 = pltpu.make_async_copy(rows_hbm.at[pl.ds(cur, 1)],
+                c1 = pltpu.make_async_copy(rows_hbm.at[pl.ds(curow, 1)],
                                            rowone, sem_one)
                 c1.start()
                 c1.wait()
@@ -265,8 +307,8 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
             # kernel's row8s staging.
             row_v = jnp.where(
                 in_win,
-                rowwin[pl.ds(jnp.clip(cur - wlo, 0, row_window - 1), 1),
-                       :],
+                rowwin[cur, pl.ds(jnp.clip(curow - wlo, 0,
+                                           row_window - 1), 1), :],
                 rowone[0:1, :])
             rowv8s[...] = jnp.broadcast_to(row_v, (8, 128))
 
@@ -277,7 +319,8 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                 # scalar header fields (4 per instance)
                 return jnp.where(
                     in_win,
-                    rowwin[jnp.clip(cur - wlo, 0, row_window - 1), lane],
+                    rowwin[cur, jnp.clip(curow - wlo, 0, row_window - 1),
+                           lane],
                     rowone[0, lane])
 
             tag_l = rd(_L_TAG).astype(jnp.int32)
@@ -433,6 +476,14 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                 batch(r, improved, ph_x, hit_fields, hstage, _C_HFILL,
                       hq, None, hcap_tiles, counts[16 + r])
 
+        # tail: b+1's side tiles have had the whole block to land; read
+        # its first row id and launch its bulk row window now so it
+        # flies during the grid turnover
+        @pl.when(nxt_active)
+        def _():
+            wait_r(b + 1, nxt)
+            start_win(nxt)
+
     # ---- level close: drain flush rings, flush residues, publish ----
     @pl.when(b == nb - 1)
     def _close():
@@ -516,9 +567,9 @@ def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
                    smem_spec],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((8, NFIELD, 128), jnp.float32),   # qbuf
-            pltpu.SMEM((8, 2, 128), jnp.float32),        # rbuf
-            pltpu.VMEM((row_window, 128), jnp.float32),  # rowwin
+            pltpu.VMEM((2, 8, NFIELD, 128), jnp.float32),  # qbuf (x2)
+            pltpu.SMEM((2, 8, 2, 128), jnp.float32),     # rbuf (x2)
+            pltpu.VMEM((2, row_window, 128), jnp.float32),  # rowwin (x2)
             pltpu.VMEM((1, 128), jnp.float32),           # rowone
             pltpu.VMEM((8, 128), jnp.float32),           # rowv8s
             pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # stage
@@ -528,9 +579,9 @@ def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
             pltpu.VMEM((24, 128), jnp.float32),          # pfx
             pltpu.VMEM((24, 128), jnp.float32),          # pfxdma
             pltpu.SMEM((12,), jnp.int32),                # cnt_smem
-            pltpu.SemaphoreType.DMA,                     # sem_q
-            pltpu.SemaphoreType.DMA,                     # sem_r
-            pltpu.SemaphoreType.DMA,                     # sem_row
+            pltpu.SemaphoreType.DMA((2,)),               # sem_q
+            pltpu.SemaphoreType.DMA((2,)),               # sem_r
+            pltpu.SemaphoreType.DMA((2,)),               # sem_row
             pltpu.SemaphoreType.DMA,                     # sem_one
             pltpu.SemaphoreType.DMA,                     # sem_cnt
             pltpu.SemaphoreType.DMA((4,)),               # sem_fq (rings)
