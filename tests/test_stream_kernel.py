@@ -70,3 +70,22 @@ def test_stream_all_miss():
     t_s, id_s = closest_hit_stream(o, d, PacketTables(sd.bvh),
                                    interpret=True)
     assert (np.asarray(id_s) == -1).all()
+
+
+def test_stream_overflow_flag():
+    """An undersized frontier capacity drops pairs BOUNDEDLY and reports
+    it through the overflow flag instead of failing silently."""
+    from tyrant_tpu.scene.scene import Scene
+    sd = Scene.load("/root/reference/PathTracer/Data/dragon.ply").to_device()
+    o, d = _rays(sd, 2048, 13)
+    tables = PacketTables(sd.bvh)
+    t_s, id_s, ovf = closest_hit_stream(o, d, tables, interpret=True,
+                                        cap_mult=1, return_overflow=True)
+    assert int(ovf) == 1
+    assert np.isfinite(np.asarray(t_s)).all()
+    # a sufficient capacity clears the flag and matches the oracle
+    t2, id2, ovf2 = closest_hit_stream(o, d, tables, interpret=True,
+                                       cap_mult=16, return_overflow=True)
+    assert int(ovf2) == 0
+    _, id_ref = closest_hit(o, d, sd.bvh)
+    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id2))

@@ -595,12 +595,23 @@ def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
 
 
 def closest_hit_stream(origin, direction, tables, t_init=None,
-                       interpret: bool = False, cap_mult: int = 3):
+                       interpret: bool = False, cap_mult: int = 3,
+                       return_overflow: bool = False):
     """Closest-hit via breadth-first ray streaming.  Same contract as
     closest_hit_packets: (t, tri_id) with tri_id = -1 where nothing beat
-    ``t_init``.  ``tables``: PacketTables (same fat-row layout)."""
-    return _stream_impl(tables.rows, origin, direction, t_init,
-                        interpret=interpret, cap_mult=cap_mult)
+    ``t_init``.  ``tables``: PacketTables (same fat-row layout).
+
+    ``cap_mult``: frontier capacity as a multiple of the ray count (the
+    2M terrain mix peaks at ~2.05x; hit-heavy small batches can run
+    higher).  On overflow the kernel DROPS pairs (bounded, never OOB)
+    and sets a flag — pass ``return_overflow=True`` to receive it as a
+    third output and treat non-zero as "results incomplete, re-run with
+    a larger cap_mult"."""
+    t, hit, ovf = _stream_impl(tables.rows, origin, direction, t_init,
+                               interpret=interpret, cap_mult=cap_mult)
+    if return_overflow:
+        return t, hit, ovf
+    return t, hit
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "cap_mult"))
@@ -668,6 +679,7 @@ def _stream_impl(rows, origin, direction, t_init,
     init = (q0, rt0, qspare, rtspare, hq0, jnp.int32(0), jnp.int32(npad),
             jnp.int32(0), jnp.int32(0))
     _, _, _, _, hq, hfill, _, ovf, _ = jax.lax.while_loop(cond, body, init)
+    del hfill
 
     # ---- per-ray min-combine of the hit records ----
     h_ray = hq[:, H_RAY, :].reshape(-1).astype(jnp.int32)
@@ -683,4 +695,4 @@ def _stream_impl(rows, origin, direction, t_init,
     ids = ids.at[jnp.where(is_min, idx, npad)].min(
         jnp.where(is_min, h_id, 0x7FFFFFFF))
     hit_id = jnp.where(ids[:npad] == 0x7FFFFFFF, -1, ids[:npad])
-    return t_best[:npad][:n], hit_id[:n]
+    return t_best[:npad][:n], hit_id[:n], ovf
