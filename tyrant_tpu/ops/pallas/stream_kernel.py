@@ -16,10 +16,10 @@ cached 2M wavefronts):
   * The frontier is a flat queue of (ray record, fat-row id) PAIRS in
     HBM tiles of 128 ([tiles, 16 fields, 128 lanes]), processed
     level-synchronously in 1024-pair blocks, kept row-id-RUN-structured:
-    every row's pairs are contiguous, and runs ascend within each
-    emission batch (PacketTables' BFS numbering makes child rows
-    monotone in parent rows, so batched left-then-right emission
-    preserves this for free).
+    every (source instance, child side) emits one contiguous
+    constant-row run, keyed by a globally unique run id (2*instance +
+    side) so the next level's span bisection has a prefix-monotone
+    predicate even though raw row ids interleave across batches.
   * Each pair carries its full ray record (o, d, lineage t_best, ray
     id, row id = 9 of 16 f32 lanes) — ZERO gathers anywhere.
   * A block's rows span a narrow id range (run structure), so the
@@ -40,7 +40,16 @@ cached 2M wavefronts):
     DMA-LANDED buffers are the proven-safe class; direct scalar loads
     of vector-written scratch fault at runtime — round-2 crash list),
     lanes placed into a sublane-major staging tile by the accum-kernel
-    one-hot-matmul pattern, and full 128-pair tiles flushed by DMA.
+    one-hot-matmul pattern at precision=HIGHEST (the MXU's default bf16
+    truncation quantizes transported payloads), and full 128-pair tiles
+    flushed through 2-slot deferred-wait DMA rings.
+
+Measured status (docs/PERFORMANCE.md round-4 log): bit-exact vs the XLA
+cascade ON CHIP and certified by the bench equivalence gate, but slower
+than the packet kernels (3.48 s vs wave's 396 ms on the 2M terrain
+carried mix) — the per-block floor is scalar-vector pipeline crossings
+in the emission bookkeeping (probe: the one-hot/matmul/transpose work is
+only ~5.5 of ~34 us), the round-5 redesign target.
   * Results leave through a HIT QUEUE: one record per block for every
     lane whose lineage t improved (ray, t, tri), min-combined per ray
     on the XLA side afterwards — breadth-first traversal has no
