@@ -308,6 +308,11 @@ def main():
             "wavefront": cfg.num_rays,
             "dragon_mrays_per_s": round(d_dragon["total_mrays_per_s"], 2),
             "dragon_avg_frame_ms": round(d_dragon["avg_frame_ms"], 2),
+            # what "dragon_mrays_per_s" actually measured: the reference
+            # dragon.ply, or the 64k-tri procgen fallback when the
+            # reference tree is absent (VERDICT r4 weak item 6)
+            "dragon_source": ("dragon.ply" if os.path.exists(DRAGON)
+                              else "procgen_fallback_65k"),
             "pose_ms": [round(r["avg_ms"], 1) for r in d_terr["poses"]],
             "pose_spread_pct": [r["spread_pct"] for r in d_terr["poses"]],
             "flap_samples_dropped": sum(r["outliers_dropped"]

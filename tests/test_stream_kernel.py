@@ -30,11 +30,19 @@ def _check(sd, o, d, t0=None, cap_mult=8):
     t_ref, id_ref = closest_hit(o, d, sd.bvh, t_init=t0)
     t_s, id_s = closest_hit_stream(o, d, tables, t_init=t0,
                                    interpret=True, cap_mult=cap_mult)
-    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id_s))
+    # Tie-aware comparison, same rule as bench.check_equivalence: the
+    # accept rule (t_best - t) > EPSILON is order-dependent for
+    # near-equal hits, and breadth-first lineage order legitimately
+    # differs from the DFS oracle — an id mismatch whose distances agree
+    # within the accept epsilon is a tie, not an error (ADVICE r4).
+    t_ref_np, t_s_np = np.asarray(t_ref), np.asarray(t_s)
+    id_bad = (np.asarray(id_ref) != np.asarray(id_s)) \
+        & (np.abs(t_ref_np - t_s_np) > 1e-3)
+    assert not id_bad.any(), f"non-tie id mismatch on {id_bad.sum()}"
     hits = np.asarray(id_ref) >= 0
     if hits.any():
-        np.testing.assert_allclose(np.asarray(t_ref)[hits],
-                                   np.asarray(t_s)[hits], rtol=1e-4)
+        np.testing.assert_allclose(t_ref_np[hits], t_s_np[hits],
+                                   rtol=1e-4, atol=1e-3)
     return hits.mean()
 
 
@@ -87,5 +95,12 @@ def test_stream_overflow_flag():
     t2, id2, ovf2 = closest_hit_stream(o, d, tables, interpret=True,
                                        cap_mult=16, return_overflow=True)
     assert int(ovf2) == 0
-    _, id_ref = closest_hit(o, d, sd.bvh)
-    np.testing.assert_array_equal(np.asarray(id_ref), np.asarray(id2))
+    t_ref, id_ref = closest_hit(o, d, sd.bvh)
+    id_bad = (np.asarray(id_ref) != np.asarray(id2)) \
+        & (np.abs(np.asarray(t_ref) - np.asarray(t2)) > 1e-3)
+    assert not id_bad.any()
+    # the overflow-raising default path (ADVICE r4 medium): incomplete
+    # results must never come back silently
+    import pytest
+    with pytest.raises(RuntimeError, match="frontier overflow"):
+        closest_hit_stream(o, d, tables, interpret=True, cap_mult=1)

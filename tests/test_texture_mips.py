@@ -163,7 +163,7 @@ def test_render_step_trilinear_runs():
     im = _ramp(8, 8, 11)
     v0 = np.array([[-5, 2, -1], [-5, 2, -1]], np.float32)
     v1 = np.array([[5, 2, -1], [5, 12, -1]], np.float32)
-    v2 = np.array([[-5, 12, -1], [5, 12, -1]], np.float32)
+    v2 = np.array([[-5, 12, -1], [-5, 12, -1]], np.float32)
     sc = Scene.from_triangles(v0, v1, v2)
     sc.textures = [im]
     sc.tri_tex = np.array([0, 0], np.int32)

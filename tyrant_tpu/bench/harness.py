@@ -118,12 +118,16 @@ def run_benchmark(scene, cfg: RenderConfig, seconds_per_pose: float = 3.0,
         hard_sync()
 
         retries = 0
+        dropped = 0   # accumulated across ALL windows incl. retried ones
         while True:
             times_ms, shadow_n, n_frames = measure_pose(cam)
             med = float(np.median(times_ms))
             keep = times_ms <= outlier_x * med
             kept = times_ms[keep]
-            dropped = int((~keep).sum())
+            # drops observed in retried (discarded) windows still count:
+            # the shipped number must reflect every contamination event
+            # the pose saw, not just the final window's (ADVICE r4)
+            dropped += int((~keep).sum())
             spread = (float(kept.max() - kept.min()) / med * 100.0
                       if kept.size > 1 else 0.0)
             stable = kept.size >= 2 and spread <= stability_pct
