@@ -78,9 +78,17 @@ def main():
                     help="render-only mode: hard-sync every K frames "
                          "(K>1 = pipelined dispatch, amortises the "
                          "tunnel's ~20 ms relay tax)")
+    ap.add_argument("--preset", default=None, choices=[None, "interactive"],
+                    help="'interactive' = config.interactive_config() "
+                         "(128k wavefront, kernel normals on — the "
+                         "VERDICT r4 item 3 preset)")
+    ap.add_argument("--relay-tax-ms", type=float, default=20.0,
+                    help="per-frame axon-relay round-trip to subtract for "
+                         "the device-side number (measured ~20 ms, "
+                         "docs/PERFORMANCE.md)")
     args = ap.parse_args()
 
-    from tyrant_tpu.config import RenderConfig
+    from tyrant_tpu.config import RenderConfig, interactive_config
     from tyrant_tpu.render import Renderer
     from tyrant_tpu.scene.scene import Scene
 
@@ -91,9 +99,13 @@ def main():
         v0, v1, v2 = benchmark_scene(1_048_576)
         scene = Scene.from_triangles(v0, v1, v2)
 
-    cfg = RenderConfig(width=args.width, height=args.height,
-                       num_rays=args.rays,
-                       max_bounces=5, use_packet_kernel="on")
+    if args.preset == "interactive":
+        cfg = interactive_config(width=args.width, height=args.height)
+        args.rays = cfg.num_rays
+    else:
+        cfg = RenderConfig(width=args.width, height=args.height,
+                           num_rays=args.rays,
+                           max_bounces=5, use_packet_kernel="on")
     r = Renderer(scene, cfg)
 
     from tyrant_tpu.bench.harness import _camera_for_pose
@@ -115,6 +127,10 @@ def main():
     print(f"fly-through render-only (no display fetch): "
           f"{mean_r:6.1f} ms/frame  {1e3 / mean_r:5.1f} FPS "
           f"(median {med_r:.1f})")
+    dev = mean_r - args.relay_tax_ms
+    print(f"  tax-subtracted device-side estimate "
+          f"(-{args.relay_tax_ms:.0f} ms relay round-trip/frame): "
+          f"{dev:6.1f} ms/frame  {1e3 / max(dev, 1e-3):5.1f} FPS")
     print(f"fly-through + pipelined display fetch: "
           f"{mean_f:6.1f} ms/frame  {1e3 / mean_f:5.1f} FPS "
           f"(median {med_f:.1f}, best {min_f:.1f})")

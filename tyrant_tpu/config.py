@@ -104,6 +104,22 @@ class RenderConfig:
     # in both table modes on chip.  "wave-unsafe" is the deprecated round-2
     # spelling of "wave".
     packet_kernel_mode: str = "auto"
+    # Workload-adaptive connect-kernel pick (round 5, VERDICT r4 item 4):
+    # "auto" on HBM-table scenes traces BOTH connect generations and a
+    # device-side lax.cond picks wave vs mono PER DISPATCH from the
+    # carried-survivor count already in RenderState (no host sync; the
+    # kernel generations are bitwise-equivalent so the switch never
+    # changes the image).  MEASURED AND REFUTED on the bench scenes
+    # (scripts/adaptive_ab.py, round 5): 221/441/383 ms vs the fixed
+    # per-stage table's 218/429/370 — the cond boundary costs more than
+    # the per-phase kernel preference is worth, even though the carried
+    # fraction oscillates period-2 (0.13-0.39 fresh-heavy vs 0.58-0.97
+    # carried-heavy, scripts/carried_fraction.py).  Default "off" (the
+    # static _WAVE_AUTO table); the knob stays for re-tests on other
+    # scene shapes.  ``adaptive_connect_frac``: carried-fraction switch
+    # point (>= frac -> wave), 0.45 sits in the oscillation gap.
+    adaptive_connect: str = "off"
+    adaptive_connect_frac: float = 0.45
     # Kernel-carried hit normals ("on"/"off"): the closest-hit packet kernel
     # carries the winning triangle's cross(e1,e2) out of its leaf passes so
     # shade (default-material scenes) can skip its tri-table gather.  A/B
@@ -289,6 +305,7 @@ class RenderConfig:
                 ("tonemap", ("reinhard", "aces")),
                 ("denoise", ("on", "off")),
                 ("adaptive_sampling", ("on", "off")),
+                ("adaptive_connect", ("auto", "off")),
                 ("mis", ("on", "off")),
                 ("sampler", ("xorshift", "sobol")),
                 ("light_sampling", ("uniform", "power")),
@@ -367,3 +384,27 @@ def small_config(width: int = 512, height: int = 512, num_rays: int = 1 << 16,
     keyword arguments pass through to :class:`RenderConfig`."""
     return RenderConfig(width=width, height=height, num_rays=num_rays,
                         max_bounces=max_bounces, **kw)
+
+
+def interactive_config(width: int = 1920, height: int = 1080,
+                       num_rays: int = 1 << 17, **kw) -> RenderConfig:
+    """The interactive fly-through preset (VERDICT r4 item 3): the
+    measured-fastest configuration for a progressive render loop whose
+    camera moves every frame (accumulation resets -> every frame is
+    coherent fresh primaries).
+
+    * 128k wavefront: the round-4 interactive sweep's best
+      1080p render-only point (51.8 ms/frame through the tunnel);
+    * kernel-carried normals ON: measured +5.5 ms/step in exactly this
+      fresh-primary regime (round-4 re-test; default-material scenes);
+    * fused step chains + packet kernels as in the bench config.
+
+    Convergence-focused offline renders should keep ``RenderConfig``'s
+    2M default instead (bigger wavefronts amortise fixed step costs).
+    Extra keyword arguments pass through to :class:`RenderConfig`."""
+    kw.setdefault("use_kernel_normals", "on")
+    kw.setdefault("use_packet_kernel", "on")
+    kw.setdefault("fuse_step_chains", "auto")
+    kw.setdefault("max_bounces", 5)
+    return RenderConfig(width=width, height=height, num_rays=num_rays,
+                        **kw)

@@ -34,22 +34,30 @@ cached 2M wavefronts):
     NO vector->scalar reduce anywhere in the visit path (the any-reduce
     pair is ~55% of the packet kernel's 460-cycle visit,
     docs/PERFORMANCE.md quad probe).
-  * Emission is vectorised per source sub-row: exclusive-prefix ranks
-    via a strictly-lower-triangular ones-matmul (MXU), sub-row totals
-    extracted through a VMEM->VMEM DMA round-trip (scalar loads from
-    DMA-LANDED buffers are the proven-safe class; direct scalar loads
-    of vector-written scratch fault at runtime — round-2 crash list),
-    lanes placed into a sublane-major staging tile by the accum-kernel
-    one-hot-matmul pattern at precision=HIGHEST (the MXU's default bf16
-    truncation quantizes transported payloads), and full 128-pair tiles
-    flushed through 2-slot deferred-wait DMA rings.
+  * Emission (round-5 redesign) is fully VECTOR-domain: destinations
+    for the whole block come from exclusive-prefix chains (triangular
+    ones-matmul lane prefixes + a Hillis-Steele sublane scan), staged
+    into a circular field-major (NFIELD, 512) buffer addressed mod 512
+    whose four 128-lane flush slots are STATIC slices (tiles & 3
+    unrolled), placed by one-hot matmuls at precision=HIGHEST (the
+    MXU's default bf16 truncation quantizes transported payloads) and
+    flushed through a 4-slot deferred-wait DMA ring.  Three
+    scalar->vector crossings per block remain (the L/R/hit bases); the
+    per-block counts arrive through ONE VMEM->VMEM DMA round-trip
+    (scalar loads from DMA-LANDED buffers are the proven-safe class;
+    direct scalar loads of vector-written scratch fault at runtime —
+    round-2 crash list).
 
-Measured status (docs/PERFORMANCE.md round-4 log): bit-exact vs the XLA
-cascade ON CHIP and certified by the bench equivalence gate, but slower
-than the packet kernels (3.48 s vs wave's 396 ms on the 2M terrain
-carried mix) — the per-block floor is scalar-vector pipeline crossings
-in the emission bookkeeping (probe: the one-hot/matmul/transpose work is
-only ~5.5 of ~34 us), the round-5 redesign target.
+Measured status (docs/PERFORMANCE.md round-5 log): bit-exact vs the XLA
+cascade and the packet kernels ON CHIP (modulo 4 known epsilon-ties at
+2M) and certified by the bench equivalence gate.  The round-5 emission
+redesign took the per-block floor from ~26 to ~15 us as costed, but the
+2M terrain mix only moved 3.48 -> 3.40 s: the cost lives in per-INSTANCE
+serial work at the deep levels, whose run-fragmented instance count is
+structural to the mapping — the closing decomposition (PERFORMANCE.md)
+shows every remaining lever composed still loses to the wave packet
+kernel by >= 5x, so the mapping is CLOSED and the packet kernels remain
+the production traversal on this hardware generation.
   * Results leave through a HIT QUEUE: one record per block for every
     lane whose lineage t improved (ray, t, tri), min-combined per ray
     on the XLA side afterwards — breadth-first traversal has no
@@ -80,12 +88,15 @@ from .traverse_kernel import (LEAF_WIDTH, _L_TAG, _R_TAG, _L_REF, _R_REF,
 F_OX, F_OY, F_OZ, F_DX, F_DY, F_DZ, F_T, F_RAY, F_ROW, F_RUN = range(10)
 NFIELD = 16
 BLOCK = 1024            # pairs per grid step (8 sub-rows x 128 lanes)
-STAGE_ROWS = 256        # staging capacity: 127 residue + 128 batch max
+STAGE_P = 512           # circular staging lanes (4 x 128-pair tile slots)
 ROW_WINDOW = 512        # bulk table window (256 KB VMEM)
 H_RAY, H_T, H_ID = 0, 1, 2
 
-# cnt_smem slots (3/4 hold the tiles-flushed counters for slots 0/1)
-_C_FILL, _C_HFILL, _C_OVF, _C_RUN = 0, 1, 2, 5
+# cnt_smem slots (round-5 layout; see _level_kernel init)
+(_C_FILLP, _C_TILESP, _C_KRP, _C_OVF, _C_RUN,
+ _C_FILLH, _C_TILESH, _C_KRH) = range(8)
+_C_RTP = 8     # ..11: HBM tile index per in-flight pair flush slot (ring 4)
+_C_RTH = 12    # ..13: HBM tile index per in-flight hit flush slot (ring 2)
 
 
 def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
@@ -96,7 +107,17 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
                   sem_q, sem_r, sem_row, sem_one, sem_cnt, sem_fq,
                   sem_fr, *, n_rows, cap_tiles, hcap_tiles, row_window):
     """One frontier level over a sequential block grid.  SMEM/VMEM
-    scratch persists across grid steps and carries the output fills."""
+    scratch persists across grid steps and carries the output fills.
+
+    Round-5 emission design (the round-4 batch-machinery probe pinned
+    ~28 of the ~34 us/block floor on per-batch scalar->vector pipeline
+    crossings — SMEM fill reads feeding each batch's vector ``local``):
+    destinations are now computed ONCE per block as full-block vector
+    prefix chains (triangular-matmul lane prefixes + a Hillis-Steele
+    sublane scan), staged into a small CIRCULAR field-major buffer
+    (NFIELD, 512) addressed mod 512 — so per batch only a scalar-read
+    gate and pure-SMEM flush bookkeeping remain; the scalar->vector
+    crossings drop to three per block (the L/R/hit staging bases)."""
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     n_pairs = np_ref[0]
@@ -104,87 +125,104 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
     @pl.when(b == 0)
     def _():
-        cnt_smem[_C_FILL] = 0
-        cnt_smem[_C_HFILL] = hbase_ref[0]
+        cnt_smem[_C_FILLP] = 0
+        cnt_smem[_C_TILESP] = 0
+        cnt_smem[_C_KRP] = 0
         cnt_smem[_C_OVF] = 0
         cnt_smem[_C_RUN] = 0
+        cnt_smem[_C_FILLH] = hbase_ref[0]
+        cnt_smem[_C_TILESH] = hbase_ref[0] // 128
+        cnt_smem[_C_KRH] = 0
         stage[...] = jnp.zeros_like(stage)
         hstage[...] = jnp.zeros_like(hstage)
 
-    def _wait_slot(slot_g, tile, q_hbm, with_rt):
-        pltpu.make_async_copy(flushb.at[pl.ds(slot_g, 1)],
-                              q_hbm.at[pl.ds(tile, 1)],
-                              sem_fq.at[slot_g]).wait()
-        if with_rt:
-            pltpu.make_async_copy(rtflushb.at[pl.ds(slot_g, 1)],
-                                  rtout.at[pl.ds(tile, 1)],
-                                  sem_fr.at[slot_g]).wait()
+    def _wait_pair_slot(slot):
+        t = cnt_smem[_C_RTP + slot]
+        pltpu.make_async_copy(flushb.at[pl.ds(slot, 1)],
+                              qout.at[pl.ds(t, 1)],
+                              sem_fq.at[slot]).wait()
+        pltpu.make_async_copy(rtflushb.at[pl.ds(slot, 1)],
+                              rtout.at[pl.ds(t, 1)],
+                              sem_fr.at[slot]).wait()
 
-    def flush_tiles(stage_ref, fill_slot, q_hbm, rt_hbm, cap, with_rt):
-        """Flush one staged 128-pair tile if full (callers invoke up to
-        twice per batch).  Staging holds absolute pairs
-        [tiles_flushed*128, fill); a flush writes the first 128 and
-        shifts.  Flush DMAs ride a 2-slot ring per queue: the wait is
-        DEFERRED until the slot's buffer is next reused (the serialized
-        start();wait() per tile was the prototype's dominant cost —
-        ~8-12 exposed DMA latencies per block)."""
-        fill = cnt_smem[fill_slot]
-        tiles_done = cnt_smem[fill_slot + 3]
+    def _wait_hit_slot(h):  # h in {0, 1} -> flushb slots 4/5
+        t = cnt_smem[_C_RTH + h]
+        pltpu.make_async_copy(flushb.at[pl.ds(4 + h, 1)],
+                              hq.at[pl.ds(t, 1)],
+                              sem_fq.at[4 + h]).wait()
 
-        @pl.when(fill - tiles_done * 128 >= 128)
+    def flush_pair():
+        """Flush the oldest staged pair tile if one is complete (each
+        batch adds <= 128 pairs, so at most one).  The circular staging
+        makes the flush PURE scalar bookkeeping + a (16,128) lane-slice
+        copy from a STATIC slot (4-way unrolled on tiles&3) — no vector
+        shift, no scalar->vector crossing.  Flush DMAs ride a 4-slot
+        ring with deferred waits."""
+        fill = cnt_smem[_C_FILLP]
+        tiles = cnt_smem[_C_TILESP]
+
+        @pl.when(fill - tiles * 128 >= 128)
         def _():
-            @pl.when(tiles_done < cap)
+            @pl.when(tiles < cap_tiles)
             def _():
-                k = cnt_smem[6 + fill_slot]     # DMAs issued on this ring
-                slot_g = 2 * fill_slot + (k & 1)
+                k = cnt_smem[_C_KRP]
+                slot = k & 3
+
+                @pl.when(k >= 4)
+                def _():
+                    _wait_pair_slot(slot)
+                for s in range(4):
+                    @pl.when((tiles & 3) == s)
+                    def _(s=s):
+                        flushb[slot] = stage[:, s * 128:(s + 1) * 128]
+                        rtflushb[slot] = stage[F_ROW:F_RUN + 1,
+                                               s * 128:(s + 1) * 128]
+                        stage[:, s * 128:(s + 1) * 128] = jnp.zeros(
+                            (NFIELD, 128), jnp.float32)
+                pltpu.make_async_copy(flushb.at[pl.ds(slot, 1)],
+                                      qout.at[pl.ds(tiles, 1)],
+                                      sem_fq.at[slot]).start()
+                pltpu.make_async_copy(rtflushb.at[pl.ds(slot, 1)],
+                                      rtout.at[pl.ds(tiles, 1)],
+                                      sem_fr.at[slot]).start()
+                cnt_smem[_C_RTP + slot] = tiles
+                cnt_smem[_C_KRP] = k + 1
+
+            @pl.when(tiles >= cap_tiles)
+            def _():
+                cnt_smem[_C_OVF] = 1
+            cnt_smem[_C_TILESP] = tiles + 1
+
+    def flush_hit():
+        fill = cnt_smem[_C_FILLH]
+        tiles = cnt_smem[_C_TILESH]
+
+        @pl.when(fill - tiles * 128 >= 128)
+        def _():
+            @pl.when(tiles < hcap_tiles)
+            def _():
+                k = cnt_smem[_C_KRH]
+                h = k & 1
 
                 @pl.when(k >= 2)
                 def _():
-                    _wait_slot(slot_g, cnt_smem[8 + slot_g], q_hbm,
-                               with_rt)
-                flushb[slot_g] = stage_ref[pl.ds(0, 128), :].T
-                pltpu.make_async_copy(
-                    flushb.at[pl.ds(slot_g, 1)],
-                    q_hbm.at[pl.ds(tiles_done, 1)],
-                    sem_fq.at[slot_g]).start()
-                if with_rt:
-                    rtflushb[slot_g] = stage_ref[pl.ds(0, 128),
-                                                 F_ROW:F_ROW + 2].T
-                    pltpu.make_async_copy(
-                        rtflushb.at[pl.ds(slot_g, 1)],
-                        rt_hbm.at[pl.ds(tiles_done, 1)],
-                        sem_fr.at[slot_g]).start()
-                cnt_smem[8 + slot_g] = tiles_done
-                cnt_smem[6 + fill_slot] = k + 1
+                    _wait_hit_slot(h)
+                for s in range(4):
+                    @pl.when((tiles & 3) == s)
+                    def _(s=s):
+                        flushb[4 + h] = hstage[:, s * 128:(s + 1) * 128]
+                        hstage[:, s * 128:(s + 1) * 128] = jnp.zeros(
+                            (NFIELD, 128), jnp.float32)
+                pltpu.make_async_copy(flushb.at[pl.ds(4 + h, 1)],
+                                      hq.at[pl.ds(tiles, 1)],
+                                      sem_fq.at[4 + h]).start()
+                cnt_smem[_C_RTH + h] = tiles
+                cnt_smem[_C_KRH] = k + 1
 
-            @pl.when(tiles_done >= cap)
+            @pl.when(tiles >= hcap_tiles)
             def _():
                 cnt_smem[_C_OVF] = 1
-            stage_ref[...] = jnp.concatenate(
-                [stage_ref[pl.ds(128, STAGE_ROWS - 128), :],
-                 jnp.zeros((128, NFIELD), jnp.float32)], axis=0)
-            cnt_smem[fill_slot + 3] = tiles_done + 1
-
-    def drain_ring(fill_slot, q_hbm, with_rt):
-        """Wait the ring's (up to two) in-flight flush DMAs."""
-        k = cnt_smem[6 + fill_slot]
-
-        @pl.when(k >= 1)
-        def _():
-            s = 2 * fill_slot + ((k - 1) & 1)
-            _wait_slot(s, cnt_smem[8 + s], q_hbm, with_rt)
-
-        @pl.when(k >= 2)
-        def _():
-            s = 2 * fill_slot + (k & 1)
-            _wait_slot(s, cnt_smem[8 + s], q_hbm, with_rt)
-
-    @pl.when(b == 0)
-    def _():
-        cnt_smem[_C_FILL + 3] = 0   # pair tiles flushed this level
-        cnt_smem[_C_HFILL + 3] = hbase_ref[0] // 128  # hit tiles flushed
-        cnt_smem[6] = 0             # pair flush-ring DMA count
-        cnt_smem[7] = 0             # hit flush-ring DMA count
+            cnt_smem[_C_TILESH] = tiles + 1
 
     # ---- double-buffered block fetches (prefetch b+1 during b) ----
     cur = b & 1
@@ -410,7 +448,13 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
         improved = ((tl_in - tlv) > 0.0) & lane_ok
 
-        # ---- exclusive-prefix ranks per sub-row (MXU) + safe counts ----
+        # ---- full-block emission destinations, all in the VECTOR domain
+        # (round-5 redesign; see kernel docstring).  Exclusive prefix of
+        # each emission mask over the WHOLE 1024-lane block: a
+        # strictly-lower-triangular ones-matmul gives within-sub-row
+        # lane prefixes (exact: 0/1 operands, f32 accumulate), and a
+        # 3-step Hillis-Steele scan over sublane row-totals (static
+        # concats, no tiny matmuls) adds the cross-sub-row offsets.
         lt = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
               < jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)) \
             .astype(jnp.float32)
@@ -418,72 +462,103 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
         wr = go_r.astype(jnp.float32)
         wh = improved.astype(jnp.float32)
 
-        def pref(w):
-            return jax.lax.dot_general(w, lt, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+        def excl_prefix(w):
+            px = jax.lax.dot_general(w, lt, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            incl = px + w
+            rt_b = jnp.broadcast_to(incl[:, 127:128], (8, 128))
+            v = rt_b
+            for sh in (1, 2, 4):
+                v = v + jnp.concatenate(
+                    [jnp.zeros((sh, 128), jnp.float32), v[:-sh]], axis=0)
+            cross = jnp.concatenate(
+                [jnp.zeros((1, 128), jnp.float32), v[:-1]], axis=0)
+            # (full-block exclusive prefix, per-sub-row inclusive
+            #  prefixes for the scalar batch counts, total broadcast)
+            return px + cross, incl, v[7:8, :]
 
-        pl_x, pr_x, ph_x = pref(wl), pref(wr), pref(wh)
-        pfx[0:8, :] = pl_x + wl
-        pfx[8:16, :] = pr_x + wr
-        pfx[16:24, :] = ph_x + wh
+        e_l, incl_l, tot_l = excl_prefix(wl)
+        e_r, incl_r, _ = excl_prefix(wr)
+        e_h, incl_h, _ = excl_prefix(wh)
+        pfx[0:8, :] = incl_l
+        pfx[8:16, :] = incl_r
+        pfx[16:24, :] = incl_h
+        pfx[24:25, :] = tot_l
         cc = pltpu.make_async_copy(pfx, pfxdma, sem_cnt)
         cc.start()
         cc.wait()
         counts = [pfxdma[r, 127].astype(jnp.int32) for r in range(24)]
+        tot_l_s = pfxdma[24, 127]          # f32 scalar (landed buffer)
 
-        # ---- emission batches: L sub-rows, R sub-rows, hit sub-rows ----
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (STAGE_ROWS, 128), 0)
+        # staging destinations mod STAGE_P, one scalar crossing per
+        # queue: base = fill % 512 (exact f32 arithmetic: all values
+        # < 2^23).  Non-emitting lanes get -1 (matches no staging lane).
+        def wrap(v):
+            return v - float(STAGE_P) * jnp.floor(v * (1.0 / STAGE_P))
 
-        def batch(r, m8, rank8, fields, stage_ref, fill_slot, q_hbm,
-                  rt_hbm, cap, count, run8=None):
-            with_rt = run8 is not None
-            m = m8[r:r + 1, :]
-            base = cnt_smem[fill_slot]
-            win0 = cnt_smem[fill_slot + 3] * 128
-            local = jnp.where(m, base - win0
-                              + rank8[r:r + 1, :].astype(jnp.int32), -1)
+        base_p = (cnt_smem[_C_FILLP] & (STAGE_P - 1)).astype(jnp.float32)
+        base_h = (cnt_smem[_C_FILLH] & (STAGE_P - 1)).astype(jnp.float32)
+        local_l = jnp.where(go_l, wrap(base_p + e_l), -1.0)
+        local_r = jnp.where(go_r, wrap(base_p + tot_l_s + e_r), -1.0)
+        local_h = jnp.where(improved, wrap(base_h + e_h), -1.0)
+        # ONE transpose per queue -> (128, 8): batch r's destination
+        # column is then a static lane slice (no per-batch transposes)
+        lt_l = local_l.T
+        lt_r = local_r.T
+        lt_h = local_h.T
+
+        # ---- emission batches: L sub-rows, R sub-rows, hit sub-rows.
+        # Placement into the FIELD-MAJOR staging (NFIELD, 512): 32 KB
+        # read-modify-write per batch (the old row-major staging paid 4x
+        # that in lane padding), one-hot built from a (128,1) lane
+        # broadcast.  No scalar enters any vector computation here.
+        # (Mosaic iota must be integer-typed; convert for the f32 compare)
+        cols_i = jax.lax.broadcasted_iota(
+            jnp.int32, (128, STAGE_P), 1).astype(jnp.float32)
+
+        def batch(r, lt_q, fields, stage_ref, run8=None):
             planes = [f[r:r + 1, :] for f in fields]
-            if with_rt:
+            if run8 is not None:
                 planes.append(run8[r:r + 1, :])
             stack = jnp.concatenate(
                 planes
                 + [jnp.zeros((NFIELD - len(planes), 128), jnp.float32)],
                 axis=0)
-            onehot = (rows_i == local).astype(jnp.float32)
+            onehot = (cols_i == lt_q[:, r:r + 1]).astype(jnp.float32)
             # precision=HIGHEST: the MXU truncates f32 inputs to bf16 by
             # default, which QUANTIZES the transported payload (row ids
             # above 256 round — found on-chip).  With a 0/1 one-hot the
             # bf16x3 decomposition reconstructs each payload f32 exactly.
             stage_ref[...] = stage_ref[...] + jax.lax.dot_general(
-                onehot, stack.T, (((1,), (0,)), ((), ())),
+                stack, onehot, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            cnt_smem[fill_slot] = base + count
-            flush_tiles(stage_ref, fill_slot, q_hbm, rt_hbm, cap, with_rt)
 
         pair_fields_l = [ox, oy, oz, dxv, dyv, dzv, tlv, rayv, row_l]
         pair_fields_r = [ox, oy, oz, dxv, dyv, dzv, tlv, rayv, row_r]
         hit_fields = [rayv, tlv, hitid]
         run_l = instp * 2.0
         run_r = instp * 2.0 + 1.0
-        # empty batches skip their onehot/matmul/transpose entirely (the
-        # unconditional 16-batch chain was ~half of the measured ~25 us
-        # per-block floor; deep levels have many empty sub-row batches)
+        # empty batches skip their onehot/matmul entirely; non-empty
+        # ones do placement + a pure-scalar fill/flush update
         for r in range(8):
             @pl.when(counts[r] > 0)
             def _(r=r):
-                batch(r, go_l, pl_x, pair_fields_l, stage, _C_FILL, qout,
-                      rtout, cap_tiles, counts[r], run8=run_l)
+                batch(r, lt_l, pair_fields_l, stage, run8=run_l)
+                cnt_smem[_C_FILLP] = cnt_smem[_C_FILLP] + counts[r]
+                flush_pair()
         for r in range(8):
             @pl.when(counts[8 + r] > 0)
             def _(r=r):
-                batch(r, go_r, pr_x, pair_fields_r, stage, _C_FILL, qout,
-                      rtout, cap_tiles, counts[8 + r], run8=run_r)
+                batch(r, lt_r, pair_fields_r, stage, run8=run_r)
+                cnt_smem[_C_FILLP] = cnt_smem[_C_FILLP] + counts[8 + r]
+                flush_pair()
         for r in range(8):
             @pl.when(counts[16 + r] > 0)
             def _(r=r):
-                batch(r, improved, ph_x, hit_fields, hstage, _C_HFILL,
-                      hq, None, hcap_tiles, counts[16 + r])
+                batch(r, lt_h, hit_fields, hstage)
+                cnt_smem[_C_FILLH] = cnt_smem[_C_FILLH] + counts[16 + r]
+                flush_hit()
 
         # tail: b+1's side tiles have had the whole block to land; read
         # its first row id and launch its bulk row window now so it
@@ -496,22 +571,39 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
     # ---- level close: drain flush rings, flush residues, publish ----
     @pl.when(b == nb - 1)
     def _close():
-        drain_ring(_C_FILL, qout, True)
-        drain_ring(_C_HFILL, hq, False)
+        # drain: slots are assigned in order 0,1,2,... so with k DMAs
+        # issued, slots 0..min(k,ring)-1 each have exactly one
+        # outstanding transfer (older ones on the same slot were waited
+        # at reuse time)
+        kp = cnt_smem[_C_KRP]
+        for s in range(4):
+            @pl.when(kp > s)
+            def _(s=s):
+                _wait_pair_slot(s)
+        kh = cnt_smem[_C_KRH]
+        for s in range(2):
+            @pl.when(kh > s)
+            def _(s=s):
+                _wait_hit_slot(s)
+
         # pair residue (tail lanes of the last tile are garbage; the next
         # level masks by the exact count)
-        fillp = cnt_smem[_C_FILL]
-        tilesp = cnt_smem[_C_FILL + 3]
+        fillp = cnt_smem[_C_FILLP]
+        tilesp = cnt_smem[_C_TILESP]
 
         @pl.when((fillp - tilesp * 128 > 0) & (tilesp < cap_tiles))
         def _():
-            flushb[0] = stage[pl.ds(0, 128), :].T
+            for s in range(4):
+                @pl.when((tilesp & 3) == s)
+                def _(s=s):
+                    flushb[0] = stage[:, s * 128:(s + 1) * 128]
+                    rtflushb[0] = stage[F_ROW:F_RUN + 1,
+                                        s * 128:(s + 1) * 128]
             c = pltpu.make_async_copy(flushb.at[pl.ds(0, 1)],
                                       qout.at[pl.ds(tilesp, 1)],
                                       sem_fq.at[0])
             c.start()
             c.wait()
-            rtflushb[0] = stage[pl.ds(0, 128), F_ROW:F_ROW + 2].T
             c2 = pltpu.make_async_copy(
                 rtflushb.at[pl.ds(0, 1)], rtout.at[pl.ds(tilesp, 1)],
                 sem_fr.at[0])
@@ -520,23 +612,28 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
         # hit residue: pad to a 128 boundary with ray = -1 so stale slots
         # are ignored by the combine; hfill advances to the boundary
-        fillh = cnt_smem[_C_HFILL]
-        tilesh = cnt_smem[_C_HFILL + 3]
+        fillh = cnt_smem[_C_FILLH]
+        tilesh = cnt_smem[_C_TILESH]
 
         @pl.when((fillh - tilesh * 128 > 0) & (tilesh < hcap_tiles))
         def _():
             # stale lanes (count..127) hold zeros from staging init —
             # rewrite their ray lane to -1 via the mask trick
             n_res = fillh - tilesh * 128
-            lane_i = jax.lax.broadcasted_iota(jnp.int32,
-                                              (STAGE_ROWS, 1), 0)
-            rayc = hstage[:, H_RAY:H_RAY + 1]
-            hstage[:, H_RAY:H_RAY + 1] = jnp.where(lane_i < n_res, rayc,
-                                                   -1.0)
-            flushb[0] = hstage[pl.ds(0, 128), :].T
-            c = pltpu.make_async_copy(flushb.at[pl.ds(0, 1)],
+            lane_i = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 128), 1).astype(jnp.float32)
+            for s in range(4):
+                @pl.when((tilesh & 3) == s)
+                def _(s=s):
+                    rayc = hstage[H_RAY:H_RAY + 1,
+                                  s * 128:(s + 1) * 128]
+                    hstage[H_RAY:H_RAY + 1, s * 128:(s + 1) * 128] = \
+                        jnp.where(lane_i < n_res.astype(jnp.float32),
+                                  rayc, -1.0)
+                    flushb[4] = hstage[:, s * 128:(s + 1) * 128]
+            c = pltpu.make_async_copy(flushb.at[pl.ds(4, 1)],
                                       hq.at[pl.ds(tilesh, 1)],
-                                      sem_fq.at[0])
+                                      sem_fq.at[4])
             c.start()
             c.wait()
 
@@ -581,20 +678,20 @@ def _run_level(rows, q, rt, qspare, rtspare, hq, n_pairs, hbase,
             pltpu.VMEM((2, row_window, 128), jnp.float32),  # rowwin (x2)
             pltpu.VMEM((1, 128), jnp.float32),           # rowone
             pltpu.VMEM((8, 128), jnp.float32),           # rowv8s
-            pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # stage
-            pltpu.VMEM((STAGE_ROWS, NFIELD), jnp.float32),  # hstage
-            pltpu.VMEM((4, NFIELD, 128), jnp.float32),   # flushb (rings)
-            pltpu.VMEM((2, 2, 128), jnp.float32),        # rtflushb
-            pltpu.VMEM((24, 128), jnp.float32),          # pfx
-            pltpu.VMEM((24, 128), jnp.float32),          # pfxdma
-            pltpu.SMEM((12,), jnp.int32),                # cnt_smem
+            pltpu.VMEM((NFIELD, STAGE_P), jnp.float32),  # stage (circular)
+            pltpu.VMEM((NFIELD, STAGE_P), jnp.float32),  # hstage
+            pltpu.VMEM((6, NFIELD, 128), jnp.float32),   # flushb (rings)
+            pltpu.VMEM((4, 2, 128), jnp.float32),        # rtflushb
+            pltpu.VMEM((32, 128), jnp.float32),          # pfx
+            pltpu.VMEM((32, 128), jnp.float32),          # pfxdma
+            pltpu.SMEM((16,), jnp.int32),                # cnt_smem
             pltpu.SemaphoreType.DMA((2,)),               # sem_q
             pltpu.SemaphoreType.DMA((2,)),               # sem_r
             pltpu.SemaphoreType.DMA((2,)),               # sem_row
             pltpu.SemaphoreType.DMA,                     # sem_one
             pltpu.SemaphoreType.DMA,                     # sem_cnt
-            pltpu.SemaphoreType.DMA((4,)),               # sem_fq (rings)
-            pltpu.SemaphoreType.DMA((2,)),               # sem_fr
+            pltpu.SemaphoreType.DMA((6,)),               # sem_fq (rings)
+            pltpu.SemaphoreType.DMA((4,)),               # sem_fr
         ],
         input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
@@ -613,13 +710,27 @@ def closest_hit_stream(origin, direction, tables, t_init=None,
     ``cap_mult``: frontier capacity as a multiple of the ray count (the
     2M terrain mix peaks at ~2.05x; hit-heavy small batches can run
     higher).  On overflow the kernel DROPS pairs (bounded, never OOB)
-    and sets a flag — pass ``return_overflow=True`` to receive it as a
-    third output and treat non-zero as "results incomplete, re-run with
-    a larger cap_mult"."""
+    and sets a flag.  Pass ``return_overflow=True`` to receive the flag
+    as a third output and handle it yourself; otherwise the wrapper
+    checks it HOST-SIDE (one sync) and raises — incomplete closest-hit
+    results can never be returned silently (ADVICE r4)."""
     t, hit, ovf = _stream_impl(tables.rows, origin, direction, t_init,
                                interpret=interpret, cap_mult=cap_mult)
     if return_overflow:
         return t, hit, ovf
+    if isinstance(ovf, jax.core.Tracer):
+        raise TypeError(
+            "closest_hit_stream is being traced (jit/vmap): pass "
+            "return_overflow=True and handle the overflow flag in the "
+            "traced program — the implicit host-side overflow check "
+            "cannot run under tracing.")
+    if int(ovf) != 0:
+        raise RuntimeError(
+            f"stream-kernel frontier overflow at cap_mult={cap_mult}: "
+            "pairs were dropped and the closest-hit results are "
+            "incomplete.  Re-run with a larger cap_mult (the 2M terrain "
+            "carried mix peaks ~2.05x; hit-heavy batches can exceed 3x) "
+            "or pass return_overflow=True to handle the flag yourself.")
     return t, hit
 
 
@@ -638,6 +749,16 @@ def _stream_impl(rows, origin, direction, t_init,
     t0 = jnp.pad(t_init, (0, pad))
 
     cap_pairs = cap_mult * npad
+    # Run ids (2*instance + side) ride f32 queue lanes; integers are
+    # exact only below 2^24.  Per-level instance ids are bounded by the
+    # pairs processed that level (<= cap_pairs), so cap the capacity
+    # rather than silently quantize span keys (ADVICE r4).
+    if 2 * cap_pairs + 1 >= (1 << 24):
+        raise ValueError(
+            f"cap_mult={cap_mult} x {npad} rays = {cap_pairs} frontier "
+            "pairs: run ids (2*instance+side) would exceed f32's exact "
+            "integer range (2^24).  Reduce cap_mult or the batch size "
+            f"(bound: cap_mult*rays < {(1 << 23)}).")
     cap_tiles = pl.cdiv(cap_pairs, 128)
     cap_tiles = ((cap_tiles + 7) // 8) * 8
     hcap_tiles = ((pl.cdiv(cap_mult * npad, 128) + 7) // 8) * 8

@@ -744,56 +744,58 @@ def _light_power_mode(cfg: RenderConfig, scene: SceneData,
             and pw is not None and pw.shape[0] == n_total)
 
 
-def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
-           sun_dir, rays, t, ident, is_tri, frame, row_offset=0,
-           tri_normal=None):
-    n = cfg.num_rays
-    eps = cfg.epsilon
+def _shade_fog_sample(cfg: RenderConfig, rays, t, frame, slot, row_offset):
+    """Volumetric fog free-flight distance sampling (beyond-reference).
+    One exponential draw per segment against the slab overlap [ta, ta+L]:
+    a collision before the surface turns this segment's interaction into
+    a MEDIUM event (is_fog) at t = ta + s.  Conditioning on "no collision"
+    cancels the transmittance exactly (unbiased), so surface/sky branches
+    need no extra weight; the albedo sigma_s/sigma_t is applied at scatter
+    events through the ordinary obj_color throughput multiply in
+    :func:`_shade_surface_fetch`'s caller.  Returns (t, is_fog)."""
     d = rays["direction"]
-    slot = jnp.arange(n, dtype=jnp.int32)
+    f_sigma_t = cfg.fog_sigma_s + cfg.fog_sigma_a
+    f_ta, f_len = _fog_overlap(rays["origin"], d, t,
+                               cfg.fog_z_min, cfg.fog_z_max)
+    if cfg.sampler == "sobol":
+        from .ops import sobol as _sbf
+        u_f = _sbf.sample_1d(rays["sample_idx"], rng.seed_from(
+            rays["pixel"], row_offset, rays["bounces"] * 16 + 9,
+            *((cfg.seed,) if cfg.seed else ()), 0x50B0))
+    else:
+        # side stream: fog-off RNG chains are untouched (goldens stable)
+        _, u_f = rng.random_float(
+            rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xF06))
+    if cfg.fog_falloff:
+        # exponential height profile: invert the true free-flight CDF
+        # of density(z) = sigma * exp(-fog_falloff * z)
+        f_rho0, f_k = _fog_density_coeffs(rays["origin"], d, f_ta,
+                                          cfg.fog_falloff)
+        f_s = _fog_free_flight(u_f, f_sigma_t, f_rho0, f_k)
+    else:
+        f_s = -jnp.log1p(-jnp.minimum(u_f, 1.0 - 1e-7)) / f_sigma_t
+    is_fog = f_s < f_len
+    t = jnp.where(is_fog, f_ta + f_s, t)
+    return t, is_fog
 
-    # --- volumetric fog: free-flight distance sampling (beyond-reference)
-    # One exponential draw per segment against the slab overlap [ta, ta+L]:
-    # a collision before the surface turns this segment's interaction into
-    # a MEDIUM event (is_fog) at t = ta + s.  Conditioning on "no collision"
-    # cancels the transmittance exactly (unbiased), so surface/sky branches
-    # need no extra weight; the albedo sigma_s/sigma_t is applied at scatter
-    # events through the ordinary obj_color throughput multiply below.
-    fog_on = cfg.fog == "on" and (cfg.fog_sigma_s + cfg.fog_sigma_a) > 0.0
-    if fog_on:
-        f_sigma_t = cfg.fog_sigma_s + cfg.fog_sigma_a
-        f_albedo = cfg.fog_sigma_s / f_sigma_t
-        f_ta, f_len = _fog_overlap(rays["origin"], d, t,
-                                   cfg.fog_z_min, cfg.fog_z_max)
-        if cfg.sampler == "sobol":
-            from .ops import sobol as _sbf
-            u_f = _sbf.sample_1d(rays["sample_idx"], rng.seed_from(
-                rays["pixel"], row_offset, rays["bounces"] * 16 + 9,
-                *((cfg.seed,) if cfg.seed else ()), 0x50B0))
-        else:
-            # side stream: fog-off RNG chains are untouched (goldens stable)
-            _, u_f = rng.random_float(
-                rng.seed_from(frame, rays["pixel"], slot, row_offset, 0xF06))
-        if cfg.fog_falloff:
-            # exponential height profile: invert the true free-flight CDF
-            # of density(z) = sigma * exp(-fog_falloff * z)
-            f_rho0, f_k = _fog_density_coeffs(rays["origin"], d, f_ta,
-                                              cfg.fog_falloff)
-            f_s = _fog_free_flight(u_f, f_sigma_t, f_rho0, f_k)
-        else:
-            f_s = -jnp.log1p(-jnp.minimum(u_f, 1.0 - 1e-7)) / f_sigma_t
-        is_fog = f_s < f_len
-        t = jnp.where(is_fog, f_ta + f_s, t)
 
-    hit = t < VERY_FAR
-    t_safe = jnp.where(hit, t, 0.0)
-    o = rays["origin"] + d * t_safe[:, None]
+def _shade_surface_fetch(cfg: RenderConfig, scene: SceneData, rays, o,
+                         t_safe, ident, is_tri, hit, tri_normal, frame,
+                         slot, row_offset):
+    """Surface data fetch (kernel.cu:366-390) plus the beyond-reference
+    texture stack (albedo/normal/rough/metal maps, smooth normals).
 
-    # --- surface data (kernel.cu:366-390) ---
-    # One [T+pad, 8] gather covers the whole triangle side (normal, refl,
-    # color); the sphere side is a select chain over the tiny sphere_table
-    # (a gather would cost the full ~12 ms/2M even on a 7-row table —
-    # scripts/gather_micro.py)
+    One [T+pad, 8] gather covers the whole triangle side (normal, refl,
+    color); the sphere side is a select chain over the tiny sphere_table
+    (a gather would cost the full ~12 ms/2M even on a 7-row table —
+    scripts/gather_micro.py).  Returns (is_sphere, srow, normal,
+    refl_tri, color_tri, rough_tri, trow, cut_alpha, blend_tri); trow is
+    None on the kernel-carried-normal path, cut_alpha/blend_tri are None
+    unless the scene's static alpha/blend gates are set."""
+    d = rays["direction"]
+    trow = None
+    cut_alpha = None
+    blend_tri = None
     sid = jnp.clip(ident, 0, scene.sphere_center.shape[0] - 1)
     is_sphere = hit & ~is_tri
     stbl = scene.sphere_table  # [S, 12]
@@ -938,67 +940,18 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                                      refl_tri)
 
     normal = jnp.where(is_sphere[:, None], normal_sphere, normal_tri)
-    # triangles honour per-triangle materials (defaults: white DIFF, the
-    # reference's hard-wired behaviour kernel.cu:380-384 / unused
-    # Triangle::materialType loader.h:16)
-    refl = jnp.where(is_sphere, srow[:, 10].astype(jnp.int32), refl_tri)
-    refl = jnp.where(hit, refl, DIFF)
-    obj_color = jnp.where(is_sphere[:, None], srow[:, 4:7], color_tri)
+    return (is_sphere, srow, normal, refl_tri, color_tri, rough_tri,
+            trow, cut_alpha, blend_tri)
 
-    if fog_on:
-        # medium events override the surface interaction: no surface
-        # normal exists (use -d so the face-forward below is a no-op and
-        # the eps offset backs off along the ray), the pseudo-material is
-        # FOG, and the throughput multiplier is the single-scatter albedo
-        is_sphere = is_sphere & ~is_fog
-        normal = jnp.where(is_fog[:, None], -d, normal)
-        refl = jnp.where(is_fog, FOG, refl)
-        obj_color = jnp.where(is_fog[:, None], f_albedo, obj_color)
 
-    if scene.has_alpha_tex:
-        # alpha cutout (MTL map_d): sub-threshold hits become PASS-through
-        # pseudo-material — no shading, no NEE, no colour multiply; the
-        # ray continues BEHIND the surface next step (one wavefront step
-        # per transparent layer, like a REFR transmission with no bend).
-        # Shadow rays stay alpha-blind (see SceneData.has_alpha_tex).
-        thresh = 0.5
-        if scene.has_blend:
-            # stochastic transparency (glTF alphaMode BLEND / MTL d<1):
-            # a BLEND hit shades with probability alpha and passes
-            # through with probability 1-alpha — unbiased linear
-            # over-compositing at one wavefront step per layer.  Side
-            # RNG stream (like fog): blend-free scenes compile the
-            # identical program and their goldens stay bitwise stable.
-            _, u_b = rng.random_float(
-                rng.seed_from(frame, rays["pixel"], slot, row_offset,
-                              0xB1E2D))
-            thresh = jnp.where(blend_tri,
-                               jnp.clip(u_b, 1e-6, 1.0 - 1e-6), 0.5)
-        is_pass = hit & is_tri & (cut_alpha < thresh)
-        if fog_on:
-            is_pass = is_pass & ~is_fog
-        refl = jnp.where(is_pass, PASS, refl)
-
-    # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
-    mul_mask = hit & (refl != REFR) & (refl != LIGHT)
-    if scene.has_rrefr:
-        # rough glass colours through Beer-Lambert absorption like REFR
-        mul_mask = mul_mask & (refl != RREFR)
-    if scene.has_alpha_tex:
-        mul_mask = mul_mask & (refl != PASS)
-    if scene.has_ggx:
-        # GGX (beyond-reference): obj_color is the conductor F0, applied
-        # through the Fresnel term — not premultiplied into throughput
-        mul_mask = mul_mask & (refl != GGX)
-        is_ggx = hit & (refl == GGX)
-        ggx_rough = jnp.where(is_sphere, srow[:, 11], rough_tri)
-        ggx_alpha = ggx_rough * ggx_rough  # perceptual -> distribution
-    direct = rays["direct"] * jnp.where(mul_mask[:, None], obj_color, 1.0)
-
-    outside = dot(normal, d) < 0
-    normal = jnp.where(outside[:, None], normal, -normal)  # kernel.cu:387
-    o = o + normal * eps                                   # kernel.cu:390
-
+def _shade_emitter_hit(cfg: RenderConfig, scene: SceneData, rays, d,
+                       normal, t_safe, hit, refl, refl_tri, color_tri,
+                       rough_tri, is_sphere, srow, trow, direct):
+    """Emitter-hit accounting (kernel.cu:393-401): collect emission into
+    the path radiance and zero the throughput of terminating LIGHT hits.
+    With MIS on, BSDF-sampled emitter hits are balance-weighted against
+    the NEE pdf of the same emitter point instead of the reference's
+    lastSpecular double-count guard.  Returns (color, direct)."""
     # --- LIGHT (kernel.cu:393-401) ---
     emission = srow[:, 7:10]
     if scene.n_tri_lights:
@@ -1074,33 +1027,21 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         color = jnp.where((is_light & last_spec_in)[:, None],
                           direct * emission, 0.0)
         direct = jnp.where((is_light & ~last_spec_in)[:, None], 0.0, direct)
+    return color, direct
 
-    # row_offset: per-shard stream decorrelation (see _raygen)
-    seed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x5ADE)
 
-    use_sobol = cfg.sampler == "sobol"
-    if use_sobol:
-        # Low-discrepancy bounce dimensions (ops/sobol.py): each draw is
-        # keyed by (pixel, bounce depth, purpose) and indexed by the ray's
-        # per-pixel sample index, so path sample k of pixel p consumes
-        # point k of one fixed Sobol sequence per integration dimension.
-        # The phong rejection loop keeps the xorshift chain (a variable-
-        # count rejection loop has no per-sample dimension assignment).
-        from .ops import sobol as sobolmod
-        s_idx = rays["sample_idx"]
-
-        _salt = (cfg.seed,) if cfg.seed else ()
-
-        def sob2(purpose):
-            return sobolmod.sample_2d(s_idx, rng.seed_from(
-                rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
-                *_salt, 0x50B0))
-
-        def sob1(purpose):
-            return sobolmod.sample_1d(s_idx, rng.seed_from(
-                rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
-                *_salt, 0x50B0))
-
+def _shade_nee_samples(cfg: RenderConfig, scene: SceneData,
+                       sky_params: skymod.SkyParams, sun_dir, rays, o,
+                       normal, frame, slot, row_offset, seed, use_sobol,
+                       sob1, sob2, mis):
+    """Shared NEE sample generation: the sun-cone (or env alias-table)
+    sample, the 50/50 strategy coin, the area/tri/delta light pick and
+    its surface sample (kernel.cu:414/550, beyond-reference multi-light
+    + power selection + delta lights).  Returns the strategy samples and
+    geometry factors the per-BSDF estimators consume."""
+    n = cfg.num_rays
+    sun_radiance_env = None   # set on the env-NEE path only
+    e_pdf = None
     # --- shared NEE samples ---
     sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
     # env-NEE (beyond-reference, scene/envlight.py): with MIS on, the
@@ -1372,7 +1313,36 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         solid_angle = jnp.where(
             is_dl, jnp.where(is_ddir, fall, fall / dl_d2), solid_angle)
         light_e = jnp.where(is_dl[:, None], drow[:, 7:10], light_e)
+    return (seed, sun_sample, sun_radiance_env, e_pdf, sun_cos,
+            choose_sun, inv_p_sun, inv_p_light, has_light, delta_pick,
+            n_lights, light_e, area, ldir, ldist, ldist2, cos_surf,
+            cos_light, solid_angle)
 
+
+def _shade_nee_weights(cfg: RenderConfig, scene: SceneData,
+                       sky_params: skymod.SkyParams, rays, d, o, normal,
+                       direct, hit, refl, is_sphere, is_fog, obj_color,
+                       is_ggx, ggx_alpha, sun_dir, sun_sample,
+                       sun_radiance_env, e_pdf, sun_cos, choose_sun,
+                       inv_p_sun, inv_p_light, has_light, delta_pick,
+                       n_lights, light_e, area, ldir, ldist, ldist2,
+                       cos_surf, cos_light, solid_angle, mis):
+    """Per-BSDF NEE estimator weights (kernel.cu:410-447 DIFF,
+    kernel.cu:546-591 PHONG; beyond-reference GGX and fog-phase lanes),
+    the MIS NEE-side balance weights, and the fog shadow transmittance.
+    Returns the shadow-queue fields plus the shared lobe quantities the
+    bounce sampler reuses (w_refl, pe, is_diff/is_phong, the
+    _bsdf_pdf_toward closure, and p_sun_sa for the miss path)."""
+    n = cfg.num_rays
+    eps = cfg.epsilon
+    fog_on = is_fog is not None
+    f_sigma_t = cfg.fog_sigma_s + cfg.fog_sigma_a
+    env_nee = mis and scene.has_envmap
+    sun_extent = 1.0 - sky_params.sun_angular_diameter_cos
+    lights = getattr(scene, "light_indices", ())
+    n_tri_l = scene.n_tri_lights
+    n_delta = getattr(scene, "n_delta_lights", 0)
+    p_sun_sa = None
     sun_radiance = (jnp.zeros((n, 3), jnp.float32) if scene.has_envmap
                     else skymod.sun(sun_sample, sun_dir, sky_params))
     if env_nee:
@@ -1525,7 +1495,28 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         else:
             sh_tau = f_sigma_t * sh_len
         shadow_color = shadow_color * jnp.exp(-sh_tau)[:, None]
+    return (shadow_ok, shadow_dir, shadow_color, shadow_maxd, w_refl,
+            pe, is_diff, is_phong, _bsdf_pdf_toward, p_sun_sa)
 
+
+def _shade_bounce(cfg: RenderConfig, scene: SceneData, rays, d, o,
+                  normal, direct, hit, refl, is_tri, is_sphere, srow,
+                  rough_tri, outside, is_diff, is_phong, w_refl, pe,
+                  is_ggx, ggx_alpha, obj_color, is_fog, is_pass, t_safe,
+                  seed, use_sobol, sob1, sob2, frame, slot, row_offset,
+                  mis, last_spec_in, pdf_in, _bsdf_pdf_toward):
+    """Per-BSDF bounce sampling and bookkeeping: DIFF cosine hemisphere
+    (kernel.cu:450-467), SPEC mirror (kernel.cu:473), REFR
+    fresnel/TIR/Beer-Lambert (kernel.cu:476-514) incl. optional spectral
+    dispersion, the PHONG rejection lobe (kernel.cu:521-544), the
+    beyond-reference GGX / rough-glass / fog-phase lobes, the
+    lastSpecular + MIS-pdf carry, and the per-material origin offsets
+    (kernel.cu:505/592).  Returns (seed, new_dir, direct, new_last_spec,
+    next_bsdf_pdf, origin_out)."""
+    n = cfg.num_rays
+    eps = cfg.epsilon
+    fog_on = is_fog is not None
+    next_bsdf_pdf = None
     # --- bounce directions ---
     # DIFF cosine hemisphere (kernel.cu:450-467); only resampled when
     # bounces < MAX (the ray dies in RR otherwise)
@@ -1637,6 +1628,7 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
                                   0x66C5)
             gseed, gu1 = rng.random_float(gseed)
             _, gu2 = rng.random_float(gseed)
+        view = -d
         ggx_h = ggx_vndf_sample_from_uniforms(view, normal, ggx_alpha,
                                               gu1, gu2)
         ggx_dir = reflect(d, ggx_h)
@@ -1747,6 +1739,162 @@ def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
         # above would re-hit it)
         origin_out = origin_out + jnp.where(is_pass[:, None],
                                             -2.0 * eps * normal, 0.0)
+    return (seed, new_dir, direct, new_last_spec, next_bsdf_pdf,
+            origin_out)
+
+
+def _shade(cfg: RenderConfig, scene: SceneData, sky_params: skymod.SkyParams,
+           sun_dir, rays, t, ident, is_tri, frame, row_offset=0,
+           tri_normal=None):
+    n = cfg.num_rays
+    eps = cfg.epsilon
+    d = rays["direction"]
+    slot = jnp.arange(n, dtype=jnp.int32)
+
+    fog_on = cfg.fog == "on" and (cfg.fog_sigma_s + cfg.fog_sigma_a) > 0.0
+    if fog_on:
+        f_sigma_t = cfg.fog_sigma_s + cfg.fog_sigma_a
+        f_albedo = cfg.fog_sigma_s / f_sigma_t
+        t, is_fog = _shade_fog_sample(cfg, rays, t, frame, slot, row_offset)
+
+    hit = t < VERY_FAR
+    t_safe = jnp.where(hit, t, 0.0)
+    o = rays["origin"] + d * t_safe[:, None]
+
+    (is_sphere, srow, normal, refl_tri, color_tri, rough_tri, trow,
+     cut_alpha, blend_tri) = _shade_surface_fetch(
+        cfg, scene, rays, o, t_safe, ident, is_tri, hit, tri_normal,
+        frame, slot, row_offset)
+    # triangles honour per-triangle materials (defaults: white DIFF, the
+    # reference's hard-wired behaviour kernel.cu:380-384 / unused
+    # Triangle::materialType loader.h:16)
+    refl = jnp.where(is_sphere, srow[:, 10].astype(jnp.int32), refl_tri)
+    refl = jnp.where(hit, refl, DIFF)
+    obj_color = jnp.where(is_sphere[:, None], srow[:, 4:7], color_tri)
+
+    if fog_on:
+        # medium events override the surface interaction: no surface
+        # normal exists (use -d so the face-forward below is a no-op and
+        # the eps offset backs off along the ray), the pseudo-material is
+        # FOG, and the throughput multiplier is the single-scatter albedo
+        is_sphere = is_sphere & ~is_fog
+        normal = jnp.where(is_fog[:, None], -d, normal)
+        refl = jnp.where(is_fog, FOG, refl)
+        obj_color = jnp.where(is_fog[:, None], f_albedo, obj_color)
+
+    if scene.has_alpha_tex:
+        # alpha cutout (MTL map_d): sub-threshold hits become PASS-through
+        # pseudo-material — no shading, no NEE, no colour multiply; the
+        # ray continues BEHIND the surface next step (one wavefront step
+        # per transparent layer, like a REFR transmission with no bend).
+        # Shadow rays stay alpha-blind (see SceneData.has_alpha_tex).
+        thresh = 0.5
+        if scene.has_blend:
+            # stochastic transparency (glTF alphaMode BLEND / MTL d<1):
+            # a BLEND hit shades with probability alpha and passes
+            # through with probability 1-alpha — unbiased linear
+            # over-compositing at one wavefront step per layer.  Side
+            # RNG stream (like fog): blend-free scenes compile the
+            # identical program and their goldens stay bitwise stable.
+            _, u_b = rng.random_float(
+                rng.seed_from(frame, rays["pixel"], slot, row_offset,
+                              0xB1E2D))
+            thresh = jnp.where(blend_tri,
+                               jnp.clip(u_b, 1e-6, 1.0 - 1e-6), 0.5)
+        is_pass = hit & is_tri & (cut_alpha < thresh)
+        if fog_on:
+            is_pass = is_pass & ~is_fog
+        refl = jnp.where(is_pass, PASS, refl)
+
+    # throughput *= color for materials except REFR/LIGHT (kernel.cu:375-377)
+    mul_mask = hit & (refl != REFR) & (refl != LIGHT)
+    if scene.has_rrefr:
+        # rough glass colours through Beer-Lambert absorption like REFR
+        mul_mask = mul_mask & (refl != RREFR)
+    if scene.has_alpha_tex:
+        mul_mask = mul_mask & (refl != PASS)
+    if scene.has_ggx:
+        # GGX (beyond-reference): obj_color is the conductor F0, applied
+        # through the Fresnel term — not premultiplied into throughput
+        mul_mask = mul_mask & (refl != GGX)
+        is_ggx = hit & (refl == GGX)
+        ggx_rough = jnp.where(is_sphere, srow[:, 11], rough_tri)
+        ggx_alpha = ggx_rough * ggx_rough  # perceptual -> distribution
+    direct = rays["direct"] * jnp.where(mul_mask[:, None], obj_color, 1.0)
+
+    outside = dot(normal, d) < 0
+    normal = jnp.where(outside[:, None], normal, -normal)  # kernel.cu:387
+    o = o + normal * eps                                   # kernel.cu:390
+
+    last_spec_in = rays["last_specular"]
+    mis = cfg.mis == "on"
+    pdf_in = rays["bsdf_pdf"] if mis else None
+    color, direct = _shade_emitter_hit(
+        cfg, scene, rays, d, normal, t_safe, hit, refl, refl_tri,
+        color_tri, rough_tri, is_sphere, srow, trow, direct)
+
+    # row_offset: per-shard stream decorrelation (see _raygen)
+    seed = rng.seed_from(frame, rays["pixel"], slot, row_offset, 0x5ADE)
+
+    use_sobol = cfg.sampler == "sobol"
+    if use_sobol:
+        # Low-discrepancy bounce dimensions (ops/sobol.py): each draw is
+        # keyed by (pixel, bounce depth, purpose) and indexed by the ray's
+        # per-pixel sample index, so path sample k of pixel p consumes
+        # point k of one fixed Sobol sequence per integration dimension.
+        # The phong rejection loop keeps the xorshift chain (a variable-
+        # count rejection loop has no per-sample dimension assignment).
+        from .ops import sobol as sobolmod
+        s_idx = rays["sample_idx"]
+
+        _salt = (cfg.seed,) if cfg.seed else ()
+
+        def sob2(purpose):
+            return sobolmod.sample_2d(s_idx, rng.seed_from(
+                rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
+                *_salt, 0x50B0))
+
+        def sob1(purpose):
+            return sobolmod.sample_1d(s_idx, rng.seed_from(
+                rays["pixel"], row_offset, rays["bounces"] * 16 + purpose,
+                *_salt, 0x50B0))
+    else:
+        sob1 = sob2 = None
+
+    # env-NEE (see _shade_nee_samples): with MIS on, the sun-strategy
+    # slot becomes environment-light NEE
+    env_nee = mis and scene.has_envmap
+    lights = getattr(scene, "light_indices", ())
+    n_tri_l = scene.n_tri_lights
+    n_delta = getattr(scene, "n_delta_lights", 0)
+    (seed, sun_sample, sun_radiance_env, e_pdf, sun_cos, choose_sun,
+     inv_p_sun, inv_p_light, has_light, delta_pick, n_lights, light_e,
+     area, ldir, ldist, ldist2, cos_surf, cos_light, solid_angle) = \
+        _shade_nee_samples(cfg, scene, sky_params, sun_dir, rays, o,
+                           normal, frame, slot, row_offset, seed,
+                           use_sobol, sob1, sob2, mis)
+
+    (shadow_ok, shadow_dir, shadow_color, shadow_maxd, w_refl, pe,
+     is_diff, is_phong, _bsdf_pdf_toward, p_sun_sa) = _shade_nee_weights(
+        cfg, scene, sky_params, rays, d, o, normal, direct, hit, refl,
+        is_sphere, is_fog if fog_on else None, obj_color,
+        is_ggx if scene.has_ggx else None,
+        ggx_alpha if scene.has_ggx else None, sun_dir, sun_sample,
+        sun_radiance_env, e_pdf, sun_cos, choose_sun, inv_p_sun,
+        inv_p_light, has_light, delta_pick, n_lights, light_e, area,
+        ldir, ldist, ldist2, cos_surf, cos_light, solid_angle, mis)
+
+    (seed, new_dir, direct, new_last_spec, next_bsdf_pdf, origin_out) = \
+        _shade_bounce(cfg, scene, rays, d, o, normal, direct, hit, refl,
+                      is_tri, is_sphere, srow, rough_tri, outside,
+                      is_diff, is_phong, w_refl, pe,
+                      is_ggx if scene.has_ggx else None,
+                      ggx_alpha if scene.has_ggx else None, obj_color,
+                      is_fog if fog_on else None,
+                      is_pass if scene.has_alpha_tex else None, t_safe,
+                      seed, use_sobol, sob1, sob2, frame, slot,
+                      row_offset, mis, last_spec_in, pdf_in,
+                      _bsdf_pdf_toward)
 
     # --- Russian roulette (kernel.cu:599-611) ---
     p = jnp.minimum(1.0, jnp.max(direct, axis=-1))
@@ -2093,12 +2241,52 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     sample_base_next = state.sample_base + (
         (state.start_position + generated) // total_local).astype(jnp.uint32)
 
-    # 2. extend
+    # 2. extend.  TYRANT_SPLIT_EXTEND=1 (experimental A/B knob): the
+    # wavefront is fresh-primaries-first / carried-survivors-last by
+    # construction, so a static half split lets the coherent front run
+    # the mono kernel and the carried-heavy tail run wave — each
+    # generation on the workload shape where it measured fastest
+    # (round-3 standalone A/B), without any relayout.
     wave = _pick_wave(cfg, packet_tables, "extend")
-    t, ident, is_tri, tri_n = _intersect_scene(
-        rays["origin"], rays["direction"], scene,
-        packet_tables=packet_tables, wave=wave,
-        kernel_normals=cfg.use_kernel_normals == "on")
+    kn = cfg.use_kernel_normals == "on"
+    hbm_tables = packet_tables is not None and not packet_tables.fits
+    split_extend = (os.environ.get("TYRANT_SPLIT_EXTEND") == "1"
+                    and hbm_tables and n % 2048 == 0)
+    adaptive_ext = (os.environ.get("TYRANT_ADAPTIVE_EXTEND") == "1"
+                    and hbm_tables and not split_extend
+                    and os.environ.get("TYRANT_WAVE_EXTEND") is None)
+    if adaptive_ext:
+        # experimental per-dispatch extend-kernel pick (same mechanism
+        # as adaptive connect below): the carried fraction oscillates
+        # period-2, so the carried-heavy phase may prefer wave even
+        # though the pose MEAN prefers mono (round-4 2x2)
+        t, ident, is_tri, tri_n = jax.lax.cond(
+            state.n_carried
+            >= int(cfg.adaptive_connect_frac * cfg.num_rays),
+            lambda: _intersect_scene(
+                rays["origin"], rays["direction"], scene,
+                packet_tables=packet_tables, wave=True,
+                kernel_normals=kn),
+            lambda: _intersect_scene(
+                rays["origin"], rays["direction"], scene,
+                packet_tables=packet_tables, wave=False,
+                kernel_normals=kn))
+    elif split_extend:
+        h2 = n // 2
+        t_a, id_a, tri_a, n_a = _intersect_scene(
+            rays["origin"][:h2], rays["direction"][:h2], scene,
+            packet_tables=packet_tables, wave=False, kernel_normals=kn)
+        t_b, id_b, tri_b, n_b = _intersect_scene(
+            rays["origin"][h2:], rays["direction"][h2:], scene,
+            packet_tables=packet_tables, wave=True, kernel_normals=kn)
+        t = jnp.concatenate([t_a, t_b])
+        ident = jnp.concatenate([id_a, id_b])
+        is_tri = jnp.concatenate([tri_a, tri_b])
+        tri_n = (jnp.concatenate([n_a, n_b]) if n_a is not None else None)
+    else:
+        t, ident, is_tri, tri_n = _intersect_scene(
+            rays["origin"], rays["direction"], scene,
+            packet_tables=packet_tables, wave=wave, kernel_normals=kn)
 
     # 3. shade
     color, terminated, survive, next_rays, shadow = _shade(
@@ -2106,10 +2294,30 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
         row_offset=row_offset, tri_normal=tri_n)
 
     # 4. connect (kernel generation chosen per stage — the shadow
-    # wavefront's coherence differs from the bounce mix, VERDICT r3 item 3)
-    shadow_contrib = _connect(
-        scene, shadow, packet_tables=packet_tables,
-        wave=_pick_wave(cfg, packet_tables, "connect"))
+    # wavefront's coherence differs from the bounce mix, VERDICT r3
+    # item 3).  Under adaptive_connect="auto" on HBM tables BOTH
+    # generations are traced and a device-side lax.cond picks per
+    # dispatch from the carried fraction already in RenderState
+    # (VERDICT r4 item 4) — no host sync, one compiled program:
+    # fresh-primary-heavy wavefronts run mono, carried/deep-visit ones
+    # wave (the round-4 in-step 2x2 square).  Kernel generations are
+    # bitwise-equivalent (bench gate), so the switch never changes the
+    # image.
+    adaptive_conn = (cfg.adaptive_connect == "auto" and hbm_tables
+                     and cfg.packet_kernel_mode == "auto"
+                     and os.environ.get("TYRANT_WAVE_CONNECT") is None)
+    if adaptive_conn:
+        shadow_contrib = jax.lax.cond(
+            state.n_carried
+            >= int(cfg.adaptive_connect_frac * cfg.num_rays),
+            lambda: _connect(scene, shadow, packet_tables=packet_tables,
+                             wave=True),
+            lambda: _connect(scene, shadow, packet_tables=packet_tables,
+                             wave=False))
+    else:
+        shadow_contrib = _connect(
+            scene, shadow, packet_tables=packet_tables,
+            wave=_pick_wave(cfg, packet_tables, "connect"))
 
     # 5+6. ONE sort does both queue-compaction and accumulation ordering
     # (replaces the reference's atomic write into ray_buffer_next +
