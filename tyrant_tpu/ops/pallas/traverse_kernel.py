@@ -118,7 +118,7 @@ VMEM_TABLE_BUDGET = 10 * 1024 * 1024
 # x 512 B = 16.78 MB alone OOMs inside the full render-step jit (it
 # happened to fit in a standalone kernel benchmark).  24576 rows
 # (12.6 MB) keeps ~3.4 MB of headroom for the ray blocks and scratch.
-TREELET_ROWS = 24576
+TREELET_ROWS = int(os.environ.get("TYRANT_TREELET", "24576"))
 
 LEAF_WIDTH = 6  # must match ops.traverse.LEAF_WIDTH / BVHConfig
 _L_TAG, _R_TAG, _L_REF, _R_REF, _AXIS = 12, 13, 14, 15, 16
