@@ -104,3 +104,19 @@ def test_stream_overflow_flag():
     import pytest
     with pytest.raises(RuntimeError, match="frontier overflow"):
         closest_hit_stream(o, d, tables, interpret=True, cap_mult=1)
+
+
+def test_stream_runid_capacity_bound():
+    """cap_mult x rays beyond f32's exact-integer range must refuse up
+    front (run ids would quantize and corrupt span keys — ADVICE r4)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tyrant_tpu.ops.pallas.stream_kernel import _stream_impl
+
+    n = 1 << 20
+    o = jnp.zeros((n, 3), jnp.float32)
+    d = jnp.ones((n, 3), jnp.float32)
+    with pytest.raises(ValueError, match="exact integer range"):
+        _stream_impl(jnp.zeros((8, 128), jnp.float32), o, d, None,
+                     cap_mult=9)
