@@ -57,3 +57,22 @@ def test_adaptive_connect_config_validation():
     import pytest
     with pytest.raises(ValueError):
         small_config(adaptive_connect="maybe")
+
+
+def test_split_extend_bitwise_equals_unsplit(monkeypatch):
+    """TYRANT_SPLIT_EXTEND (refuted A/B knob, kept for reproducibility)
+    must stay result-identical: the two half traversals use bitwise-
+    equivalent kernel generations on disjoint slices."""
+    import os
+
+    ra = _mk_renderer("off")
+    assert ra.packet_tables is not None and not ra.packet_tables.fits
+    cam = Camera()
+    cam.position = np.array([0.0, -30.0, 25.0], np.float32)
+    ra.step(cam, 2)
+
+    monkeypatch.setenv("TYRANT_SPLIT_EXTEND", "1")
+    rs = _mk_renderer("off")
+    rs.step(cam, 2)
+    np.testing.assert_array_equal(np.asarray(ra.state.accum),
+                                  np.asarray(rs.state.accum))
