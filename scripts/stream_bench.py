@@ -1,11 +1,13 @@
 """On-chip benchmark + per-level decomposition for the level-stream
 kernel (ops/pallas/stream_kernel.py) on the real cached wavefronts.
 
-Round-4 results (v5e; docs/PERFORMANCE.md round-4 log): exact vs the
-packet kernels at every size tested; 2M terrain mix 3.48 s vs the wave
-packet kernel's 396 ms — the per-level mode below is what located the
-deep-instance and per-block-floor costs, and the standalone batch probe
-(see the log) pinned the floor's composition.
+Round-4/5 results (v5e; docs/PERFORMANCE.md round-4/5 logs): exact vs
+the packet kernels at every size tested.  Round 5's vector-domain
+emission cut the per-block floor 26 -> 15 us but the 2M terrain mix
+only moved 3.48 -> 3.40 s (vs the wave packet kernel's 396 ms): the
+per-level mode below located the binding term — deep-level
+run-fragmented per-instance serial work at a fitted ~5-14 us/instance —
+and the mapping is closed (round-5 log, closure + addendum).
 
 Usage:
   python scripts/stream_bench.py [--scene terrain1m|dragon]
