@@ -26,9 +26,11 @@ def _mk_renderer(adaptive):
     cfg = small_config(width=64, height=48, num_rays=1 << 12,
                        use_packet_kernel="on",
                        adaptive_connect=adaptive,
-                       # tiny threshold so BOTH branches are actually
-                       # taken across the stepped frames
-                       adaptive_connect_frac=0.3)
+                       # threshold of ONE carried ray: step 1 provably
+                       # takes the mono branch (n_carried starts at 0)
+                       # and later steps the wave branch (asserted
+                       # below) — both sides of the cond execute
+                       adaptive_connect_frac=1.0 / (1 << 12))
     r = Renderer(sc, cfg, donate=False)
     # force the HBM-table path: the adaptive cond only arms there
     if r.packet_tables is not None:
@@ -49,8 +51,10 @@ def test_adaptive_connect_bitwise_equals_fixed():
         r.step(cam, 3)
     np.testing.assert_array_equal(np.asarray(ra.state.accum),
                                   np.asarray(rf.state.accum))
-    # the adaptive renderer actually exercised both carried regimes
-    assert int(np.asarray(ra.state.n_carried)) >= 0
+    # the WAVE branch of the cond actually executed: with the 1-ray
+    # threshold, any surviving carried ray flips the pick after step 1
+    # (step 1 itself ran mono, n_carried == 0 at entry)
+    assert int(np.asarray(ra.state.n_carried)) >= 1
 
 
 def test_adaptive_connect_config_validation():
@@ -63,8 +67,9 @@ def test_split_extend_bitwise_equals_unsplit(monkeypatch):
     """TYRANT_SPLIT_EXTEND (refuted A/B knob, kept for reproducibility)
     must stay result-identical: the two half traversals use bitwise-
     equivalent kernel generations on disjoint slices."""
-    import os
-
+    # the baseline must really be unsplit even if the ambient
+    # environment carries the knob (A/B scripts mutate os.environ)
+    monkeypatch.delenv("TYRANT_SPLIT_EXTEND", raising=False)
     ra = _mk_renderer("off")
     assert ra.packet_tables is not None and not ra.packet_tables.fits
     cam = Camera()

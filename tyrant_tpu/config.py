@@ -296,6 +296,11 @@ class RenderConfig:
             raise ValueError(
                 f"unknown packet_kernel_mode {self.packet_kernel_mode!r}; "
                 f"expected 'auto', 'mono' or 'wave'")
+        if not (0.0 <= self.adaptive_connect_frac <= 1.0):
+            raise ValueError(
+                f"adaptive_connect_frac={self.adaptive_connect_frac} "
+                "must be a carried FRACTION in [0, 1] (e.g. 0.45) — "
+                "values above 1 silently disarm the adaptive pick")
         for field, allowed in (
                 ("use_packet_kernel", ("auto", "on", "off")),
                 ("use_accum_kernel", ("auto", "on", "off")),

@@ -41,9 +41,12 @@ cached 2M wavefronts):
     whose four 128-lane flush slots are STATIC slices (tiles & 3
     unrolled), placed by one-hot matmuls at precision=HIGHEST (the
     MXU's default bf16 truncation quantizes transported payloads) and
-    flushed through a 4-slot deferred-wait DMA ring.  Three
-    scalar->vector crossings per block remain (the L/R/hit bases); the
-    per-block counts arrive through ONE VMEM->VMEM DMA round-trip
+    flushed through a 4-slot deferred-wait DMA ring.  Per block, the
+    scalar operands entering vector compute shrink to the three
+    staging bases (L/R/hit; the R base folds in the tot_l counts-DMA
+    scalar, so it is two scalar reads but one broadcast) — was ~24
+    crossings; the per-block counts arrive through ONE VMEM->VMEM DMA
+    round-trip
     (scalar loads from DMA-LANDED buffers are the proven-safe class;
     direct scalar loads of vector-written scratch fault at runtime —
     round-2 crash list).
@@ -190,7 +193,17 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
 
             @pl.when(tiles >= cap_tiles)
             def _():
+                # overflow: the tile is dropped, but the staging slot
+                # must still be zeroed — placements accumulate (+=), so
+                # a stale slot would corrupt any future policy that
+                # resumes flushing (invariant: staged lanes are zero
+                # before write)
                 cnt_smem[_C_OVF] = 1
+                for s in range(4):
+                    @pl.when((tiles & 3) == s)
+                    def _(s=s):
+                        stage[:, s * 128:(s + 1) * 128] = jnp.zeros(
+                            (NFIELD, 128), jnp.float32)
             cnt_smem[_C_TILESP] = tiles + 1
 
     def flush_hit():
@@ -222,6 +235,11 @@ def _level_kernel(np_ref, hbase_ref, rows_hbm, qin, rtin,
             @pl.when(tiles >= hcap_tiles)
             def _():
                 cnt_smem[_C_OVF] = 1
+                for s in range(4):
+                    @pl.when((tiles & 3) == s)
+                    def _(s=s):
+                        hstage[:, s * 128:(s + 1) * 128] = jnp.zeros(
+                            (NFIELD, 128), jnp.float32)
             cnt_smem[_C_TILESH] = tiles + 1
 
     # ---- double-buffered block fetches (prefetch b+1 during b) ----

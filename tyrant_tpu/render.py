@@ -2250,11 +2250,15 @@ def render_step(state: RenderState, scene: SceneData, camera: CameraParams,
     wave = _pick_wave(cfg, packet_tables, "extend")
     kn = cfg.use_kernel_normals == "on"
     hbm_tables = packet_tables is not None and not packet_tables.fits
+    # both experimental knobs defer to the explicit overrides the rest
+    # of the A/B tooling uses: TYRANT_WAVE_EXTEND and a non-"auto"
+    # packet_kernel_mode disarm them (same rule as adaptive_conn below)
+    overridden = (os.environ.get("TYRANT_WAVE_EXTEND") is not None
+                  or cfg.packet_kernel_mode != "auto")
     split_extend = (os.environ.get("TYRANT_SPLIT_EXTEND") == "1"
-                    and hbm_tables and n % 2048 == 0)
+                    and hbm_tables and n % 2048 == 0 and not overridden)
     adaptive_ext = (os.environ.get("TYRANT_ADAPTIVE_EXTEND") == "1"
-                    and hbm_tables and not split_extend
-                    and os.environ.get("TYRANT_WAVE_EXTEND") is None)
+                    and hbm_tables and not split_extend and not overridden)
     if adaptive_ext:
         # experimental per-dispatch extend-kernel pick (same mechanism
         # as adaptive connect below): the carried fraction oscillates
