@@ -211,11 +211,14 @@ def _terrain_scene():
     return Scene.from_triangles(v0, v1, v2)
 
 
-def _wait_for_tpu(budget_s: float = 600.0) -> None:
+def _wait_for_tpu(budget_s: float = 2400.0) -> None:
     """The tunneled TPU worker flaps after kernel faults / terminal
-    restarts (outages of 15-60 min were observed).  Probe in a subprocess
-    (a probe against a dead worker HANGS rather than erroring) and give the
-    worker a chance to come back before starting the timed run."""
+    restarts (outages of 15-60 min were common; round 5 observed a
+    no-fault sustained-load outage past 70 min, hence the 40 min
+    budget).  Probe in a subprocess (a probe against a dead worker
+    HANGS rather than erroring) and give the worker a chance to come
+    back before starting the timed run — proceeding into a dead tunnel
+    hangs the first compile with no timeout at all."""
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp; "
